@@ -1,0 +1,28 @@
+"""sparkcheck — a from-scratch PySpark-native schema + constraint
+validation engine with the query capabilities of Great Expectations'
+core expectation families, re-architected Spark-first (SURVEY.md).
+
+Public API:
+    from sparkcheck import ExpectationSuite, Validator, validate_df
+"""
+
+from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_format
+from .validator import Validator, validate_df
+from .expectations import get_expectation, list_expectations, register_expectation
+
+# import registers distribution/referential/span expectations & metrics
+from . import distribution as _distribution  # noqa: F401
+from . import referential as _referential  # noqa: F401
+
+__all__ = [
+    "ExpectationConfiguration",
+    "ExpectationSuite",
+    "Validator",
+    "validate_df",
+    "parse_result_format",
+    "get_expectation",
+    "list_expectations",
+    "register_expectation",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,376 @@
+"""Row-level map conditions: builders of boolean "unexpected" Columns.
+
+Every condition compiles to a native Spark Column predicate (JVM-side,
+whole-stage-codegen'd) — no per-row Python, per the north rule. The default
+null handling mirrors the reference's Spark wrapper: nulls are never
+unexpected, i.e. the mask is ``col.isNotNull() & ~expected``
+(reference: expectations/metrics/map_metric_provider/
+column_condition_partial.py:217-299, filter_column_isnull default at
+:274-276, mask composition at :286-289).
+
+A ConditionSpec carries:
+  - ``build(domain, kwargs) -> Column``: the *expected* predicate over
+    non-null values (or the full unexpected mask when ignore_nulls=False).
+  - ``ignore_nulls``: False only for nullity checks themselves.
+  - ``is_window``: condition contains a window function; its
+    unexpected_count cannot join the fused agg pass and runs as a separate
+    filter+count job (reference: WINDOW_CONDITION_FN handling,
+    map_metric_provider/column_condition_partial.py:277-289).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any, Callable
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .metrics import Domain
+
+
+@dataclass
+class ConditionSpec:
+    name: str
+    build: Callable[[Domain, dict[str, Any]], Column]  # expected-predicate
+    ignore_nulls: bool = True
+    is_window: bool = False
+
+    def unexpected(self, domain: Domain, kwargs: dict[str, Any]) -> Column:
+        """The full null-aware unexpected mask."""
+        expected = self.build(domain, kwargs)
+        if self.ignore_nulls:
+            return self._nonnull(domain) & ~expected
+        return ~expected
+
+    @staticmethod
+    def _nonnull(domain: Domain) -> Column:
+        if domain.column is not None:
+            return F.col(domain.column).isNotNull()
+        # pair / multicolumn domains: ignore_row_if already filtered rows in
+        # the domain; remaining rows all count.
+        return F.lit(True)
+
+
+_CONDITIONS: dict[str, ConditionSpec] = {}
+
+
+def register_condition(spec: ConditionSpec) -> ConditionSpec:
+    _CONDITIONS[spec.name] = spec
+    return spec
+
+
+def get_condition(name: str) -> ConditionSpec:
+    return _CONDITIONS[name]
+
+
+def condition(name: str, ignore_nulls: bool = True, is_window: bool = False):
+    def deco(fn):
+        register_condition(
+            ConditionSpec(name=name, build=fn, ignore_nulls=ignore_nulls, is_window=is_window)
+        )
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Column map conditions (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@condition("column_values.nonnull", ignore_nulls=False)
+def _nonnull(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_non_null.py:36-38
+    return F.col(domain.column).isNotNull()
+
+
+@condition("column_values.null", ignore_nulls=False)
+def _null(domain: Domain, kw: dict) -> Column:
+    return F.col(domain.column).isNull()
+
+
+@condition("column_values.in_set")
+def _in_set(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_in_set.py:91-108 (empty set -> lit(True)
+    # i.e. everything unexpected... GX returns expected=False for all;
+    # empty value_set means nothing can match)
+    value_set = kw.get("value_set") or []
+    if not value_set:
+        return F.lit(False)
+    return F.col(domain.column).isin(list(value_set))
+
+
+@condition("column_values.not_in_set")
+def _not_in_set(domain: Domain, kw: dict) -> Column:
+    value_set = kw.get("value_set") or []
+    if not value_set:
+        return F.lit(True)
+    return ~F.col(domain.column).isin(list(value_set))
+
+
+@condition("column_values.between")
+def _between(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_between.py:303-356 — one-sided allowed,
+    # strict_min/strict_max flags.
+    col = F.col(domain.column)
+    conds = []
+    if kw.get("min_value") is not None:
+        conds.append(
+            col > F.lit(kw["min_value"])
+            if kw.get("strict_min")
+            else col >= F.lit(kw["min_value"])
+        )
+    if kw.get("max_value") is not None:
+        conds.append(
+            col < F.lit(kw["max_value"])
+            if kw.get("strict_max")
+            else col <= F.lit(kw["max_value"])
+        )
+    if not conds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, conds)
+
+
+@condition("column_values.match_regex")
+def _match_regex(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_match_regex.py:37-38 (rlike)
+    return F.col(domain.column).rlike(kw["regex"])
+
+
+@condition("column_values.not_match_regex")
+def _not_match_regex(domain: Domain, kw: dict) -> Column:
+    return ~F.col(domain.column).rlike(kw["regex"])
+
+
+@condition("column_values.match_regex_list")
+def _match_regex_list(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_match_regex_list.py:74-79 — any: alternation;
+    # all: conjunction of rlikes (clearer than lookahead concat and same
+    # semantics for Spark's Java regex).
+    regexes = list(kw["regex_list"])
+    col = F.col(domain.column)
+    if kw.get("match_on", "any") == "any":
+        return col.rlike("|".join(f"(?:{r})" for r in regexes))
+    return reduce(lambda a, b: a & b, [col.rlike(r) for r in regexes])
+
+
+@condition("column_values.not_match_regex_list")
+def _not_match_regex_list(domain: Domain, kw: dict) -> Column:
+    regexes = list(kw["regex_list"])
+    col = F.col(domain.column)
+    return reduce(lambda a, b: a & b, [~col.rlike(r) for r in regexes])
+
+
+@condition("column_values.match_like_pattern")
+def _match_like(domain: Domain, kw: dict) -> Column:
+    # reference has no Spark impl (column_values_match_like_pattern.py:21-32
+    # is SQLAlchemy-only); trivial in Spark via Column.like.
+    return F.col(domain.column).like(kw["like_pattern"])
+
+
+@condition("column_values.not_match_like_pattern")
+def _not_match_like(domain: Domain, kw: dict) -> Column:
+    return ~F.col(domain.column).like(kw["like_pattern"])
+
+
+@condition("column_values.match_like_pattern_list")
+def _match_like_list(domain: Domain, kw: dict) -> Column:
+    col = F.col(domain.column)
+    pats = list(kw["like_pattern_list"])
+    if kw.get("match_on", "any") == "any":
+        return reduce(lambda a, b: a | b, [col.like(p) for p in pats])
+    return reduce(lambda a, b: a & b, [col.like(p) for p in pats])
+
+
+@condition("column_values.not_match_like_pattern_list")
+def _not_match_like_list(domain: Domain, kw: dict) -> Column:
+    col = F.col(domain.column)
+    return reduce(
+        lambda a, b: a & b, [~col.like(p) for p in kw["like_pattern_list"]]
+    )
+
+
+@condition("column_values.value_length.between")
+def _len_between(domain: Domain, kw: dict) -> Column:
+    # reference: column_value_lengths.py:98-99
+    ln = F.length(F.col(domain.column))
+    conds = []
+    if kw.get("min_value") is not None:
+        conds.append(ln >= F.lit(int(kw["min_value"])))
+    if kw.get("max_value") is not None:
+        conds.append(ln <= F.lit(int(kw["max_value"])))
+    if not conds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, conds)
+
+
+@condition("column_values.value_length.equals")
+def _len_equals(domain: Domain, kw: dict) -> Column:
+    return F.length(F.col(domain.column)) == F.lit(int(kw["value"]))
+
+
+@condition("column_values.match_strftime_format")
+def _strftime(domain: Domain, kw: dict) -> Column:
+    """strftime-format match via native to_timestamp (JVM), not a Python UDF
+    (reference uses a per-row udf, column_values_match_strftime_format.py:35-59
+    — the slow path we deliberately avoid). Supports the common directives by
+    translating strftime -> Spark datetime pattern.
+    """
+    fmt = kw["strftime_format"]
+    trans = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+        "%H": "HH", "%M": "mm", "%S": "ss", "%j": "DDD", "%f": "SSSSSS",
+    }
+    spark_fmt = fmt
+    for k, v in trans.items():
+        spark_fmt = spark_fmt.replace(k, v)
+    if re.search(r"%[A-Za-z]", spark_fmt):
+        raise ValueError(f"unsupported strftime directive in {fmt!r}")
+    return F.try_to_timestamp(F.col(domain.column), F.lit(spark_fmt)).isNotNull()
+
+
+@condition("column_values.json_parseable")
+def _json_parseable(domain: Domain, kw: dict) -> Column:
+    # reference: per-row json.loads udf (column_values_json_parseable.py:30-40);
+    # ours: native get_json_object / from_json probe stays JVM-side.
+    c = F.col(domain.column)
+    # try_parse_json exists in Spark 4 (variant); fall back logic is JVM-side.
+    return F.try_parse_json(c).isNotNull()
+
+
+@condition("column_values.unique", is_window=True)
+def _unique(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_unique.py:92-93 — count over value-partition
+    # window == 1. Shuffles by value; for skew-prone columns the engine also
+    # offers the groupBy/anti-join form (see summarize.unexpected_df with
+    # strategy='groupby').
+    w = Window.partitionBy(F.col(domain.column))
+    return F.count(F.lit(1)).over(w) <= 1
+
+
+@condition("compound_columns.unique", ignore_nulls=False, is_window=True)
+def _compound_unique(domain: Domain, kw: dict) -> Column:
+    # reference: compound_columns_unique.py:159-163
+    w = Window.partitionBy(*[F.col(c) for c in domain.column_list])
+    return F.count(F.lit(1)).over(w) <= 1
+
+
+@condition("column_values.increasing", is_window=True)
+def _increasing(domain: Domain, kw: dict) -> Column:
+    """Global-order increasing check. reference:
+    column_values_increasing.py:76-155 uses a single-partition window — a
+    documented scaling hazard (SURVEY.md §7 risks); callers should supply an
+    ``order_by`` kwarg (a monotonic key, e.g. doc_id) and treat this as a
+    small-partition diagnostic, not a 100 TB operator.
+    """
+    order = kw.get("order_by")
+    w = (
+        Window.orderBy(F.col(order))
+        if order
+        else Window.orderBy(F.monotonically_increasing_id())
+    )
+    prev = F.lag(F.col(domain.column)).over(w)
+    cmp = (
+        F.col(domain.column) > prev
+        if kw.get("strictly")
+        else F.col(domain.column) >= prev
+    )
+    return prev.isNull() | cmp
+
+
+@condition("column_values.decreasing", is_window=True)
+def _decreasing(domain: Domain, kw: dict) -> Column:
+    order = kw.get("order_by")
+    w = (
+        Window.orderBy(F.col(order))
+        if order
+        else Window.orderBy(F.monotonically_increasing_id())
+    )
+    prev = F.lag(F.col(domain.column)).over(w)
+    cmp = (
+        F.col(domain.column) < prev
+        if kw.get("strictly")
+        else F.col(domain.column) <= prev
+    )
+    return prev.isNull() | cmp
+
+
+@condition("column_values.z_score.under_threshold")
+def _z_score(domain: Domain, kw: dict) -> Column:
+    """z-score threshold with mean/stddev injected by the expectation layer
+    (already resolved metrics — reference: column_values_z_score.py:88-140).
+    The kwargs carry resolved float ``mean``/``stddev``.
+    """
+    col = F.col(domain.column)
+    z = (col - F.lit(float(kw["mean"]))) / F.lit(float(kw["stddev"]))
+    thr = float(kw["threshold"])
+    if kw.get("double_sided", True):
+        return F.abs(z) < F.lit(thr)
+    return z < F.lit(thr)
+
+
+# ---------------------------------------------------------------------------
+# Column-pair & multicolumn conditions (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@condition("column_pair_values.equal", ignore_nulls=False)
+def _pair_equal(domain: Domain, kw: dict) -> Column:
+    # reference: column_pair_values_equal.py:41-44
+    return F.col(domain.column_a).eqNullSafe(F.col(domain.column_b))
+
+
+@condition("column_pair_values.a_greater_than_b", ignore_nulls=False)
+def _pair_greater(domain: Domain, kw: dict) -> Column:
+    # reference: column_pair_values_greater.py:94-118
+    a, b = F.col(domain.column_a), F.col(domain.column_b)
+    if kw.get("parse_strings_as_datetimes"):
+        a, b = F.to_date(a), F.to_date(b)
+    return a >= b if kw.get("or_equal") else a > b
+
+
+@condition("column_pair_values.in_set", ignore_nulls=False)
+def _pair_in_set(domain: Domain, kw: dict) -> Column:
+    # reference: column_pair_values_in_set.py:78-90
+    a, b = F.col(domain.column_a), F.col(domain.column_b)
+    pairs = kw["value_pairs_set"]
+    terms = [a.eqNullSafe(F.lit(x)) & b.eqNullSafe(F.lit(y)) for x, y in pairs]
+    return reduce(lambda p, q: p | q, terms) if terms else F.lit(False)
+
+
+@condition("multicolumn_sum.equal", ignore_nulls=False)
+def _multi_sum_equal(domain: Domain, kw: dict) -> Column:
+    # reference: multicolumn_sum_equal.py:40-45
+    total = reduce(lambda a, b: a + b, [F.col(c) for c in domain.column_list])
+    return total == F.lit(kw["sum_total"])
+
+
+@condition("select_column_values.unique.within_record", ignore_nulls=False)
+def _unique_within_record(domain: Domain, kw: dict) -> Column:
+    # reference: select_column_values_unique_within_record.py:73-85
+    cols = list(domain.column_list)
+    terms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            terms.append(~F.col(cols[i]).eqNullSafe(F.col(cols[j])))
+    return reduce(lambda a, b: a & b, terms) if terms else F.lit(True)
+
+
+def ignore_row_if_filter(domain: Domain, ignore_row_if: str) -> Column | None:
+    """Build the keep-filter for pair/multicolumn domains.
+
+    reference: sparkdf_execution_engine.py:537-588.
+    Returns a Column of rows to KEEP, or None for 'never'/'neither'.
+    """
+    if domain.column_list:
+        nulls = [F.col(c).isNull() for c in domain.column_list]
+    else:
+        nulls = [F.col(domain.column_a).isNull(), F.col(domain.column_b).isNull()]
+    if ignore_row_if in ("both_values_are_missing", "all_values_are_missing"):
+        return ~reduce(lambda a, b: a & b, nulls)
+    if ignore_row_if in ("either_value_is_missing", "any_value_is_missing"):
+        return ~reduce(lambda a, b: a | b, nulls)
+    return None

@@ -1,0 +1,443 @@
+"""Metric model + Spark resolution engine with aggregate bundling.
+
+The reference resolves a dependency graph of MetricConfigurations and
+bundles all *aggregate partials* sharing a compute-domain into a single
+``df.agg(*aggs).collect()`` pass (reference:
+great_expectations/execution_engine/sparkdf_execution_engine.py:702-780,
+single collect at :758; partial/bundle split
+execution_engine/execution_engine.py:378-477). We keep that design — it is
+the one GX optimization Catalyst cannot do for us (it fuses aggregates
+within one action, not across actions) — and extend it: map-condition
+unexpected-counts and histogram bins also become ``sum(when(...))`` columns
+of the same fused pass, so a typical suite costs ONE Spark job for all
+aggregate/count metrics plus one job per violation-sample collection.
+
+Metric kinds (reference enum core/metric_function_types.py:26-112):
+  - ``agg``     -> returns an unevaluated Spark Column aggregate; bundled.
+  - ``eager``   -> runs its own Spark action (value_counts, unexpected
+                   samples, quantile on tiny relative error, ...).
+  - ``derived`` -> pure driver math over already-resolved metrics.
+
+Identity of a metric is ``(name, domain_id, value_kwargs_id)`` exactly as
+the reference (validator/metric_configuration.py:153-158; id_dict md5 of
+sorted JSON, core/id_dict.py:13-28) so shared metrics (row_count, null
+counts) are computed once per suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _stable_id(obj: Any) -> str:
+    return hashlib.md5(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+@dataclass(frozen=True)
+class Domain:
+    """The sub-table a metric is computed over (reference:
+    core/metric_domain_types.py TABLE/COLUMN/COLUMN_PAIR/MULTICOLUMN;
+    kwarg split execution_engine/execution_engine.py:576-793).
+
+    ``row_condition`` / ``filter_conditions`` are *compute* kwargs (they
+    change the rows scanned and hence the bundling group); column
+    accessors are *accessor* kwargs (they only pick columns inside the
+    same scan).
+    """
+
+    row_condition: str | None = None
+    # extra conjunctive Spark-SQL predicates injected by the engine
+    # (null filters for window conditions, ignore_row_if, ...)
+    filter_conditions: tuple[str, ...] = ()
+    column: str | None = None
+    column_a: str | None = None
+    column_b: str | None = None
+    column_list: tuple[str, ...] = ()
+
+    @property
+    def compute_id(self) -> str:
+        """Identity of the scanned row set — the bundling key."""
+        return _stable_id(
+            {"row_condition": self.row_condition, "filters": self.filter_conditions}
+        )
+
+    @property
+    def domain_id(self) -> str:
+        return _stable_id(
+            {
+                "row_condition": self.row_condition,
+                "filters": self.filter_conditions,
+                "column": self.column,
+                "column_a": self.column_a,
+                "column_b": self.column_b,
+                "column_list": self.column_list,
+            }
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Realize the compute domain: filters only — column projection is
+        left to Catalyst column pruning."""
+        if self.row_condition:
+            df = df.filter(self.row_condition)
+        for cond in self.filter_conditions:
+            df = df.filter(cond)
+        return df
+
+
+@dataclass(frozen=True)
+class MetricConfiguration:
+    name: str
+    domain: Domain
+    value_kwargs: tuple = ()  # frozen (key, value) pairs
+
+    @property
+    def id(self) -> tuple[str, str, str]:
+        return (self.name, self.domain.domain_id, _stable_id(self.value_kwargs))
+
+    def kw(self, key: str, default: Any = None) -> Any:
+        for k, v in self.value_kwargs:
+            if k == key:
+                return v
+        return default
+
+
+def freeze_kwargs(**kwargs: Any) -> tuple:
+    def fr(v: Any) -> Any:
+        if isinstance(v, dict):
+            return tuple(sorted((k, fr(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple, set)):
+            return tuple(fr(x) for x in v)
+        return v
+
+    return tuple(sorted((k, fr(v)) for k, v in kwargs.items()))
+
+
+@dataclass
+class MetricSpec:
+    """Registry entry. Exactly one of the three fns is set, per kind."""
+
+    name: str
+    kind: str  # 'agg' | 'eager' | 'derived'
+    # agg: (domain, metric_cfg) -> Column (unevaluated aggregate)
+    agg_fn: Callable[[Domain, MetricConfiguration], Column] | None = None
+    # eager: (engine, domain_df, metric_cfg, resolved) -> value
+    eager_fn: Callable[..., Any] | None = None
+    # derived: (resolved, metric_cfg) -> value
+    derived_fn: Callable[..., Any] | None = None
+    # deps: (metric_cfg) -> dict[dep_key, MetricConfiguration]
+    deps_fn: Callable[[MetricConfiguration], dict[str, MetricConfiguration]] | None = None
+
+
+_REGISTRY: dict[str, MetricSpec] = {}
+
+
+def register_metric(spec: MetricSpec) -> MetricSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_metric_spec(name: str) -> MetricSpec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"metric {name!r} is not registered") from None
+
+
+def agg_metric(name: str):
+    """Decorator: register fn(domain, cfg) -> Column as a bundled aggregate."""
+
+    def deco(fn):
+        register_metric(MetricSpec(name=name, kind="agg", agg_fn=fn))
+        return fn
+
+    return deco
+
+
+def eager_metric(name: str, deps_fn=None):
+    def deco(fn):
+        register_metric(MetricSpec(name=name, kind="eager", eager_fn=fn, deps_fn=deps_fn))
+        return fn
+
+    return deco
+
+
+def derived_metric(name: str, deps_fn=None):
+    def deco(fn):
+        register_metric(
+            MetricSpec(name=name, kind="derived", derived_fn=fn, deps_fn=deps_fn)
+        )
+        return fn
+
+    return deco
+
+
+class MetricResolver:
+    """Dependency-driven resolver with per-compute-domain agg bundling.
+
+    Reference analog: ValidationGraph.resolve loop
+    (validator/validation_graph.py:181-347) + resolve_metric_bundle
+    (sparkdf_execution_engine.py:702-780). Resolved values are memoized by
+    metric id for the lifetime of the resolver (execution_engine.py:151-158).
+    """
+
+    MAX_RETRIES = 3  # reference: validation_graph.py:38
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.cache: dict[tuple, Any] = {}
+        self._domain_df_cache: dict[str, DataFrame] = {}
+
+    def domain_df(self, domain: Domain) -> DataFrame:
+        key = domain.compute_id
+        if key not in self._domain_df_cache:
+            self._domain_df_cache[key] = domain.apply(self.df)
+        return self._domain_df_cache[key]
+
+    def resolve(self, requests: list[MetricConfiguration]) -> dict[tuple, Any]:
+        """Resolve all requested metrics (+ transitive deps). Returns the
+        full id -> value cache."""
+        pending: dict[tuple, MetricConfiguration] = {}
+
+        def add(cfg: MetricConfiguration) -> None:
+            if cfg.id in self.cache or cfg.id in pending:
+                return
+            pending[cfg.id] = cfg
+            spec = get_metric_spec(cfg.name)
+            if spec.deps_fn:
+                for dep in spec.deps_fn(cfg).values():
+                    add(dep)
+
+        for r in requests:
+            add(r)
+
+        # iterate: compute everything whose deps are satisfied, bundling aggs
+        while pending:
+            ready_aggs: dict[str, list[MetricConfiguration]] = {}
+            ready_other: list[MetricConfiguration] = []
+            for cfg in pending.values():
+                spec = get_metric_spec(cfg.name)
+                deps = spec.deps_fn(cfg) if spec.deps_fn else {}
+                if all(d.id in self.cache for d in deps.values()):
+                    if spec.kind == "agg":
+                        ready_aggs.setdefault(cfg.domain.compute_id, []).append(cfg)
+                    else:
+                        ready_other.append(cfg)
+            if not ready_aggs and not ready_other:
+                raise RuntimeError(
+                    f"metric resolution stalled; unresolved: "
+                    f"{[c.name for c in pending.values()]}"
+                )
+
+            # --- bundled aggregate pass: ONE Spark job per compute domain ---
+            for compute_id, cfgs in ready_aggs.items():
+                ddf = self.domain_df(cfgs[0].domain)
+                aliased = []
+                for i, cfg in enumerate(cfgs):
+                    col = get_metric_spec(cfg.name).agg_fn(cfg.domain, cfg)
+                    aliased.append(col.alias(f"m_{i}"))
+                row = ddf.agg(*aliased).collect()[0]
+                for i, cfg in enumerate(cfgs):
+                    self.cache[cfg.id] = row[f"m_{i}"]
+                    pending.pop(cfg.id, None)
+
+            # --- eager / derived metrics ---
+            for cfg in ready_other:
+                spec = get_metric_spec(cfg.name)
+                value: Any
+                last_err: Exception | None = None
+                for _attempt in range(self.MAX_RETRIES):
+                    try:
+                        if spec.kind == "eager":
+                            value = spec.eager_fn(
+                                self, self.domain_df(cfg.domain), cfg, self.cache
+                            )
+                        else:
+                            value = spec.derived_fn(self.cache, cfg)
+                        last_err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 — retry then surface
+                        last_err = e
+                if last_err is not None:
+                    raise last_err
+                self.cache[cfg.id] = value
+                pending.pop(cfg.id, None)
+
+        return self.cache
+
+    def __getitem__(self, cfg: MetricConfiguration) -> Any:
+        return self.cache[cfg.id]
+
+
+# ---------------------------------------------------------------------------
+# Core table / column-aggregate metrics (SURVEY.md §2.3–2.4)
+# ---------------------------------------------------------------------------
+
+
+@agg_metric("table.row_count")
+def _row_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # reference: table_metrics/table_row_count.py:58-66 (F.count(F.lit(1)))
+    return F.count(F.lit(1))
+
+
+@agg_metric("column.null_count")
+def _null_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.sum(F.col(domain.column).isNull().cast("long"))
+
+
+@agg_metric("column.nonnull_count")
+def _nonnull_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.count(F.col(domain.column))
+
+
+@agg_metric("column.mean")
+def _mean(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # reference: column_aggregate_metrics/column_mean.py:31-37
+    return F.mean(F.col(domain.column))
+
+
+@agg_metric("column.standard_deviation")
+def _stddev(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # reference: column_standard_deviation.py:93-96 (sample stddev, n-1)
+    return F.stddev_samp(F.col(domain.column))
+
+
+@agg_metric("column.min")
+def _min(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.min(F.col(domain.column))
+
+
+@agg_metric("column.max")
+def _max(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.max(F.col(domain.column))
+
+
+@agg_metric("column.sum")
+def _sum(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.sum(F.col(domain.column))
+
+
+@agg_metric("column.distinct_values.count")
+def _distinct_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+    """Distinct count. Default is the HLL sketch (north rule: HLL for
+    uniqueness at 10^12 scale); exact=True falls back to countDistinct for
+    fixture parity (reference uses exact: column_distinct_values.py:122-132).
+    """
+    if cfg.kw("exact", False):
+        return F.countDistinct(F.col(domain.column))
+    return F.approx_count_distinct(F.col(domain.column), rsd=cfg.kw("rsd", 0.01))
+
+
+@agg_metric("column.quantile_values")
+def _quantiles(domain: Domain, cfg: MetricConfiguration) -> Column:
+    """Quantiles inside the bundled agg.
+
+    Default: ``percentile_approx`` (t-digest-style sketch, mergeable across
+    partitions — the 100 TB path). exact=True uses exact ``percentile``
+    (interpolated) for oracle/fixture parity at test scale.
+    Reference: column_quantile_values.py:157-190 uses df.approxQuantile —
+    a *separate driver action*; folding into the single agg pass saves a job.
+    """
+    qs = list(cfg.kw("quantiles", (0.25, 0.5, 0.75)))
+    col = F.col(domain.column)
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    if cfg.kw("exact", False):
+        return F.percentile(col, qlit)
+    accuracy = int(cfg.kw("accuracy", 10000))
+    return F.percentile_approx(col, qlit, F.lit(accuracy))
+
+
+@agg_metric("column.median")
+def _median(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # reference: column_median.py:91-121 (approxQuantile epsilon trick);
+    # ours: exact interpolated median in the fused agg.
+    return F.percentile(F.col(domain.column), F.lit(0.5))
+
+
+@agg_metric("column_values.length.min")
+def _len_min(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # reference: column_values_length_min.py:31-32
+    return F.min(F.length(F.col(domain.column)))
+
+
+@agg_metric("column_values.length.max")
+def _len_max(domain: Domain, cfg: MetricConfiguration) -> Column:
+    return F.max(F.length(F.col(domain.column)))
+
+
+@derived_metric(
+    "column.unique_proportion",
+    deps_fn=lambda cfg: {
+        "distinct": MetricConfiguration(
+            "column.distinct_values.count", cfg.domain, cfg.value_kwargs
+        ),
+        "nonnull": MetricConfiguration("column.nonnull_count", cfg.domain),
+    },
+)
+def _unique_proportion(resolved: dict, cfg: MetricConfiguration):
+    # reference: column_proportion_of_unique_values.py:36-60
+    distinct = resolved[
+        MetricConfiguration(
+            "column.distinct_values.count", cfg.domain, cfg.value_kwargs
+        ).id
+    ]
+    nonnull = resolved[MetricConfiguration("column.nonnull_count", cfg.domain).id]
+    return (distinct / nonnull) if nonnull else 0.0
+
+
+@eager_metric("column.value_counts")
+def _value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
+    """Value counts, collected. reference: column_value_counts.py:135-166.
+
+    NOTE: collect() of a full value histogram is only safe for
+    low-cardinality columns; the runner uses it for categorical KL only.
+    """
+    col = cfg.domain.column
+    sort = cfg.kw("sort", "value")
+    out = ddf.where(F.col(col).isNotNull()).groupBy(col).count()
+    if sort == "count":
+        out = out.orderBy(F.desc("count"), F.col(col))
+    else:
+        out = out.orderBy(F.col(col))
+    return [(r[col], r["count"]) for r in out.collect()]
+
+
+@derived_metric(
+    "column.most_common_value",
+    deps_fn=lambda cfg: {
+        "vc": MetricConfiguration(
+            "column.value_counts", cfg.domain, freeze_kwargs(sort="count")
+        )
+    },
+)
+def _most_common(resolved: dict, cfg: MetricConfiguration):
+    # reference: column_most_common_value.py:27-39 — all values tied for max
+    vc = resolved[
+        MetricConfiguration(
+            "column.value_counts", cfg.domain, freeze_kwargs(sort="count")
+        ).id
+    ]
+    if not vc:
+        return []
+    top = vc[0][1]
+    return sorted(v for v, c in vc if c == top)
+
+
+@eager_metric("table.columns")
+def _table_columns(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
+    return list(ddf.columns)
+
+
+@eager_metric("table.column_types")
+def _table_column_types(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
+    # reference: table_metrics/table_column_types.py:74
+    return [
+        {"name": f.name, "type": f.dataType.simpleString()} for f in ddf.schema.fields
+    ]

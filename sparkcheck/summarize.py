@@ -1,0 +1,240 @@
+"""Map-condition summarizers + EVR (result dict) shaping.
+
+Two halves:
+
+1. Parametric summarizer metrics over any registered condition —
+   ``map.unexpected_count`` joins the fused agg pass as
+   ``sum(when(unexpected, 1))`` (reference:
+   map_condition_auxilliary_methods.py:625-640 — zero extra Spark job for
+   COLUMN domains); window conditions and sample collection run as their
+   own filter jobs (reference :643-700).
+
+2. ``format_map_output`` — field-by-field port of the reference's result
+   contract (expectations/expectation.py:3465-3609 ``_format_map_output``):
+   element_count, unexpected_count, unexpected_percent (of nonnull),
+   missing_count/percent, unexpected_percent_total/nonmissing,
+   partial_unexpected_list, partial_unexpected_counts (sorted by
+   (-count, value), :3571-3579), unexpected_list, unexpected_index_list.
+
+Key scale deviation (SURVEY.md §2.7): the reference collect()s unexpected
+rows to the driver; we keep counts in the agg pass and materialize full
+violations as a DataFrame (see ``unexpected_df``), collecting only
+``partial_unexpected_count`` samples for the EVR dict.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .conditions import get_condition
+from .metrics import (
+    Domain,
+    MetricConfiguration,
+    agg_metric,
+    eager_metric,
+)
+
+
+def _thaw(frozen: Any) -> Any:
+    """Inverse of metrics.freeze_kwargs for a (key, value) tuple tree."""
+    if isinstance(frozen, tuple) and all(
+        isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], str) for x in frozen
+    ):
+        return {k: _thaw(v) for k, v in frozen}
+    if isinstance(frozen, tuple):
+        return [_thaw(x) for x in frozen]
+    return frozen
+
+
+def condition_kwargs(cfg: MetricConfiguration) -> tuple[str, dict[str, Any]]:
+    name = cfg.kw("condition")
+    kw = _thaw(cfg.kw("condition_kwargs", ()))
+    return name, kw or {}
+
+
+def unexpected_mask(cfg: MetricConfiguration) -> Column:
+    name, kw = condition_kwargs(cfg)
+    return get_condition(name).unexpected(cfg.domain, kw)
+
+
+@agg_metric("map.unexpected_count")
+def _unexpected_count_agg(domain: Domain, cfg: MetricConfiguration) -> Column:
+    # joins the fused df.agg pass — reference :625-640
+    return F.sum(F.when(unexpected_mask(cfg), 1).otherwise(0))
+
+
+@eager_metric("map.unexpected_count.window")
+def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    # window conditions can't live inside agg() — reference :643-668
+    return ddf.withColumn("__unexpected", unexpected_mask(cfg)).filter(
+        F.col("__unexpected")
+    ).count()
+
+
+@eager_metric("map.unexpected_values")
+def _unexpected_values(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    # reference: column_map_condition_auxilliary_methods.py:337-384
+    limit = cfg.kw("limit")
+    out = ddf.filter(unexpected_mask(cfg))
+    dom = cfg.domain
+    if dom.column is not None:
+        out = out.select(F.col(dom.column).alias("v"))
+        rows = (out.limit(int(limit)) if limit else out).collect()
+        return [r["v"] for r in rows]
+    cols = (
+        list(dom.column_list) if dom.column_list else [dom.column_a, dom.column_b]
+    )
+    out = out.select(*cols)
+    rows = (out.limit(int(limit)) if limit else out).collect()
+    return [r.asDict() for r in rows]
+
+
+@eager_metric("map.unexpected_index_list")
+def _unexpected_index_list(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    # reference: map_condition_auxilliary_methods.py:703-794
+    index_cols = list(cfg.kw("index_columns", ()))
+    limit = cfg.kw("limit")
+    dom = cfg.domain
+    value_cols = (
+        [dom.column]
+        if dom.column
+        else list(dom.column_list)
+        if dom.column_list
+        else [dom.column_a, dom.column_b]
+    )
+    sel = list(dict.fromkeys(index_cols + value_cols))
+    out = ddf.filter(unexpected_mask(cfg)).select(*sel)
+    rows = (out.limit(int(limit)) if limit else out).collect()
+    return [r.asDict() for r in rows]
+
+
+@eager_metric("map.unexpected_value_counts")
+def _unexpected_value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    # reference: column_map_condition_auxilliary_methods.py:387-428
+    dom = cfg.domain
+    out = (
+        ddf.filter(unexpected_mask(cfg))
+        .groupBy(F.col(dom.column).alias("v"))
+        .count()
+        .orderBy(F.desc("count"), F.col("v"))
+        .collect()
+    )
+    return [(r["v"], r["count"]) for r in out]
+
+
+def unexpected_df(
+    df: DataFrame,
+    domain: Domain,
+    condition_name: str,
+    kwargs: dict[str, Any],
+    expectation: str,
+    doc_id_col: str = "doc_id",
+    span_index_col: str | None = None,
+) -> DataFrame:
+    """Violation rows as a DataFrame — the scale path for COMPLETE results.
+
+    Returns (doc_id, span_index, expectation, observed_value); written to
+    the violations table by the runner instead of collect()ing
+    (SURVEY.md §2.7 'Key deviation').
+    """
+    spec = get_condition(condition_name)
+    mask = spec.unexpected(domain, kwargs)
+    observed: Column
+    if domain.column is not None:
+        observed = F.col(domain.column).cast("string")
+    elif domain.column_list:
+        observed = F.to_json(F.struct(*[F.col(c) for c in domain.column_list]))
+    else:
+        observed = F.to_json(F.struct(F.col(domain.column_a), F.col(domain.column_b)))
+    out = domain.apply(df).filter(mask)
+    span_index = (
+        F.col(span_index_col).cast("int") if span_index_col else F.lit(None).cast("int")
+    )
+    return out.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        span_index.alias("span_index"),
+        F.lit(expectation).alias("expectation"),
+        observed.alias("observed_value"),
+    )
+
+
+def format_map_output(
+    result_format: dict[str, Any],
+    success: bool,
+    element_count: int,
+    nonnull_count: int,
+    unexpected_count: int,
+    partial_unexpected_list: list[Any] | None = None,
+    unexpected_list: list[Any] | None = None,
+    unexpected_index_list: list[dict] | None = None,
+) -> dict[str, Any]:
+    """Port of _format_map_output (expectation.py:3465-3609)."""
+    rf = result_format["result_format"]
+    ret: dict[str, Any] = {"success": success}
+    if rf == "BOOLEAN_ONLY":
+        return ret
+
+    missing_count = element_count - nonnull_count
+    if element_count > 0:
+        missing_percent = missing_count / element_count * 100
+        unexpected_percent_total = unexpected_count / element_count * 100
+        if nonnull_count > 0:
+            unexpected_percent_nonmissing = unexpected_count / nonnull_count * 100
+        else:
+            unexpected_percent_nonmissing = None
+    else:
+        missing_percent = None
+        unexpected_percent_total = None
+        unexpected_percent_nonmissing = None
+
+    partial = list(partial_unexpected_list or [])[
+        : result_format["partial_unexpected_count"]
+    ]
+    ret["result"] = {
+        "element_count": element_count,
+        "missing_count": missing_count,
+        "missing_percent": missing_percent,
+        "unexpected_count": unexpected_count,
+        "unexpected_percent": unexpected_percent_nonmissing,
+        "unexpected_percent_total": unexpected_percent_total,
+        "unexpected_percent_nonmissing": unexpected_percent_nonmissing,
+        "partial_unexpected_list": partial,
+    }
+    if rf == "BASIC":
+        return ret
+
+    # SUMMARY and COMPLETE add counted/indexed views
+    counts = Counter(
+        v if not isinstance(v, (dict, list)) else str(v) for v in partial
+    )
+    ret["result"]["partial_unexpected_counts"] = [
+        {"value": v, "count": c}
+        for v, c in sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    ]
+    if unexpected_index_list is not None:
+        ret["result"]["partial_unexpected_index_list"] = unexpected_index_list[
+            : result_format["partial_unexpected_count"]
+        ]
+    if rf == "SUMMARY":
+        return ret
+
+    if unexpected_list is not None:
+        ret["result"]["unexpected_list"] = unexpected_list
+    if unexpected_index_list is not None:
+        ret["result"]["unexpected_index_list"] = unexpected_index_list
+    return ret
+
+
+def mostly_success(
+    nonnull_count: int, unexpected_count: int, mostly: float
+) -> bool:
+    """success = (nonnull - unexpected)/nonnull >= mostly, with vacuous
+    truth on an empty domain (reference: expectation.py:2900-2910,
+    3630-3640; vacuous truth :2900-2903)."""
+    if nonnull_count == 0:
+        return True
+    return (nonnull_count - unexpected_count) / nonnull_count >= mostly

@@ -1,0 +1,133 @@
+"""Suite validation: plan -> resolve (bundled) -> finalize EVRs.
+
+Reference lifecycle (SURVEY.md §3, validator/validator.py:966-1069
+``graph_validate``): per-expectation metric requests are merged into ONE
+suite-level set deduped by metric id, resolved with per-compute-domain agg
+bundling, then each expectation shapes its EVR from the resolved dict.
+Statistics block per reference validator.py:1909-1933.
+
+Exception semantics: catch_exceptions (default True here, as in checkpoint
+runs) converts a failing expectation into a failed EVR carrying
+exception_info instead of aborting the suite (reference
+validator.py:1159-1213).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .expectations import get_expectation
+from .metrics import MetricResolver
+from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_format
+
+
+class Validator:
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.resolver = MetricResolver(df)
+
+    def validate(
+        self,
+        suite: ExpectationSuite,
+        result_format: str | dict[str, Any] | None = None,
+        catch_exceptions: bool = True,
+    ) -> dict[str, Any]:
+        rf_default = result_format
+
+        plans: list[tuple[ExpectationConfiguration, Any, dict[str, Any]]] = []
+        stage1: list = []
+        errors: dict[int, str] = {}
+        for i, cfg in enumerate(suite.expectations):
+            rf = parse_result_format(cfg.get("result_format", rf_default))
+            try:
+                exp = get_expectation(cfg.expectation_type)
+                reqs = exp.metric_requests(cfg, rf)
+                stage1.extend(reqs.values())
+                plans.append((cfg, exp, rf))
+            except Exception:  # noqa: BLE001
+                if not catch_exceptions:
+                    raise
+                errors[i] = traceback.format_exc()
+                plans.append((cfg, None, rf))
+
+        # stage 1: one bundled resolution across the whole suite
+        self._resolve_safely(stage1, plans, errors, catch_exceptions)
+
+        # stage 2: expectations that need resolved parameters (z-scores)
+        stage2: list = []
+        for i, (cfg, exp, rf) in enumerate(plans):
+            if exp is None or i in errors:
+                continue
+            try:
+                stage2.extend(exp.stage2_requests(cfg, rf, self.resolver).values())
+            except Exception:  # noqa: BLE001
+                if not catch_exceptions:
+                    raise
+                errors[i] = traceback.format_exc()
+        if stage2:
+            self._resolve_safely(stage2, plans, errors, catch_exceptions)
+
+        # finalize
+        results: list[dict[str, Any]] = []
+        for i, (cfg, exp, rf) in enumerate(plans):
+            if exp is not None and i not in errors:
+                try:
+                    evr = exp.validate(cfg, rf, self.resolver)
+                except Exception:  # noqa: BLE001
+                    if not catch_exceptions:
+                        raise
+                    errors[i] = traceback.format_exc()
+            if i in errors or exp is None:
+                evr = {
+                    "success": False,
+                    "exception_info": {
+                        "raised_exception": True,
+                        "exception_traceback": errors.get(i, "unknown expectation"),
+                    },
+                }
+            else:
+                evr.setdefault(
+                    "exception_info",
+                    {"raised_exception": False, "exception_traceback": None},
+                )
+            evr["expectation_config"] = cfg.to_dict()
+            results.append(evr)
+
+        evaluated = len(results)
+        successful = sum(1 for r in results if r["success"])
+        return {
+            "success": all(r["success"] for r in results),
+            "results": results,
+            "statistics": {
+                "evaluated_expectations": evaluated,
+                "successful_expectations": successful,
+                "unsuccessful_expectations": evaluated - successful,
+                "success_percent": (successful / evaluated * 100) if evaluated else None,
+            },
+            "meta": {"expectation_suite_name": suite.name},
+        }
+
+    def _resolve_safely(self, requests, plans, errors, catch_exceptions) -> None:
+        try:
+            self.resolver.resolve(requests)
+        except Exception:  # noqa: BLE001
+            if not catch_exceptions:
+                raise
+            # fall back to per-request resolution so one bad metric doesn't
+            # sink the suite; expectations touching it fail at finalize.
+            for r in requests:
+                try:
+                    self.resolver.resolve([r])
+                except Exception:  # noqa: BLE001
+                    pass
+
+
+def validate_df(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    result_format: str | dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    return Validator(df).validate(suite, result_format=result_format)
