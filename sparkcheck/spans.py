@@ -1,0 +1,188 @@
+"""Span-level checks over interleaved text+media documents.
+
+GX has no analog for nested-array validation (SURVEY.md §1: "GX never
+explodes nested data"); this is the north-rule capability on top of the
+expectation engine. Two execution styles, both driver-loop-free:
+
+1. **Exploded-native**: ``posexplode(spans)`` flattens to one row per span
+   (doc_id, span_index, kind, text, media_ref, offset); every registered
+   column expectation then applies unchanged — e.g.
+   ``expect_column_values_to_match_regex`` over ``text``. The explode is a
+   narrow transformation (no shuffle) so this composes with the fused agg
+   pass at full scan speed.
+
+2. **Arrow pandas UDFs** over the intact spans array (input_hint: "all
+   span-level checks done via vectorized pandas/Arrow UDFs ... without
+   per-row Python [scalar UDFs]") — used where per-document *sequence*
+   semantics matter: offset monotonicity, kind/payload consistency, and
+   the span-sequence fingerprint that backs the row-for-row equality
+   invariant (kind, text, media_ref, order) against reference results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """One row per span: (doc_id, span_index, kind, text, media_ref, offset).
+
+    posexplode is narrow — no shuffle; Catalyst still prunes unused struct
+    fields from the parquet scan (nested schema pruning).
+    """
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_index", "span")
+    ).select(
+        "doc_id",
+        "span_index",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native whole-array checks (no explode, no Python): per-doc predicates
+# ---------------------------------------------------------------------------
+
+
+def offsets_strictly_increasing() -> Column:
+    """True iff spans.offset is strictly increasing (native higher-order fns:
+    zip_with the array against its own tail — stays in codegen)."""
+    spans = F.col("spans")
+    pairs_bad = F.zip_with(
+        F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+        F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0))),
+        lambda a, b: b["offset"] <= a["offset"],
+    )
+    return ~F.exists(pairs_bad, lambda x: x)
+
+
+def kind_payload_consistent() -> Column:
+    """True iff every span has text XOR media_ref matching its kind."""
+    ok = lambda s: F.when(  # noqa: E731
+        s["kind"] == "text", s["text"].isNotNull() & s["media_ref"].isNull()
+    ).otherwise(s["media_ref"].isNotNull() & s["text"].isNull())
+    return F.forall(F.col("spans"), ok)
+
+
+def doc_violation_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc boolean flags for the whole-array invariants."""
+    return docs.select(
+        "doc_id",
+        offsets_strictly_increasing().alias("offsets_ok"),
+        kind_payload_consistent().alias("kinds_ok"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs over the intact spans array
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def span_sequence_fingerprint(spans: pd.Series) -> pd.Series:
+    """md5 fingerprint of the ordered (kind, text, media_ref) sequence —
+    the span-sequence equality invariant: two docs (ours vs reference
+    results) agree iff fingerprints agree. Arrow-batched; the per-doc loop
+    runs over an Arrow batch, never row-at-a-time through the serializer.
+    """
+
+    def fp(arr) -> str | None:
+        if arr is None:
+            return None
+        h = hashlib.md5()
+        for s in arr:
+            kind = s["kind"] if s["kind"] is not None else ""
+            text = s["text"] if s["text"] is not None else ""
+            ref = s["media_ref"] if s["media_ref"] is not None else ""
+            h.update(kind.encode())
+            h.update(b"\x00")
+            h.update(text.encode())
+            h.update(b"\x00")
+            h.update(ref.encode())
+            h.update(b"\x01")
+        return h.hexdigest()
+
+    return spans.map(fp)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def offset_violation_indices(spans: pd.Series) -> pd.Series:
+    """Indices i where offset[i] <= offset[i-1] — the violation-row payload
+    for the offset-monotonicity check, computed per Arrow batch."""
+
+    def bad(arr):
+        if arr is None:
+            return []
+        out = []
+        prev = None
+        for i, s in enumerate(arr):
+            off = s["offset"]
+            if prev is not None and off is not None and off <= prev:
+                out.append(i)
+            if off is not None:
+                prev = off
+        return out
+
+    return spans.map(bad)
+
+
+def span_violations(docs: DataFrame, run_id: str = "", partition_id: str = "") -> DataFrame:
+    """Violation rows (doc_id, span_index, expectation, observed_value) for
+    the span-level invariants, as one DataFrame ready for the violations
+    table. Uses native explode for per-span predicates and the pandas UDF
+    for the sequence check."""
+    ex = explode_spans(docs)
+
+    text_bad = ex.where(
+        (F.col("kind") == "text")
+        & F.col("text").isNotNull()
+        & ~F.col("text").rlike(r"^[\x20-\x7E]*$")
+    ).select(
+        "doc_id",
+        "span_index",
+        F.lit("expect_span_text_printable").alias("expectation"),
+        F.col("text").alias("observed_value"),
+    )
+
+    kind_bad = ex.where(
+        ~F.col("kind").isin("text", "image", "audio", "video")
+        | ((F.col("kind") == "text") & (F.col("text").isNull() | F.col("media_ref").isNotNull()))
+        | ((F.col("kind") != "text") & (F.col("media_ref").isNull() | F.col("text").isNotNull()))
+    ).select(
+        "doc_id",
+        "span_index",
+        F.lit("expect_span_kind_payload_consistent").alias("expectation"),
+        F.col("kind").alias("observed_value"),
+    )
+
+    offset_bad = (
+        docs.select(
+            "doc_id", F.explode(offset_violation_indices("spans")).alias("span_index")
+        )
+        .select(
+            "doc_id",
+            "span_index",
+            F.lit("expect_span_offsets_increasing").alias("expectation"),
+            F.lit(None).cast("string").alias("observed_value"),
+        )
+    )
+
+    out = text_bad.unionByName(kind_bad).unionByName(offset_bad)
+    return out.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(partition_id).alias("partition_id"),
+        "doc_id",
+        F.col("span_index").cast("int").alias("span_index"),
+        "expectation",
+        "observed_value",
+    )

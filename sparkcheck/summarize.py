@@ -75,11 +75,22 @@ def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration,
     ).count()
 
 
+def _filter_unexpected(ddf: DataFrame, cfg: MetricConfiguration) -> DataFrame:
+    """Materialize the mask with withColumn before filtering — window
+    expressions are not allowed directly in WHERE (Spark restriction), and
+    this form works for plain conditions too."""
+    return (
+        ddf.withColumn("__unexpected", unexpected_mask(cfg))
+        .filter(F.col("__unexpected"))
+        .drop("__unexpected")
+    )
+
+
 @eager_metric("map.unexpected_values")
 def _unexpected_values(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     # reference: column_map_condition_auxilliary_methods.py:337-384
     limit = cfg.kw("limit")
-    out = ddf.filter(unexpected_mask(cfg))
+    out = _filter_unexpected(ddf, cfg)
     dom = cfg.domain
     if dom.column is not None:
         out = out.select(F.col(dom.column).alias("v"))
@@ -107,7 +118,7 @@ def _unexpected_index_list(resolver, ddf: DataFrame, cfg: MetricConfiguration, _
         else [dom.column_a, dom.column_b]
     )
     sel = list(dict.fromkeys(index_cols + value_cols))
-    out = ddf.filter(unexpected_mask(cfg)).select(*sel)
+    out = _filter_unexpected(ddf, cfg).select(*sel)
     rows = (out.limit(int(limit)) if limit else out).collect()
     return [r.asDict() for r in rows]
 
@@ -117,7 +128,7 @@ def _unexpected_value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration,
     # reference: column_map_condition_auxilliary_methods.py:387-428
     dom = cfg.domain
     out = (
-        ddf.filter(unexpected_mask(cfg))
+        _filter_unexpected(ddf, cfg)
         .groupBy(F.col(dom.column).alias("v"))
         .count()
         .orderBy(F.desc("count"), F.col("v"))
@@ -150,7 +161,12 @@ def unexpected_df(
         observed = F.to_json(F.struct(*[F.col(c) for c in domain.column_list]))
     else:
         observed = F.to_json(F.struct(F.col(domain.column_a), F.col(domain.column_b)))
-    out = domain.apply(df).filter(mask)
+    out = (
+        domain.apply(df)
+        .withColumn("__unexpected", mask)
+        .filter(F.col("__unexpected"))
+        .drop("__unexpected")
+    )
     span_index = (
         F.col(span_index_col).cast("int") if span_index_col else F.lit(None).cast("int")
     )

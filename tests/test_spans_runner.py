@@ -1,0 +1,167 @@
+"""Span-level checks + checkpoint/resume runner over the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationSuite
+from sparkcheck.runner import CheckpointRunner, ParquetStore
+from sparkcheck.spans import (
+    doc_violation_flags,
+    explode_spans,
+    span_sequence_fingerprint,
+    span_violations,
+)
+from sparkcheck.synth import ALLOWED_PREFIXES, generate_docs, generate_media_dim
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_docs(spark, N_DOCS).cache()
+
+
+def test_synth_shape_and_determinism(spark, docs):
+    assert docs.count() == N_DOCS
+    assert [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+    # deterministic across parallelism levels (the two-cluster bench invariant)
+    a = generate_docs(spark, 500, n_partitions=2)
+    b = generate_docs(spark, 500, n_partitions=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # seeded defects present
+    assert docs.where(F.col("doc_id").isNull()).count() > 0
+    dupes = docs.groupBy("doc_id").count().where("count > 1 and doc_id is not null")
+    assert dupes.count() > 0
+
+
+def test_explode_and_oracle(spark, docs):
+    ex = explode_spans(docs)
+    pdf = docs.toPandas()
+    expected_spans = int(sum(len(s) for s in pdf.spans))
+    assert ex.count() == expected_spans
+    # text xor media_ref by kind, minus seeded inconsistencies (none seeded
+    # for payload-consistency so the native check agrees with pandas)
+    flags = doc_violation_flags(docs).toPandas()
+    assert flags.kinds_ok.all()
+
+    def offsets_ok(spans):
+        offs = [s["offset"] for s in spans]
+        return all(b > a for a, b in zip(offs, offs[1:]))
+
+    expected_bad = {
+        r.doc_id
+        for r in pdf.itertuples()
+        if not offsets_ok(r.spans) and r.doc_id is not None
+    }
+    got_bad = {
+        r["doc_id"]
+        for r in flags.to_dict("records")
+        if not r["offsets_ok"] and r["doc_id"] is not None
+    }
+    assert got_bad == expected_bad
+    assert len(expected_bad) > 0  # defects seeded
+
+
+def test_span_fingerprint_invariant(spark, docs):
+    """Span-sequence equality invariant: fingerprint equality <-> sequence
+    equality (kind, text, media_ref, order)."""
+    fp = docs.select("doc_id", span_sequence_fingerprint("spans").alias("fp"))
+    # same data generated twice -> identical fingerprints per doc position
+    again = generate_docs(spark, N_DOCS).select(
+        "doc_id", span_sequence_fingerprint("spans").alias("fp2")
+    )
+    joined = fp.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"]).join(
+        again.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"]),
+        "doc_id",
+    )
+    assert joined.where("fp != fp2").count() == 0
+    # and a mutated sequence changes the fingerprint
+    mutated = docs.where(F.size("spans") > 0).limit(50).select(
+        "doc_id",
+        span_sequence_fingerprint("spans").alias("fp"),
+        span_sequence_fingerprint(F.reverse("spans")).alias("fp_rev"),
+        F.size("spans").alias("n"),
+    )
+    assert mutated.where("n > 1 and fp = fp_rev").count() == 0
+
+
+def test_span_violations_rows(spark, docs):
+    v = span_violations(docs, "run1", "p0").cache()
+    kinds = {r["expectation"] for r in v.select("expectation").distinct().collect()}
+    assert "expect_span_text_printable" in kinds
+    assert "expect_span_offsets_increasing" in kinds
+    # cross-check offset violations against pandas oracle
+    pdf = docs.toPandas()
+    expected = []
+    for r in pdf.itertuples():
+        prev = None
+        for i, s in enumerate(r.spans):
+            if prev is not None and s["offset"] <= prev:
+                expected.append((r.doc_id, i))
+            prev = s["offset"]
+    got = [
+        (r["doc_id"], r["span_index"])
+        for r in v.where("expectation = 'expect_span_offsets_increasing'").collect()
+    ]
+    assert sorted(got, key=str) == sorted(expected, key=str)
+    v.unpersist()
+
+
+def test_media_dim_dangling(spark, docs):
+    dim = generate_media_dim(spark, docs)
+    ex = explode_spans(docs).where(F.col("media_ref").isNotNull())
+    dangling = ex.join(F.broadcast(dim.select("media_ref")), "media_ref", "left_anti")
+    n_all = ex.select("media_ref").distinct().count()
+    n_dangling = dangling.select("media_ref").distinct().count()
+    assert 0 < n_dangling < n_all * 0.02  # ~0.5% seeded
+
+
+def _suite():
+    s = ExpectationSuite("docs")
+    s.add("expect_column_values_to_not_be_null", column="doc_id", mostly=0.99)
+    s.add(
+        "expect_column_values_to_match_regex",
+        column="doc_id",
+        regex="^(hot[0-2]|p[0-9]{2})-[0-9]{12}$",
+        mostly=0.99,
+    )
+    return s
+
+
+def test_runner_checkpoint_resume(spark, docs, tmp_path):
+    store = ParquetStore(str(tmp_path / "store"))
+    runner = CheckpointRunner(spark, store, n_buckets=4, violations_fn=span_violations)
+
+    # first attempt dies after 2 partitions
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(docs, _suite(), run_id="r1", fail_after=2)
+    committed = store.committed_partitions("r1")
+    assert len(committed) == 2
+
+    # resume: completes only the remaining partitions
+    report = runner.run(docs, _suite(), run_id="r1")
+    assert len(report.partitions_skipped) == 2
+    assert len(report.partitions_run) == 2
+    assert store.committed_partitions("r1") == {f"bucket={b}" for b in range(4)}
+
+    # results table: no duplicate / missing partitions
+    results = store.read(spark, "results")
+    parts = results.select("partition_id").distinct().count()
+    assert parts == 4
+    per_part = (
+        results.groupBy("partition_id", "expectation").count().where("count > 1")
+    )
+    assert per_part.count() == 0
+    # every partition validated both expectations
+    assert results.count() == 4 * 2
+
+    # total docs across partitions == corpus size
+    lineage = store.read(spark, "lineage")
+    total = (
+        lineage.where("metric = 'doc_count'")
+        .agg(F.sum("value").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert int(total) == N_DOCS
