@@ -1,38 +1,764 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the sparkcheck validation engine end-to-end on the
+sf0.001 documents table and returns the per-expectation results DataFrame.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
+search, text analysis, span-level checks, multimodal plumbing); each
+callable takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible query; the
+remaining entries (xxhash64-based LSH, mapInPandas media stages, the
+synthetic interleaved-span corpus) are rows-only checks by design.
+
+Cross-engine determinism rules used throughout:
+  - float aggregates rounded to 4 dp (6 dp for cosines) on BOTH sides;
+  - dot products / norms are sequential left-folds in doubles on both
+    sides (zip_with+aggregate vs list_reduce(list_prepend(0.0, ...)));
+  - minhash values compared as fixed-length hex strings (lexicographic ==
+    numeric order), md5 on both sides;
+  - ranking ties broken by id after rounding to 6 dp.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationConfiguration, ExpectationSuite, validate_df
+from sparkcheck.conditions import get_condition
+from sparkcheck.metrics import Domain
+from sparkcheck.summarize import unexpected_df
+from sparkcheck.referential import anti_join_violations
+from sparkcheck import dedup, media, similarity, spans, synth, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — full validation suite over the documents table
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_SUITE = ExpectationSuite(
+    name="documents_flagship",
+    expectations=[ExpectationConfiguration.from_dict(d) for d in [
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1, "max_value": 10**12}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "text"}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "doc_id"}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "lang",
+                    "value_set": ["en", "de", "zh", "fr", "es"]}},
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "text", "regex": "^[a-z0-9 ]*$"}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "n_chars", "min_value": 1, "max_value": 2000}},
+        {"expectation_type": "expect_column_mean_to_be_between",
+         "kwargs": {"column": "n_chars", "min_value": 10, "max_value": 1000}},
+        {"expectation_type": "expect_column_stdev_to_be_between",
+         "kwargs": {"column": "n_chars", "min_value": 0, "max_value": 10000}},
+        {"expectation_type": "expect_column_quantile_values_to_be_between",
+         "kwargs": {"column": "n_chars",
+                    "quantile_ranges": {"quantiles": [0.25, 0.5, 0.75],
+                                        "value_ranges": [[0, 2000]] * 3}}},
+        {"expectation_type": "expect_column_unique_value_count_to_be_between",
+         "kwargs": {"column": "source", "min_value": 1, "max_value": 10**9,
+                    "exact": True}},
+    ]],
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Validate sf0.001 documents with the flagship suite; one row per EVR."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    report = validate_df(docs, FLAGSHIP_SUITE, result_format="SUMMARY")
+    rows = []
+    for r in report["results"]:
+        cfg = r["expectation_config"]
+        res = r.get("result", {})
+        rows.append((
+            cfg["expectation_type"],
+            cfg["kwargs"].get("column"),
+            bool(r["success"]),
+            res.get("element_count"),
+            res.get("unexpected_count"),
+            json.dumps(res.get("observed_value"), default=str)
+            if "observed_value" in res else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, column string, success boolean, "
+        "element_count long, unexpected_count long, observed_value string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (tokenization contract must match sparkcheck.text)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END"
+)
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Sequential left-fold dot product over 64 dims — mirrors
+    similarity.dot's zip_with+aggregate fold order exactly."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sw_list(code: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.STOPWORDS[code])
+
+
+_LANG_SCORES = ", ".join(
+    f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_sw_list(c)})))::DOUBLE / len(toks) ELSE 0.0 END AS s_{c}"
+    for c in sorted(text.STOPWORDS)
+)
+# argmax with ties -> lexicographically greatest code (matches array_max on
+# (score, code) structs in sparkcheck.text.langid)
+_PRED_LANG = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und' "
+    "WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh' "
+    "WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr' "
+    "WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es' "
+    "WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en' "
+    "ELSE 'de' END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_row_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def q_null_profile_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    aggs = [F.count(F.lit(1)).alias("row_count")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in o.columns
+    ]
+    return o.agg(*aggs)
+
+
+def q_in_set_violations(spark, sf):
+    o = _t(spark, sf, "orders")
+    return unexpected_df(
+        o, Domain(column="o_orderstatus"), "column_values.in_set",
+        {"value_set": ["O", "F"]},
+        "expect_column_values_to_be_in_set", doc_id_col="o_orderkey",
+    )
+
+
+def q_between_violation_count(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    mask = get_condition("column_values.between").unexpected(
+        Domain(column="l_quantity"), {"min_value": 1, "max_value": 45}
+    )
+    return li.agg(
+        F.sum(mask.cast("long")).alias("unexpected_count"),
+        F.count(F.lit(1)).alias("element_count"),
+    )
+
+
+def q_regex_violation_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    mask = get_condition("column_values.match_regex").unexpected(
+        Domain(column="text"), {"regex": "spark"}
+    )
+    return d.agg(
+        F.sum(mask.cast("long")).alias("unexpected_count"),
+        F.count(F.lit(1)).alias("element_count"),
+    )
+
+
+def q_agg_profile_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.mean("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stdev_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.mean("l_discount"), 4).alias("mean_discount"),
+    )
+
+
+def q_quantiles_quantity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    qcol = lambda q, n: F.round(  # noqa: E731
+        F.percentile(F.col("l_quantity"), F.lit(q)), 4
+    ).alias(n)
+    return li.agg(
+        qcol(0.25, "q25"), qcol(0.5, "q50"), qcol(0.75, "q75"), qcol(0.95, "q95")
+    )
+
+
+def q_distinct_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_suppkey").alias("nd_suppkey"),
+        F.countDistinct("l_returnflag").alias("nd_returnflag"),
+    )
+
+
+def q_value_counts_returnflag(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_most_common_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("most_common"))
+    )
+
+
+def q_unique_violations_custkey(spark, sf):
+    # groupBy-count form of the uniqueness check (skew-safe alternative to
+    # the window form; SURVEY.md §2.5 unique)
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def q_compound_unique_violation_count(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return dups.agg(F.count(F.lit(1)).alias("n_dup_groups"))
+
+
+def q_value_length_profile(spark, sf):
+    c = _t(spark, sf, "customer")
+    ln = F.length("c_name")
+    return c.agg(
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.round(F.mean(ln), 4).alias("mean_len"),
+    )
+
+
+def q_histogram_extendedprice(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    lo, w, nb = 0.0, 5000.0, 22
+    bucket = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - lo) / w), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_kl_drift_quantity(spark, sf):
+    """KL(P||Q) between l_quantity histograms of returnflag A vs N —
+    the single-pass sum(when(bin)) histogram + driver-free smoothing math
+    (distribution family, SURVEY.md §2.9), expressed as one plan."""
+    li = _t(spark, sf, "lineitem")
+    nb = 10
+    bucket = F.least(
+        F.greatest(F.floor(F.col("l_quantity") / 5), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
+
+    def hist(flag, cname):
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("b"))
+    j = (
+        bins.join(hist("A", "ca"), "b", "left")
+        .join(hist("N", "cn"), "b", "left")
+        .fillna(0)
+    )
+    na = F.sum("ca").over(Window.partitionBy())
+    nn = F.sum("cn").over(Window.partitionBy())
+    p = (F.col("ca") + 1.0) / (na + float(nb))
+    q = (F.col("cn") + 1.0) / (nn + float(nb))
+    return j.select(p.alias("p"), q.alias("q")).agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 4).alias("kl")
+    )
+
+
+def q_zscore_outlier_count(spark, sf):
+    o = _t(spark, sf, "orders")
+    stats = o.agg(
+        F.mean("o_totalprice").alias("m"), F.stddev_samp("o_totalprice").alias("s")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .where(F.abs((F.col("o_totalprice") - F.col("m")) / F.col("s")) > 2.5)
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+
+
+def q_referential_violations(spark, sf):
+    o = _t(spark, sf, "orders")
+    dim = _t(spark, sf, "customer").where(F.col("c_custkey") % 97 != 0)
+    bad = anti_join_violations(o, "o_custkey", dim, "c_custkey")
+    return bad.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_pair_violation_count(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    mask = get_condition("column_pair_values.a_greater_than_b").unexpected(
+        Domain(column_a="l_tax", column_b="l_discount"), {"or_equal": True}
+    )
+    return li.agg(F.sum(mask.cast("long")).alias("unexpected_count"))
+
+
+def q_row_condition_mean(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dom = Domain(row_condition="l_returnflag = 'A'")
+    return dom.apply(li).agg(
+        F.round(F.mean("l_extendedprice"), 4).alias("mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_table_schema_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # parquet timestamps read as timestamp_ntz in Spark 4; normalize to the
+    # engine-neutral name so the oracle's type mapping lines up
+    return spark.createDataFrame(
+        [
+            (f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
+            for f in li.schema.fields
+        ],
+        "col_name string, col_type string",
+    )
+
+
+# --- span-level (tokens-as-spans over the documents table) -----------------
+
+
+def q_span_profile(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_spans"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def q_span_token_violations(spark, sf):
+    d = _t(spark, sf, "documents")
+    ex = d.select("doc_id", F.posexplode(text.tokens("text")).alias("span_index", "token"))
+    return ex.where(F.length("token") > 6)
+
+
+# --- text analysis / dedup / similarity ------------------------------------
+
+
+def q_text_profile(spark, sf):
+    return text.text_profile(_t(spark, sf, "documents"))
+
+
+def q_langid_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(text.langid("text").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_exact_dup_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.exact_duplicates(d).agg(F.count(F.lit(1)).alias("n_dup_groups"))
+
+
+def q_prefix_dups(spark, sf):
+    return dedup.prefix_duplicates(_t(spark, sf, "documents"), n_tokens=2)
+
+
+def q_jaccard_pairs(spark, sf):
+    return dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.1, max_df=50
+    )
+
+
+def q_minhash_candidate_count(spark, sf):
+    cands = dedup.lsh_candidate_pairs(
+        _t(spark, sf, "documents"), n_hashes=12, band_size=3, n=3, max_df=None
+    )
+    return cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+
+
+def q_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+def q_embedding_neardup_count(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.cosine_near_duplicates(e, threshold=0.9).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# --- rows-only queries (no SQL oracle: xxhash64 / mapInPandas / synth) -----
+
+
+def q_simhash_neardup_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_duplicates(d, max_hamming=8).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def q_lsh_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, n_planes=8)
+
+
+def q_ivf_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=4
+    )
+
+
+def q_span_struct_violations(spark, sf):
+    """North-rule interleaved corpus: deterministic synthetic docs with
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) -> violation
+    rows per span-level expectation, aggregated."""
+    docs = synth.generate_docs(spark, 2000)
+    v = spans.span_violations(docs, run_id="q", partition_id="all")
+    return v.groupBy("expectation").agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+def q_span_fingerprints(spark, sf):
+    docs = synth.generate_docs(spark, 1000)
+    fp = docs.select(spans.span_sequence_fingerprint("spans").alias("fp"))
+    return fp.agg(F.countDistinct("fp").alias("n_distinct_fingerprints"))
+
+
+def q_media_image_features(spark, sf):
+    m = media.synth_media(spark, 256)
+    feats = media.image_features(m, fake=True)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        F.countDistinct("sha1").alias("n_distinct"),
+    )
+
+
+def q_media_frame_samples(spark, sf):
+    m = media.synth_media(spark, 256)
+    frames = media.sample_frames(m, every_n=5, fake=True)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_ref").alias("n_videos"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "row_count": q_row_count,
+        "null_profile_orders": q_null_profile_orders,
+        "in_set_violations": q_in_set_violations,
+        "between_violation_count": q_between_violation_count,
+        "regex_violation_count": q_regex_violation_count,
+        "agg_profile_lineitem": q_agg_profile_lineitem,
+        "quantiles_quantity": q_quantiles_quantity,
+        "distinct_counts": q_distinct_counts,
+        "value_counts_returnflag": q_value_counts_returnflag,
+        "most_common_priority": q_most_common_priority,
+        "unique_violations_custkey": q_unique_violations_custkey,
+        "compound_unique_violation_count": q_compound_unique_violation_count,
+        "value_length_profile": q_value_length_profile,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "kl_drift_quantity": q_kl_drift_quantity,
+        "zscore_outlier_count": q_zscore_outlier_count,
+        "referential_violations": q_referential_violations,
+        "pair_violation_count": q_pair_violation_count,
+        "row_condition_mean": q_row_condition_mean,
+        "table_schema_lineitem": q_table_schema_lineitem,
+        "span_profile": q_span_profile,
+        "span_token_violations": q_span_token_violations,
+        "text_profile": q_text_profile,
+        "langid_counts": q_langid_counts,
+        "exact_dup_count": q_exact_dup_count,
+        "prefix_dups": q_prefix_dups,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_candidate_count": q_minhash_candidate_count,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup_count": q_embedding_neardup_count,
+        # rows-only (non-SQL-expressible: xxhash64 LSH, mapInPandas, synth corpus)
+        "simhash_neardup_count": q_simhash_neardup_count,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "span_struct_violations": q_span_struct_violations,
+        "span_fingerprints": q_span_fingerprints,
+        "media_image_features": q_media_image_features,
+        "media_frame_samples": q_media_frame_samples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_cte = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+    return {
+        "row_count": "SELECT count(*)::BIGINT AS row_count FROM lineitem",
+
+        "null_profile_orders": (
+            "SELECT count(*)::BIGINT AS row_count, "
+            + ", ".join(
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_{c}"
+                for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderdate", "o_orderpriority"]
+            )
+            + " FROM orders"
+        ),
+
+        "in_set_violations": (
+            "SELECT o_orderkey::VARCHAR AS doc_id, CAST(NULL AS INTEGER) AS span_index, "
+            "'expect_column_values_to_be_in_set' AS expectation, "
+            "o_orderstatus AS observed_value FROM orders "
+            "WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')"
+        ),
+
+        "between_violation_count": (
+            "SELECT sum(CASE WHEN l_quantity IS NOT NULL AND NOT "
+            "(l_quantity >= 1 AND l_quantity <= 45) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count, count(*)::BIGINT AS element_count FROM lineitem"
+        ),
+
+        "regex_violation_count": (
+            "SELECT sum(CASE WHEN text IS NOT NULL AND NOT regexp_matches(text, 'spark') "
+            "THEN 1 ELSE 0 END)::BIGINT AS unexpected_count, "
+            "count(*)::BIGINT AS element_count FROM documents"
+        ),
+
+        "agg_profile_lineitem": (
+            "SELECT round(avg(l_extendedprice), 4) AS mean_price, "
+            "round(stddev_samp(l_extendedprice), 4) AS stdev_price, "
+            "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "round(avg(l_discount), 4) AS mean_discount FROM lineitem"
+        ),
+
+        "quantiles_quantity": (
+            "SELECT round(quantile_cont(l_quantity, 0.25), 4) AS q25, "
+            "round(quantile_cont(l_quantity, 0.5), 4) AS q50, "
+            "round(quantile_cont(l_quantity, 0.75), 4) AS q75, "
+            "round(quantile_cont(l_quantity, 0.95), 4) AS q95 FROM lineitem"
+        ),
+
+        "distinct_counts": (
+            "SELECT count(DISTINCT l_partkey)::BIGINT AS nd_partkey, "
+            "count(DISTINCT l_suppkey)::BIGINT AS nd_suppkey, "
+            "count(DISTINCT l_returnflag)::BIGINT AS nd_returnflag FROM lineitem"
+        ),
+
+        "value_counts_returnflag": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem GROUP BY 1"
+        ),
+
+        "most_common_priority": (
+            "SELECT o_orderpriority AS most_common FROM orders "
+            "GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1"
+        ),
+
+        "unique_violations_custkey": (
+            "SELECT o_custkey, count(*)::BIGINT AS n FROM orders "
+            "GROUP BY 1 HAVING count(*) > 1"
+        ),
+
+        "compound_unique_violation_count": (
+            "SELECT count(*)::BIGINT AS n_dup_groups FROM ("
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "GROUP BY 1, 2 HAVING count(*) > 1)"
+        ),
+
+        "value_length_profile": (
+            "SELECT min(length(c_name))::INT AS min_len, "
+            "max(length(c_name))::INT AS max_len, "
+            "round(avg(length(c_name)), 4) AS mean_len FROM customer"
+        ),
+
+        "histogram_extendedprice": (
+            "SELECT least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 21)::INT "
+            "AS bucket, count(*)::BIGINT AS n FROM lineitem GROUP BY 1"
+        ),
+
+        "kl_drift_quantity": (
+            "WITH pa AS (SELECT least(greatest(floor(l_quantity / 5), 0), 9)::INT AS b, "
+            "count(*) AS c FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1), "
+            "pn AS (SELECT least(greatest(floor(l_quantity / 5), 0), 9)::INT AS b, "
+            "count(*) AS c FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1), "
+            "bins AS (SELECT unnest(range(0, 10))::INT AS b), "
+            "j AS (SELECT b, coalesce(pa.c, 0)::DOUBLE AS ca, coalesce(pn.c, 0)::DOUBLE AS cn, "
+            "(SELECT sum(c) FROM pa)::DOUBLE AS na, (SELECT sum(c) FROM pn)::DOUBLE AS nn "
+            "FROM bins LEFT JOIN pa USING(b) LEFT JOIN pn USING(b)) "
+            "SELECT round(sum(((ca + 1.0) / (na + 10.0)) * "
+            "ln(((ca + 1.0) / (na + 10.0)) / ((cn + 1.0) / (nn + 10.0)))), 4) AS kl FROM j"
+        ),
+
+        "zscore_outlier_count": (
+            "SELECT count(*)::BIGINT AS n_outliers FROM orders, "
+            "(SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS s FROM orders) "
+            "WHERE abs((o_totalprice - m) / s) > 2.5"
+        ),
+
+        "referential_violations": (
+            "SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0 "
+            "AND c_custkey IS NOT NULL) GROUP BY 1"
+        ),
+
+        "pair_violation_count": (
+            "SELECT sum(CASE WHEN NOT (l_tax >= l_discount) THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM lineitem"
+        ),
+
+        "row_condition_mean": (
+            "SELECT round(avg(l_extendedprice), 4) AS mean_price, "
+            "count(*)::BIGINT AS n FROM lineitem WHERE l_returnflag = 'A'"
+        ),
+
+        "table_schema_lineitem": (
+            "SELECT column_name AS col_name, "
+            "CASE lower(column_type) WHEN 'bigint' THEN 'bigint' "
+            "WHEN 'integer' THEN 'int' WHEN 'double' THEN 'double' "
+            "WHEN 'varchar' THEN 'string' WHEN 'timestamp' THEN 'timestamp' "
+            "ELSE lower(column_type) END AS col_type "
+            "FROM (DESCRIBE SELECT * FROM lineitem)"
+        ),
+
+        "span_profile": (
+            f"{toks_cte} SELECT doc_id, len(toks)::INT AS n_spans, "
+            "len(list_distinct(toks))::INT AS n_distinct FROM t"
+        ),
+
+        "span_token_violations": (
+            f"{toks_cte} SELECT doc_id, (i - 1)::INT AS span_index, tok AS token FROM ("
+            "SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, "
+            "unnest(toks) AS tok FROM t) WHERE length(tok) > 6"
+        ),
+
+        "text_profile": (
+            f"{toks_cte}, scored AS (SELECT doc_id, text, toks, {_LANG_SCORES} FROM t) "
+            "SELECT doc_id, len(toks)::INT AS n_tokens, length(text)::INT AS n_chars, "
+            "round(CASE WHEN len(toks) > 0 THEN "
+            "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) "
+            "ELSE 0.0 END, 4) AS mean_token_len, "
+            f"round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_sw_list('en')})))::DOUBLE / len(toks) ELSE 0.0 END, 4) AS stopword_ratio, "
+            "round(CASE WHEN length(lower(text)) > 0 THEN "
+            "(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) "
+            "ELSE 1.0 END, 4) AS non_alnum_ratio, "
+            "round("
+            "least(len(toks)::DOUBLE / 20.0, 1.0) * 0.5 + "
+            f"least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_sw_list('en')})))::DOUBLE / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 0.25 + "
+            "(1.0 - least((CASE WHEN length(lower(text)) > 0 THEN "
+            "(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) "
+            "ELSE 1.0 END) * 2.0, 1.0)) * 0.25"
+            ", 4) AS quality, "
+            f"{_PRED_LANG} AS pred_lang, "
+            "md5(array_to_string(toks, ' ')) AS fingerprint "
+            "FROM scored"
+        ),
+
+        "langid_counts": (
+            f"{toks_cte}, scored AS (SELECT doc_id, {_LANG_SCORES} FROM t) "
+            f"SELECT {_PRED_LANG} AS pred_lang, count(*)::BIGINT AS n "
+            "FROM scored GROUP BY 1"
+        ),
+
+        "exact_dup_count": (
+            f"{toks_cte} SELECT count(*)::BIGINT AS n_dup_groups FROM ("
+            "SELECT md5(array_to_string(toks, ' ')) AS f FROM t "
+            "GROUP BY 1 HAVING count(*) > 1)"
+        ),
+
+        "prefix_dups": (
+            f"{toks_cte} SELECT array_to_string(toks[1:2], ' ') AS prefix, "
+            "count(*)::BIGINT AS n_docs FROM t GROUP BY 1 HAVING count(*) > 1"
+        ),
+
+        "jaccard_pairs": (
+            f"{toks_cte}, sh0 AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
+            "AS shingle FROM t), "
+            "dfq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1), "
+            "sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq USING(shingle) "
+            "WHERE dfq.c <= 50), "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+            "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1"
+        ),
+
+        "minhash_candidate_count": (
+            f"{toks_cte}, sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
+            "AS shingle FROM t), "
+            "seeds AS (SELECT unnest(range(0, 12))::INT AS seed), "
+            "h AS (SELECT doc_id, seed, md5(seed::VARCHAR || '|' || shingle) AS hh "
+            "FROM sh CROSS JOIN seeds), "
+            "sig AS (SELECT doc_id, seed, min(hh) AS minhash FROM h GROUP BY 1, 2), "
+            "bands AS (SELECT doc_id, (seed // 3) AS band, "
+            "string_agg(minhash, ',' ORDER BY seed) AS bucket FROM sig GROUP BY 1, 2) "
+            "SELECT count(*)::BIGINT AS n_candidate_pairs FROM ("
+            "SELECT DISTINCT a.doc_id, b.doc_id FROM bands a "
+            "JOIN bands b USING(band, bucket) WHERE a.doc_id < b.doc_id)"
+        ),
+
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            f"round({_fold_dot('qv', 'cv')} / "
+            f"(sqrt({_fold_dot('qv', 'qv')}) * sqrt({_fold_dot('cv', 'cv')})), 6) AS cos "
+            "FROM c CROSS JOIN q WHERE query_id <> neighbor_id), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk "
+            "FROM scored) "
+            "SELECT query_id, neighbor_id, cos, rnk::INT AS rnk FROM ranked WHERE rnk <= 5"
+        ),
+
+        "embedding_neardup_count": (
+            "WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings), "
+            "b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings), "
+            "scored AS (SELECT id_a, id_b, "
+            f"round({_fold_dot('va', 'vb')} / "
+            f"(sqrt({_fold_dot('va', 'va')}) * sqrt({_fold_dot('vb', 'vb')})), 6) AS cos "
+            "FROM a JOIN b ON id_a < id_b) "
+            "SELECT count(*)::BIGINT AS n_pairs FROM scored WHERE cos >= 0.9"
+        ),
+    }

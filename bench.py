@@ -1,0 +1,136 @@
+"""Benchmark harness: headline sparkcheck queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "cores": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_SYNTH_DOCS    size of the synthetic interleaved corpus for the
+                      validation-throughput leg (default 200_000)
+
+The headline metric is the north rule's validated docs/sec: the flagship
+expectation suite + span-level checks run over the deterministic synthetic
+interleaved corpus (docs_per_sec in the JSON). The per-query timings cover
+every operator family so regressions are attributable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "200000"))
+
+# headline subset of __spark_entry__.queries() — one per operator family
+HEADLINE = [
+    "null_profile_orders",
+    "agg_profile_lineitem",
+    "quantiles_quantity",
+    "distinct_counts",
+    "histogram_extendedprice",
+    "kl_drift_quantity",
+    "unique_violations_custkey",
+    "referential_violations",
+    "in_set_violations",
+    "text_profile",
+    "prefix_dups",
+    "jaccard_pairs",
+    "minhash_candidate_count",
+    "simhash_neardup_count",
+    "ann_topk",
+    "lsh_ann_topk",
+    "span_profile",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from sparkcheck import validate_df
+    from sparkcheck.spans import span_violations
+    from sparkcheck.synth import generate_docs
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sparkcheck-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        # force full execution without driver materialization cost
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # north-rule leg: full validation suite + span checks over the synthetic
+    # interleaved corpus; throughput = docs / wall
+    t0 = time.monotonic()
+    docs = generate_docs(spark, SYNTH_DOCS, n_partitions=CPUS * 2)
+    docs = docs.persist()
+    report = validate_df(docs, entrymod.FLAGSHIP_DOC_SUITE
+                         if hasattr(entrymod, "FLAGSHIP_DOC_SUITE")
+                         else _synth_suite())
+    span_violations(docs).write.format("noop").mode("overwrite").save()
+    docs.unpersist()
+    validate_secs = time.monotonic() - t0
+    timings["validate_synth_corpus"] = round(validate_secs, 3)
+    n_expectations = report["statistics"]["evaluated_expectations"]
+    docs_per_sec = SYNTH_DOCS / validate_secs
+
+    total = time.monotonic() - t_all
+    print(json.dumps({
+        "metric": "validated docs/sec on synthetic interleaved corpus + headline query suite wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "synth_docs": SYNTH_DOCS,
+        "expectations_evaluated": n_expectations,
+        "expectation_evals_per_sec": round(n_expectations * docs_per_sec, 1),
+        "cores": CPUS,
+    }))
+
+
+def _synth_suite():
+    from sparkcheck import ExpectationConfiguration, ExpectationSuite
+
+    return ExpectationSuite(
+        name="synth_corpus",
+        expectations=[ExpectationConfiguration.from_dict(d) for d in [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "doc_id", "mostly": 0.99}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "doc_id", "mostly": 0.98}},
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "doc_id",
+                        "regex": "^(hot[0-2]|p[0-9]{2})-[0-9]{12}$",
+                        "mostly": 0.98}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 10**15}},
+        ]],
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: runs every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compares row
+count, schema (column names), and order-insensitive values.
+
+Usage: python scripts/check_entry.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_entry")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            print(f"FAIL  {name}: columns {sc} vs {dc}")
+            failures.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount {len(sr)} vs {len(dr)}")
+            failures.append(name)
+            continue
+        if sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
+            print(f"FAIL  {name}: {len([1 for a,b in zip(sr,dr) if a!=b])} differing rows; first: {diffs}")
+            failures.append(name)
+            continue
+        print(f"OK    {name}: {len(sr)} rows match  ({time.time()-t0:.1f}s)")
+
+    if not only:
+        try:
+            e = entrymod.entry(spark)
+            n = e.count()
+            print(f"entry(): {n} rows, schema ok" if n >= 0 else "entry(): ?")
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  entry(): {type(ex).__name__}: {ex}")
+            failures.append("entry")
+    print("FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

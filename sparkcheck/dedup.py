@@ -1,0 +1,316 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (10^12-doc corpus):
+
+- **Exact**: groupBy(fingerprint) — one shuffle on a 32-hex-char key,
+  perfectly parallel; AQE handles stragglers. Never groupBy raw text: the
+  md5 fingerprint keeps shuffle rows ~40 bytes instead of kilobytes.
+- **Pairwise Jaccard** is O(n^2) and exists only as the small-scale oracle
+  / verification stage for LSH candidates. The shingle self-join caps
+  shingle document-frequency (drop shingles appearing in > max_df docs) —
+  without the cap one stop-shingle creates a quadratic hot key; with it the
+  join is bounded by max_df^2 per shingle.
+- **MinHash+LSH** is the scale path: signature = per-seed min of
+  md5(seed|shingle) (a mergeable per-doc aggregate → map-side combine),
+  banded into (band, bucket) keys; only docs sharing a bucket are candidate
+  pairs. Cost: one explode + one groupBy(doc) + one groupBy(bucket) — all
+  linear, all shuffle-balanced because buckets are md5-uniform.
+- **SimHash**: 64-bit signature via per-bit majority vote over shingle
+  hashes — computed entirely with integer Column ops (no UDF); near-dups =
+  signatures at small Hamming distance, found by banding the 64 bits into
+  k chunks (exact match on any chunk => candidate).
+
+MinHash mins are compared as fixed-length lowercase hex *strings*:
+lexicographic order == numeric order, which sidesteps 64-bit signedness
+differences across engines and keeps the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of docs with identical normalized text:
+    (fingerprint, n_docs, doc_ids). One shuffle on the 16-byte fingerprint."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def prefix_duplicates(
+    docs: DataFrame, n_tokens: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on the first-n-token prefix (cheap URL/boilerplate
+    style dedup): (prefix, n_docs)."""
+    from .text import tokens
+
+    prefix = F.array_join(F.slice(tokens(text_col), 1, n_tokens), " ")
+    return (
+        docs.select(prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle explode (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; optionally drop shingles whose
+    document frequency exceeds max_df (the quadratic-hot-key guard)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = df_counts.where(F.col("df") <= max_df).select("shingle")
+        # broadcast-join when the rare-shingle dictionary is small enough;
+        # at corpus scale this becomes a shuffle join — still linear.
+        sh = sh.join(keep, on="shingle", how="inner")
+    return sh
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 50,
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold:
+    (doc_a, doc_b, jaccard). O(n^2) verification operator — the oracle and
+    the LSH-candidate verifier, not the 10^12-doc discovery path."""
+    sh = doc_shingles(docs, n, text_col, id_col, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, seed, minhash-hex). min(md5(seed|shingle)) is a plain MIN
+    aggregate → map-side combine, so the shuffle carries one 32-char row per
+    (doc, seed), not per shingle."""
+    sh = doc_shingles(docs, n, text_col, id_col, max_df)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    hashed = sh.select(
+        "doc_id",
+        seeds,
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, bucket). Bucket key
+    = the band's minhashes concatenated in seed order. Returns distinct
+    (doc_a, doc_b)."""
+    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col, max_df)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                # collect (seed, minhash) then sort by seed for a stable key
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            ).alias("bucket")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Scale path end-to-end: LSH candidates -> exact-Jaccard verification
+    restricted to the candidate set (semi-join), so the quadratic stage only
+    touches pairs LSH already voted for."""
+    cands = lsh_candidate_pairs(
+        docs, n_hashes, band_size, n, text_col, id_col, max_df
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    subset = docs.join(
+        cand_docs.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
+    )
+    verified = jaccard_pairs(subset, n, threshold, text_col, id_col, max_df)
+    return verified.join(cands, on=["doc_a", "doc_b"], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """(doc_id, simhash:bigint). Bit j of the signature = majority vote of
+    bit j of xxhash64(shingle) over the doc's shingles. The vote is a SUM
+    aggregate per (doc, bit) — computed as n_bits fused sum(when) columns in
+    ONE groupBy(doc) pass (no per-bit shuffle), then reassembled with
+    bitwise ORs. Pure integer Column ops, zero Python."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        # shiftleft wraps at bit 63 exactly like Java's long << — bit 63 sets
+        # the sign bit, which is fine: the signature is an opaque 64-bit word.
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into n_chunks 8-bit
+    chunks; pigeonhole => any pair within max_hamming <= n_chunks-1 shares
+    at least one exact chunk. Join per chunk, then filter by true Hamming
+    distance via bit_count(xor)."""
+    sig = simhash(docs, n, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path — so they scan at parquet speed and compose with
+the fused validation agg pass. Designed for a documents table
+(doc_id, text) at 10^11+ rows: every op is embarrassingly parallel per row
+(narrow, zero shuffle), so throughput scales linearly with executors.
+
+Tokenization contract (shared by dedup/similarity): lowercase, split on
+runs of whitespace. Kept deliberately simple and SQL-replicable so the
+DuckDB oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Real pipelines use fastText/CLD3; the *Spark plumbing* (argmax
+# over per-language token-hit ratios, computed as native Columns) is what
+# matters here and is identical at any profile size.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "una", "en", "que"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"),
+}
+
+DEFAULT_QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _member_of(words: tuple[str, ...]):
+    """Closure factory for HOF lambdas: pyspark inspects lambda signatures,
+    so default-arg captures (``lambda t, w=words:``) break — bind via
+    closure instead."""
+    return lambda t: t.isin(*words)
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """lowercased whitespace tokens; empty string -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def mean_token_length(col: str | Column = "text") -> Column:
+    """Average token length (characters / token), null-safe on empty docs."""
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+
+
+def stopword_ratio(
+    col: str | Column = "text", stopwords: tuple[str, ...] = DEFAULT_QUALITY_STOPWORDS
+) -> Column:
+    """Fraction of tokens that are stopwords — a standard quality signal
+    (too low => gibberish/boilerplate, too high => junk)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, _member_of(stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+
+
+def non_alnum_ratio(col: str | Column = "text") -> Column:
+    """Fraction of characters outside [a-z0-9 ] after lowercasing —
+    punctuation/control-char density."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    kept = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
+    return F.when(
+        F.length(c) > 0, (F.length(c) - kept).cast("double") / F.length(c)
+    )
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite [0,1] quality score: length sweet-spot x stopword presence
+    x low punctuation noise. Weights are arbitrary but fixed; what the
+    engine guarantees is a deterministic, fully vectorized scalar per doc."""
+    n = token_count(col).cast("double")
+    length_term = F.least(n / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_term = F.least(sw * F.lit(5.0), F.lit(1.0))  # saturates at 20% stopwords
+    noise_term = F.lit(1.0) - F.least(
+        F.coalesce(non_alnum_ratio(col), F.lit(1.0)) * F.lit(2.0), F.lit(1.0)
+    )
+    return length_term * F.lit(0.5) + sw_term * F.lit(0.25) + noise_term * F.lit(0.25)
+
+
+def langid_scores(col: str | Column = "text") -> list[Column]:
+    """One hit-ratio Column per language profile, aliased lang_<code>."""
+    toks = tokens(col)
+    out = []
+    for code, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, _member_of(words)))
+        out.append(
+            F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+            .otherwise(F.lit(0.0))
+            .alias(f"lang_{code}")
+        )
+    return out
+
+
+def langid(col: str | Column = "text") -> Column:
+    """Predicted language = argmax over profiles; 'und' when no profile
+    scores > 0. Ties broken by language-code order (deterministic)."""
+    toks = tokens(col)
+    scored = []
+    for code, words in sorted(STOPWORDS.items()):
+        hits = F.size(F.filter(toks, _member_of(words)))
+        score = F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+            F.lit(0.0)
+        )
+        scored.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
+    # array_max on struct compares field-by-field: highest score wins; on
+    # score ties the *latest* code wins — match that in the oracle.
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the normalized token stream. Identical
+    logic is expressible in any SQL engine (md5 of the joined tokens), which
+    makes cross-engine dedup joins possible."""
+    return F.md5(F.array_join(tokens(col), " "))
+
+
+def shingles(col: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (may contain duplicates;
+    wrap in array_distinct for set semantics). Pure higher-order functions —
+    no explode, no shuffle."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.when(k >= 1, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis profile — one narrow scan, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars"),
+        F.round(F.coalesce(mean_token_length(text_col), F.lit(0.0)), 4).alias(
+            "mean_token_len"
+        ),
+        F.round(F.coalesce(stopword_ratio(text_col), F.lit(0.0)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.coalesce(non_alnum_ratio(text_col), F.lit(0.0)), 4).alias(
+            "non_alnum_ratio"
+        ),
+        F.round(quality_score(text_col), 4).alias("quality"),
+        langid(text_col).alias("pred_lang"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,184 @@
+"""Tests for the training-data pipeline operators (text / dedup /
+similarity / media) against small hand-built corpora with known answers,
+plus pandas-computed oracles where exact values matter."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import dedup, media, similarity, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),            # exact dup of 1
+        (3, "the cat sat on the red mat"),        # near dup of 1
+        (4, "der hund ist nicht zu hause und der"),  # German-ish
+        (5, "completely different words entirely here banana"),
+        (6, ""),                                   # empty doc
+        (7, "le chat est dans la maison pour une"),  # French-ish
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_token_count_and_profile(spark, corpus):
+    prof = {r["doc_id"]: r.asDict() for r in text.text_profile(corpus).collect()}
+    assert prof[1]["n_tokens"] == 6
+    assert prof[6]["n_tokens"] == 0
+    assert prof[1]["fingerprint"] == hashlib.md5(
+        b"the cat sat on the mat"
+    ).hexdigest()
+    # exact dup docs share fingerprints; near-dup does not
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
+    assert prof[1]["fingerprint"] != prof[3]["fingerprint"]
+    # stopword ratio of doc 1: the/on/the -> 3 of 6
+    assert prof[1]["stopword_ratio"] == pytest.approx(0.5)
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+
+
+def test_langid(spark, corpus):
+    pred = {r["doc_id"]: r["lang"] for r in corpus.select(
+        "doc_id", text.langid("text").alias("lang")).collect()}
+    assert pred[1] == "en"
+    assert pred[4] == "de"
+    assert pred[7] == "fr"
+    assert pred[6] == "und"
+
+
+def test_shingles(spark, corpus):
+    got = corpus.where(F.col("doc_id") == 1).select(
+        text.shingles("text", 3).alias("s")
+    ).collect()[0]["s"]
+    assert got == ["the cat sat", "cat sat on", "sat on the", "on the mat"]
+    empty = corpus.where(F.col("doc_id") == 6).select(
+        text.shingles("text", 3).alias("s")
+    ).collect()[0]["s"]
+    assert empty == []
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_duplicates(spark, corpus):
+    rows = dedup.exact_duplicates(corpus).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_ids"] == [1, 2]
+
+
+def test_jaccard_pairs(spark, corpus):
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(corpus, threshold=0.2).collect()}
+    assert rows[(1, 2)] == 1.0           # identical shingle sets
+    assert (1, 3) in rows and rows[(1, 3)] < 1.0
+    assert (1, 5) not in rows
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, corpus):
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_candidate_pairs(corpus, n_hashes=12,
+                                                band_size=3).collect()}
+    assert (1, 2) in cands  # identical docs always collide in every band
+    verified = {(r["doc_a"], r["doc_b"])
+                for r in dedup.near_duplicates(corpus, threshold=0.5).collect()}
+    assert (1, 2) in verified
+    assert all(a < b for a, b in verified)
+
+
+def test_simhash_properties(spark, corpus):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+    # near-dup within a few bits, unrelated docs far apart
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[5])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(corpus, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+# --- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_exact(spark, vectors):
+    a = vectors.where("vec_id = 0").select(F.col("embedding").alias("a"))
+    pairs = a.crossJoin(vectors.select(F.col("vec_id"), F.col("embedding").alias("b")))
+    got = {r["vec_id"]: r["c"] for r in pairs.select(
+        "vec_id", similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(-1.0)
+    assert got[1] == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-6)
+
+
+def test_brute_force_topk(spark, vectors):
+    out = similarity.brute_force_topk(
+        vectors, vectors.where("vec_id = 0"), k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 4]
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, vectors):
+    # LSH result must be a subset of candidates with identical signatures;
+    # identical vectors share a bucket by construction
+    dup = vectors.union(
+        vectors.where("vec_id = 0").select(F.lit(10).alias("vec_id"), "embedding")
+    )
+    out = similarity.lsh_topk(dup, dup.where("vec_id = 10"), k=3, n_planes=8)
+    rows = out.collect()
+    assert any(r["neighbor_id"] == 0 and r["cos"] == pytest.approx(1.0) for r in rows)
+
+
+def test_ivf_topk_recalls_identical_vector(spark, vectors):
+    out = similarity.ivf_topk(
+        vectors, vectors.where("vec_id = 0"), k=2, n_centroids=2, n_probe=2
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+
+
+# --- media -----------------------------------------------------------------
+
+
+def test_media_pipeline_plumbing(spark):
+    m = media.synth_media(spark, 64).persist()
+    total = m.count()
+    assert total == 64
+    feats = media.image_features(m, fake=True)
+    n_images = m.where("kind = 'image'").count()
+    rows = feats.collect()
+    assert len(rows) == n_images
+    assert all(0.0 <= r["mean_luma"] <= 1.0 for r in rows)
+    assert all(64 <= r["width"] <= 256 for r in rows)
+    # deterministic: same input -> same features
+    again = {r["media_ref"]: r["sha1"] for r in media.image_features(m, fake=True).collect()}
+    assert all(again[r["media_ref"]] == r["sha1"] for r in rows)
+    frames = media.sample_frames(m, every_n=5, fake=True)
+    n_videos = m.where("kind = 'video'").count()
+    assert frames.select("media_ref").distinct().count() == n_videos
+    # integrity checks: clean table has no violations
+    assert media.media_integrity_violations(m).count() == 0
+    m.unpersist()
+
+
+def test_media_real_decode_raises(spark):
+    with pytest.raises(NotImplementedError):
+        media.decode_image(b"xx", fake=False)
