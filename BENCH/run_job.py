@@ -1,0 +1,129 @@
+"""The north-rule validation job, packaged for spark-submit.
+
+    spark-submit --master local[32] --py-files sparkcheck.zip \
+        BENCH/run_job.py --input /path/corpus.parquet
+
+or plain python (builds its own local[N] session):
+
+    python BENCH/run_job.py --cores 8 --docs 1000000
+
+Workload (all distributed, no driver loops):
+  1. corpus: --input parquet dir (the Iceberg-scan analog; preferred for
+     scaling runs so both levels read identical bytes), else the
+     deterministic synthetic generator inline
+  2. full expectation suite: doc-level (null/unique/regex/row-count) via
+     the fused agg pass + skew-safe groupBy uniqueness
+  3. span-level violations (single-pass explode plan) to a noop sink
+
+Prints one JSON line per iteration plus a final summary line.
+
+JVM notes (measured on local[32], see BENCH/BASELINE.md): the driver heap
+MUST be pre-sized (-Xms == -Xmx, +AlwaysPreTouch) — growing a 30 GB heap
+mid-job page-faults under the kernel mmap lock with 32 threads at ~95%
+system time, turning a 6 s job into a 110 s one. Parquet columnar batches
+are capped at 1024 rows to bound per-thread nested-reader memory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_spark(cores: int | None, mem: str):
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("sparkcheck-scaling-job")
+    if cores:
+        builder = (
+            builder.master(f"local[{cores}]")
+            .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+            .config("spark.default.parallelism", str(cores))
+        )
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] parallelism; omit under spark-submit")
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--input", default=None,
+                    help="parquet corpus dir; overrides --docs generation")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mem", default=os.environ.get("BENCH_DRIVER_MEM", "16g"))
+    args = ap.parse_args()
+
+    spark = build_spark(args.cores, args.mem)
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = args.cores or spark.sparkContext.defaultParallelism
+
+    from sparkcheck import validate_df
+    from sparkcheck.spans import span_violations
+    from sparkcheck.synth import generate_docs
+    from bench import _synth_suite
+
+    if args.input:
+        docs = spark.read.parquet(args.input)
+        n_docs = docs.count()
+    else:
+        docs = generate_docs(spark, args.docs, n_partitions=cores * 4)
+        n_docs = args.docs
+    suite = _synth_suite()
+
+    def pipeline():
+        # BOOLEAN_ONLY: counts only — the scale configuration (violation
+        # rows flow through span_violations instead of driver collects)
+        report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
+        span_violations(docs).write.format("noop").mode("overwrite").save()
+        return report
+
+    # warmup: one pipeline on a small slice compiles every plan + JIT
+    wdocs = docs.limit(max(n_docs // 50, 10_000))
+    validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
+    span_violations(wdocs).write.format("noop").mode("overwrite").save()
+
+    iters = []
+    report = None
+    for i in range(args.repeats):
+        t0 = time.monotonic()
+        report = pipeline()
+        wall = time.monotonic() - t0
+        iters.append(wall)
+        print(json.dumps({"iter": i, "cores": cores, "wall_secs": round(wall, 3),
+                          "docs_per_sec": round(n_docs / wall, 1)}), flush=True)
+
+    best = min(iters)
+    n_exp = report["statistics"]["evaluated_expectations"]
+    print(json.dumps({
+        "cores": cores,
+        "docs": n_docs,
+        "wall_secs": round(best, 3),
+        "wall_secs_all": [round(x, 3) for x in iters],
+        "docs_per_sec": round(n_docs / best, 1),
+        "expectations": n_exp,
+        "suite_success": report["success"],
+        "expectation_evals_per_sec": round(n_exp * n_docs / best, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

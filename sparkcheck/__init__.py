@@ -10,9 +10,10 @@ from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_form
 from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
 
-# import registers distribution/referential/span expectations & metrics
+# import registers distribution/referential/stats expectations & metrics
 from . import distribution as _distribution  # noqa: F401
 from . import referential as _referential  # noqa: F401
+from . import stats as _stats  # noqa: F401
 
 __all__ = [
     "ExpectationConfiguration",

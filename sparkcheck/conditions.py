@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -374,3 +375,93 @@ def ignore_row_if_filter(domain: Domain, ignore_row_if: str) -> Column | None:
     if ignore_row_if in ("either_value_is_missing", "any_value_is_missing"):
         return ~reduce(lambda a, b: a | b, nulls)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas-UDF conditions (the vectorized Python escape hatch — used
+# only where no JVM expression exists; reference uses per-row F.udf here,
+# SURVEY.md §2.5/§2.12)
+# ---------------------------------------------------------------------------
+
+
+def _dateutil_parseable_udf():
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    try:
+        from dateutil.parser import parse as _parse  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("dateutil required for dateutil_parseable") from e
+
+    @F.pandas_udf(T.BooleanType())
+    def ok(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                _parse(v)
+                return True
+            except (ValueError, OverflowError, TypeError):
+                return False
+
+        return s.map(one)
+
+    return ok
+
+
+@condition("column_values.dateutil_parseable", is_window=True)
+def _dateutil_parseable(domain: Domain, kw: dict) -> Column:
+    # is_window=True here means "not agg-bundleable": a pandas-UDF column
+    # cannot join the fused JVM df.agg pass, so the count runs as its own
+    # filter+count job (same routing as window conditions)
+    # reference: column_values_dateutil_parseable.py:14 (Pandas-only);
+    # ours: Arrow-batched pandas UDF, not a per-row F.udf
+    return _dateutil_parseable_udf()(F.col(domain.column))
+
+
+def _json_schema_udf(schema: dict):
+    import json as _json  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    try:
+        import jsonschema  # noqa: PLC0415
+
+        def check(obj) -> bool:
+            try:
+                jsonschema.validate(obj, schema)
+                return True
+            except jsonschema.ValidationError:
+                return False
+    except ImportError:
+        # minimal structural fallback: type + required keys only, so the
+        # expectation stays usable in images without jsonschema
+        def check(obj) -> bool:
+            t = schema.get("type")
+            type_map = {"object": dict, "array": list, "string": str,
+                        "number": (int, float), "integer": int, "boolean": bool}
+            if t and not isinstance(obj, type_map.get(t, object)):
+                return False
+            if isinstance(obj, dict):
+                return all(k in obj for k in schema.get("required", ()))
+            return True
+
+    @F.pandas_udf(T.BooleanType())
+    def ok(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return check(_json.loads(v))
+            except (ValueError, TypeError):
+                return False
+
+        return s.map(one)
+
+    return ok
+
+
+@condition("column_values.match_json_schema", is_window=True)
+def _match_json_schema(domain: Domain, kw: dict) -> Column:
+    # reference: column_values_match_json_schema.py:41-65 (per-row udf);
+    # ours: Arrow-batched with an import-gated jsonschema dependency
+    return _json_schema_udf(dict(kw["json_schema"]))(F.col(domain.column))

@@ -665,3 +665,84 @@ register_expectation(ColumnTypeExpectation("expect_column_values_to_be_of_type",
 register_expectation(
     ColumnTypeExpectation("expect_column_values_to_be_in_type_list", "in_type_list")
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table + SQL-query escape hatch (SURVEY.md §2.3 other_table, §2.8)
+# ---------------------------------------------------------------------------
+
+
+class RowCountEqualOtherTableExpectation(Expectation):
+    """expect_table_row_count_to_equal_other_table(other_table=<registered
+    name>). Reference compares table.row_count across two domains
+    (expect_table_row_count_to_equal_other_table.py:77-85); ours counts the
+    active DataFrame and a table registered via referential.register_table."""
+
+    name = "expect_table_row_count_to_equal_other_table"
+
+    def _metric_cfg(self, cfg) -> MetricConfiguration:
+        return MetricConfiguration("table.row_count", build_domain(cfg))
+
+    def metric_requests(self, cfg, rf):
+        return {"metric": self._metric_cfg(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        from .referential import get_table
+
+        observed = int(resolver[self._metric_cfg(cfg)] or 0)
+        other = get_table(cfg.get("other_table")).count()
+        ret: dict[str, Any] = {"success": observed == other}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": {"self": observed, "other": other}
+            }
+        return ret
+
+
+class SqlQueryExpectation(Expectation):
+    """expect_query_to_return_no_unexpected_rows(query=...): the SQL escape
+    hatch. The query runs with ``{active_batch}`` substituted by a temp view
+    over the validated DataFrame (reference query_metrics/query_table.py:
+    64-88 — createOrReplaceTempView + engine.sql). Success iff the query
+    returns zero rows; returned rows ARE the violations (capped sample in
+    the EVR)."""
+
+    name = "expect_query_to_return_no_unexpected_rows"
+
+    def metric_requests(self, cfg, rf):
+        return {}
+
+    def validate(self, cfg, rf, resolver):
+        df = resolver.df
+        view = "sparkcheck_active_batch"
+        df.createOrReplaceTempView(view)
+        sql = cfg.get("query", "").replace("{active_batch}", view)
+        out = df.sparkSession.sql(sql)
+        limit = rf["partial_unexpected_count"]
+        sample = out.limit(limit + 1).collect()
+        n = len(sample)
+        ret: dict[str, Any] = {"success": n == 0}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": f"{'>' if n > limit else ''}{min(n, limit)} rows",
+                "partial_unexpected_list": [r.asDict() for r in sample[:limit]],
+            }
+        return ret
+
+
+register_expectation(RowCountEqualOtherTableExpectation())
+register_expectation(SqlQueryExpectation())
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_values_to_be_dateutil_parseable",
+        "column_values.dateutil_parseable",
+        (),
+    )
+)
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_values_to_match_json_schema",
+        "column_values.match_json_schema",
+        ("json_schema",),
+    )
+)

@@ -69,7 +69,34 @@ def _unexpected_count_agg(domain: Domain, cfg: MetricConfiguration) -> Column:
 
 @eager_metric("map.unexpected_count.window")
 def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
-    # window conditions can't live inside agg() — reference :643-668
+    # window conditions can't live inside agg() — reference :643-668.
+    # Uniqueness counts take the groupBy-count form instead of the window
+    # form: the window shuffles FULL rows (at 10^12 docs that includes the
+    # spans payload), while groupBy shuffles only the key column with
+    # map-side combine — same result, orders of magnitude less shuffle I/O,
+    # and AQE skew-split applies to the aggregation.
+    name, _kw = condition_kwargs(cfg)
+    if name == "column_values.unique":
+        col = cfg.domain.column
+        dup = (
+            ddf.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(F.sum("__n"))
+            .collect()[0][0]
+        )
+        return int(dup or 0)
+    if name == "compound_columns.unique":
+        cols = list(cfg.domain.column_list)
+        dup = (
+            ddf.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(F.sum("__n"))
+            .collect()[0][0]
+        )
+        return int(dup or 0)
     return ddf.withColumn("__unexpected", unexpected_mask(cfg)).filter(
         F.col("__unexpected")
     ).count()

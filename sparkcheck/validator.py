@@ -34,6 +34,7 @@ class Validator:
         suite: ExpectationSuite,
         result_format: str | dict[str, Any] | None = None,
         catch_exceptions: bool = True,
+        evaluation_parameters: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         rf_default = result_format
 
@@ -43,6 +44,10 @@ class Validator:
         for i, cfg in enumerate(suite.expectations):
             rf = parse_result_format(cfg.get("result_format", rf_default))
             try:
+                if evaluation_parameters:
+                    # per-expectation so an unknown $PARAMETER fails only
+                    # its own EVR (reference validator.py:1583-1607 binding)
+                    cfg = _bind_config(cfg, evaluation_parameters)
                 exp = get_expectation(cfg.expectation_type)
                 reqs = exp.metric_requests(cfg, rf)
                 stage1.extend(reqs.values())
@@ -125,9 +130,38 @@ class Validator:
                     pass
 
 
+def _bind_config(
+    cfg: ExpectationConfiguration, params: dict[str, Any]
+) -> ExpectationConfiguration:
+    """Substitute ``{"$PARAMETER": "name"}`` kwarg values from the bound
+    evaluation parameters — the minimal core of the reference's
+    evaluation-parameter DSL (core/evaluation_parameters.py; priority
+    runtime > suite per validator.py:1583-1607). Unknown names raise, which
+    catch_exceptions converts into a failed EVR for that expectation."""
+
+    def sub(v: Any) -> Any:
+        if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
+            name = v["$PARAMETER"]
+            if name not in params:
+                raise KeyError(f"unbound evaluation parameter {name!r}")
+            return params[name]
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        return v
+
+    return ExpectationConfiguration(cfg.expectation_type, sub(cfg.kwargs), cfg.meta)
+
+
 def validate_df(
     df: DataFrame,
     suite: ExpectationSuite,
     result_format: str | dict[str, Any] | None = None,
+    evaluation_parameters: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    return Validator(df).validate(suite, result_format=result_format)
+    return Validator(df).validate(
+        suite,
+        result_format=result_format,
+        evaluation_parameters=evaluation_parameters,
+    )

@@ -1,0 +1,227 @@
+"""Tests for sources (splitters/samplers/readers), statistical tests,
+cross-table / SQL-query expectations, pandas-UDF conditions, and
+evaluation parameters."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+    sources,
+    validate_df,
+)
+from sparkcheck.referential import register_table
+from sparkcheck.stats import chi2_sf, ks_p_value, norm_cdf
+
+
+def _suite(*cfgs):
+    return ExpectationSuite(
+        "t", [ExpectationConfiguration.from_dict(d) for d in cfgs]
+    )
+
+
+def _one(df, cfg, **kw):
+    rep = validate_df(df, _suite(cfg), **kw)
+    return rep["results"][0]
+
+
+# --- sources ---------------------------------------------------------------
+
+
+def test_splitters_and_samplers(spark, orders):
+    assert sources.guess_format_from_path("/a/b.parquet") == "parquet"
+    assert sources.guess_format_from_path("x.tsv") == "csv"
+    with pytest.raises(ValueError):
+        sources.guess_format_from_path("x.unknown")
+
+    n = orders.count()
+    y = sources.split_on_year(orders, "o_orderdate", 1996).count()
+    assert 0 < y < n
+    parts = sum(
+        sources.split_on_date_parts(orders, "o_orderdate", {"year": yy}).count()
+        for yy in range(1995, 2002)
+    )
+    assert parts == n  # year splits partition the table
+
+    m0 = sources.split_on_mod_integer(orders, "o_orderkey", 4, 0)
+    m_all = sum(
+        sources.split_on_mod_integer(orders, "o_orderkey", 4, i).count()
+        for i in range(4)
+    )
+    assert m_all == n
+    assert m0.count() > 0
+
+    h_all = sum(
+        sources.split_on_hashed_column(orders, "o_orderkey", 8, b).count()
+        for b in range(8)
+    )
+    assert h_all == n
+
+    assert sources.sample_using_limit(orders, 10).count() == 10
+    assert sources.sample_using_a_list(orders, "o_orderstatus", ["P"]).count() > 0
+    s1 = sources.sample_using_hash(orders, "o_orderkey", 10, 3)
+    assert s1.count() == sources.sample_using_hash(orders, "o_orderkey", 10, 3).count()
+
+
+def test_read_batch_parquet(spark):
+    df = sources.read_batch(spark, path="/root/testdata/sf0.001/orders.parquet")
+    assert df.count() > 0
+
+
+# --- stats special functions vs known values -------------------------------
+
+
+def test_chi2_sf_known_values():
+    # chi2 sf(3.84, 1) ~ 0.05; sf(0, k) = 1
+    assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=1e-3)
+    assert chi2_sf(0.0, 5) == pytest.approx(1.0)
+    assert chi2_sf(100.0, 2) < 1e-10
+
+
+def test_ks_p_value_known():
+    assert ks_p_value(0.0, 100) == 1.0
+    assert 0 < ks_p_value(0.2, 100) < 0.01
+    assert ks_p_value(0.05, 100) > 0.5
+
+
+def test_norm_cdf():
+    assert norm_cdf(0.0) == pytest.approx(0.5)
+    assert norm_cdf(1.96) == pytest.approx(0.975, abs=1e-3)
+
+
+# --- statistical expectations ----------------------------------------------
+
+
+def test_chisquare_expectation(spark):
+    # 1000 rows matching the expected weights closely -> high p-value
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise(
+            F.when(F.col("id") % 4 == 1, "b").otherwise("c")
+        ).alias("c")
+    )
+    r = _one(df, {
+        "expectation_type": "expect_column_chisquare_test_p_value_to_be_greater_than",
+        "kwargs": {"column": "c",
+                   "partition_object": {"values": ["a", "b", "c"],
+                                        "weights": [0.5, 0.25, 0.25]},
+                   "p": 0.05}})
+    assert r["success"], r
+    # grossly wrong expected weights -> tiny p-value
+    r2 = _one(df, {
+        "expectation_type": "expect_column_chisquare_test_p_value_to_be_greater_than",
+        "kwargs": {"column": "c",
+                   "partition_object": {"values": ["a", "b", "c"],
+                                        "weights": [0.05, 0.05, 0.9]},
+                   "p": 0.05}})
+    assert not r2["success"]
+
+
+def test_kstest_expectation(spark):
+    # uniform data vs uniform hypothesis -> pass; vs wrong normal -> fail
+    df = spark.range(20000).select(((F.col("id") + 0.5) / 20000).alias("x"))
+    r = _one(df, {
+        "expectation_type":
+            "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        "kwargs": {"column": "x", "distribution": "uniform",
+                   "params": {"min": 0.0, "max": 1.0}, "p": 0.05,
+                   "exact": True}})
+    assert r["success"], r
+    r2 = _one(df, {
+        "expectation_type":
+            "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        "kwargs": {"column": "x", "distribution": "norm",
+                   "params": {"mean": 5.0, "std": 1.0}, "p": 0.05,
+                   "exact": True}})
+    assert not r2["success"]
+
+
+def test_cramers_phi_expectation(spark):
+    # perfectly dependent pair -> phi ~ 1 -> fails threshold 0.5
+    dep = spark.range(400).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") % 4).alias("b")
+    )
+    r = _one(dep, {
+        "expectation_type": "expect_column_pair_cramers_phi_value_to_be_less_than",
+        "kwargs": {"column_A": "a", "column_B": "b", "threshold": 0.5}})
+    assert not r["success"]
+    assert r["result"]["observed_value"] == pytest.approx(1.0, abs=1e-6)
+    # independent pair -> phi ~ 0 -> passes
+    ind = spark.range(4000).select(
+        (F.col("id") % 4).alias("a"), ((F.col("id") / 4).cast("long") % 4).alias("b")
+    )
+    r2 = _one(ind, {
+        "expectation_type": "expect_column_pair_cramers_phi_value_to_be_less_than",
+        "kwargs": {"column_A": "a", "column_B": "b", "threshold": 0.1}})
+    assert r2["success"], r2
+
+
+# --- cross-table, SQL query, UDF conditions, eval params -------------------
+
+
+def test_row_count_equal_other_table(spark, orders):
+    register_table("orders_copy", orders)
+    r = _one(orders, {
+        "expectation_type": "expect_table_row_count_to_equal_other_table",
+        "kwargs": {"other_table": "orders_copy"}})
+    assert r["success"]
+
+
+def test_sql_query_expectation(spark, orders):
+    r = _one(orders, {
+        "expectation_type": "expect_query_to_return_no_unexpected_rows",
+        "kwargs": {"query": "SELECT * FROM {active_batch} WHERE o_totalprice < 0"}})
+    assert r["success"]
+    r2 = _one(orders, {
+        "expectation_type": "expect_query_to_return_no_unexpected_rows",
+        "kwargs": {"query": "SELECT * FROM {active_batch} WHERE o_totalprice > 0"}})
+    assert not r2["success"]
+    assert len(r2["result"]["partial_unexpected_list"]) > 0
+
+
+def test_dateutil_parseable(spark):
+    df = spark.createDataFrame(
+        [("2021-03-01",), ("March 5, 2022",), ("not a date",), (None,)],
+        "d string",
+    )
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_dateutil_parseable",
+        "kwargs": {"column": "d"}})
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1  # only 'not a date'; null ignored
+
+
+def test_match_json_schema(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ('{"b": 2}',), ("nope",), (None,)], "j string"
+    )
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_match_json_schema",
+        "kwargs": {"column": "j",
+                   "json_schema": {"type": "object", "required": ["a"]}}})
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 2  # {"b":2} and "nope"
+
+
+def test_evaluation_parameters(spark, orders):
+    r = _one(
+        orders,
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": {"$PARAMETER": "min_rows"},
+                    "max_value": {"$PARAMETER": "max_rows"}}},
+        evaluation_parameters={"min_rows": 1, "max_rows": 10**9},
+    )
+    assert r["success"]
+    # unknown parameter -> failed EVR with exception info, not a crash
+    r2 = _one(
+        orders,
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": {"$PARAMETER": "nope"}}},
+        evaluation_parameters={"min_rows": 1},
+    )
+    assert not r2["success"]
+    assert r2["exception_info"]["raised_exception"]

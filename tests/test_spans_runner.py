@@ -165,3 +165,17 @@ def test_runner_checkpoint_resume(spark, docs, tmp_path):
         .collect()[0]["s"]
     )
     assert int(total) == N_DOCS
+
+
+def test_span_violations_native_matches_arrow(spark, docs):
+    """The single-pass native plan and the pandas-UDF/union variant must
+    produce identical violation rows."""
+    from sparkcheck.spans import span_violations, span_violations_arrow
+
+    key = lambda r: (  # noqa: E731
+        r["doc_id"] or "", r["span_index"], r["expectation"], r["observed_value"] or ""
+    )
+    native = sorted(span_violations(docs, "r", "p").collect(), key=key)
+    arrow = sorted(span_violations_arrow(docs, "r", "p").collect(), key=key)
+    assert len(native) == len(arrow)
+    assert [key(r) for r in native] == [key(r) for r in arrow]
