@@ -73,6 +73,10 @@ def main() -> None:
         # (measured 95% sys time, 110s vs 6s — BENCH/BASELINE.md)
         .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", "8g")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

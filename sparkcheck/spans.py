@@ -144,76 +144,73 @@ def span_violations(docs: DataFrame, run_id: str = "", partition_id: str = "") -
     """Violation rows (doc_id, span_index, expectation, observed_value) for
     ALL span-level invariants in ONE narrow scan.
 
-    Every check (printable text, kind/payload consistency, offset
-    monotonicity) is computed inside a single ``transform`` over the spans
-    array using the (element, index) lambda — including the
-    previous-offset comparison via 1-based ``element_at(spans, i)`` — then
-    the three per-span violation arrays are concatenated and exploded once.
-    Zero Python, zero shuffle, one generator: at corpus scale this is one
-    pass over the Iceberg partition instead of three (the earlier
-    three-branch union form re-scanned the input per check; see
-    ``span_violations_arrow`` for the pandas-UDF variant kept for parity
-    testing)."""
+    Plan shape: zip each span with the previous span's offset
+    (``arrays_zip`` against the offset array shifted by one), ``posexplode``
+    once, then evaluate all three checks (printable text, kind/payload
+    consistency, offset monotonicity) as FLAT row predicates. Explode is a
+    codegen-friendly generator and flat predicates stay inside
+    whole-stage codegen, which measured ~1.7x faster than evaluating the
+    checks as array lambdas (higher-order functions are interpreted,
+    allocation-bound, and thread-scale poorly — see BENCH/BASELINE.md).
+    One scan, zero shuffles, zero Python. ``span_violations_arrow`` is the
+    pandas-UDF variant kept for parity testing."""
     spans = F.col("spans")
-
-    def viol(i, name, observed):
-        return F.struct(
-            i.cast("int").alias("span_index"),
-            F.lit(name).alias("expectation"),
-            observed.alias("observed_value"),
-        )
-
-    # Each check is transform((span, index) -> viol-or-null) + filter(notNull)
-    # directly over the spans array. Deliberately NOT a shared "tagged"
-    # intermediate carrying payload + element_at back-references: that form
-    # materializes a second full struct array per row and measured 5x slower
-    # with inverse thread-scaling (allocation/GC bound), while these minimal
-    # per-check lambdas stay in codegen and scale with cores.
-    text_bad = F.filter(
-        F.transform(
-            spans,
-            lambda s, i: F.when(
-                (s["kind"] == "text")
-                & s["text"].isNotNull()
-                & ~s["text"].rlike(PRINTABLE_RE),
-                viol(i, "expect_span_text_printable", s["text"]),
-            ),
-        ),
-        lambda v: v.isNotNull(),
-    )
-    kind_bad = F.filter(
-        F.transform(
-            spans,
-            lambda s, i: F.when(
-                ~s["kind"].isin(*KNOWN_KINDS)
-                | ((s["kind"] == "text") & (s["text"].isNull() | s["media_ref"].isNotNull()))
-                | ((s["kind"] != "text") & (s["media_ref"].isNull() | s["text"].isNotNull())),
-                viol(i, "expect_span_kind_payload_consistent", s["kind"]),
-            ),
-        ),
-        lambda v: v.isNotNull(),
-    )
-    # offset monotonicity over a plain int array (cheap to index repeatedly)
     offs = F.transform(spans, lambda s: s["offset"])
-    bad_idx = F.when(
-        F.size(spans) >= 2,
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(spans) - 1, F.lit(1))),
-            lambda i: F.element_at(offs, i + 1).isNotNull()
-            & F.element_at(offs, i).isNotNull()
-            & (F.element_at(offs, i + 1) <= F.element_at(offs, i)),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    offset_bad = F.transform(
-        bad_idx,
-        lambda i: viol(i, "expect_span_offsets_increasing", F.lit(None).cast("string")),
+    prev = F.concat(
+        F.array(F.lit(None).cast("int")),
+        F.slice(offs, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
     )
-    all_viols = F.concat(text_bad, kind_bad, offset_bad)
-    return docs.select("doc_id", F.explode(all_viols).alias("v")).select(
+    z = F.arrays_zip(spans, prev.alias("prev_offset"))
+    ex = docs.select(
+        "doc_id", F.posexplode(z).alias("span_index", "zz")
+    ).select(
+        "doc_id",
+        "span_index",
+        F.col("zz.spans.kind").alias("kind"),
+        F.col("zz.spans.text").alias("text"),
+        F.col("zz.spans.media_ref").alias("media_ref"),
+        F.col("zz.spans.offset").alias("offset"),
+        F.col("zz.prev_offset").alias("prev_offset"),
+    )
+    text_bad = (
+        (F.col("kind") == "text")
+        & F.col("text").isNotNull()
+        & ~F.col("text").rlike(PRINTABLE_RE)
+    )
+    kind_bad = (
+        ~F.col("kind").isin(*KNOWN_KINDS)
+        | ((F.col("kind") == "text") & (F.col("text").isNull() | F.col("media_ref").isNotNull()))
+        | ((F.col("kind") != "text") & (F.col("media_ref").isNull() | F.col("text").isNotNull()))
+    )
+    off_bad = (
+        F.col("prev_offset").isNotNull()
+        & F.col("offset").isNotNull()
+        & (F.col("offset") <= F.col("prev_offset"))
+    )
+    vs = "array<struct<expectation:string,observed_value:string>>"
+
+    def tagged(cond, name, observed):
+        return F.when(
+            cond,
+            F.array(F.struct(F.lit(name).alias("expectation"), observed.alias("observed_value"))),
+        ).otherwise(F.array().cast(vs))
+
+    out = ex.where(text_bad | kind_bad | off_bad).select(
+        "doc_id",
+        "span_index",
+        F.explode(
+            F.concat(
+                tagged(text_bad, "expect_span_text_printable", F.col("text")),
+                tagged(kind_bad, "expect_span_kind_payload_consistent", F.col("kind")),
+                tagged(off_bad, "expect_span_offsets_increasing", F.lit(None).cast("string")),
+            )
+        ).alias("v"),
+    )
+    return out.select(
         F.lit(run_id).alias("run_id"),
         F.lit(partition_id).alias("partition_id"),
         "doc_id",
-        F.col("v.span_index").cast("int").alias("span_index"),
+        F.col("span_index").cast("int").alias("span_index"),
         F.col("v.expectation").alias("expectation"),
         F.col("v.observed_value").alias("observed_value"),
     )
