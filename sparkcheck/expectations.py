@@ -122,6 +122,12 @@ class ColumnMapExpectation(Expectation):
         )
 
     def metric_requests(self, cfg, rf):
+        return self._map_requests(cfg, rf)
+
+    def _map_requests(self, cfg, rf):
+        """The map-family metric set. Kept separate from metric_requests so
+        two-stage subclasses (z-scores) can override metric_requests for
+        stage-1 stats without breaking the shared validate() path."""
         domain = build_domain(cfg)
         spec = get_condition(self.condition_name)
         reqs: dict[str, MetricConfiguration] = {
@@ -164,7 +170,7 @@ class ColumnMapExpectation(Expectation):
         return reqs
 
     def validate(self, cfg, rf, resolver):
-        reqs = self.metric_requests(cfg, rf)
+        reqs = self._map_requests(cfg, rf)
         element_count = int(resolver[reqs["element_count"]] or 0)
         if "nonnull_count" in reqs:
             nonnull_count = int(resolver[reqs["nonnull_count"]] or 0)
@@ -218,7 +224,7 @@ class ZScoreExpectation(ColumnMapExpectation):
     def stage2_requests(self, cfg, rf, resolver):
         stats = self._stats_reqs(cfg)
         cfg2 = self._with_stats(cfg, resolver, stats)
-        return super().metric_requests(cfg2, rf)
+        return self._map_requests(cfg2, rf)
 
     def _with_stats(self, cfg, resolver, stats) -> ExpectationConfiguration:
         kw = dict(cfg.kwargs)
