@@ -108,7 +108,16 @@ def jaccard_pairs(
     """All doc pairs with shingle-set Jaccard >= threshold:
     (doc_a, doc_b, jaccard). O(n^2) verification operator — the oracle and
     the LSH-candidate verifier, not the 10^12-doc discovery path."""
-    sh = doc_shingles(docs, n, text_col, id_col, max_df)
+    # The shingle table feeds the self-join twice plus the size aggregate;
+    # without caching, the scan + shingle + md5 pipeline re-runs three
+    # times. The table is compact ((doc_id, shingle) pairs — a fraction of
+    # corpus bytes) so MEMORY_AND_DISK is safe even at large scale; Spark's
+    # ContextCleaner drops the cache when the plan is garbage-collected.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(docs, n, text_col, id_col, max_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -441,3 +441,10 @@ def _table_column_types(resolver, ddf: DataFrame, cfg: MetricConfiguration, reso
     return [
         {"name": f.name, "type": f.dataType.simpleString()} for f in ddf.schema.fields
     ]
+
+
+@eager_metric("table.head")
+def _table_head(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
+    # reference: table_metrics/table_head.py:203-226 (limit(n) fetch)
+    n = int(cfg.kw("n_rows", 5))
+    return [r.asDict() for r in ddf.limit(n).collect()]

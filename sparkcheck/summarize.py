@@ -281,3 +281,23 @@ def mostly_success(
     if nonnull_count == 0:
         return True
     return (nonnull_count - unexpected_count) / nonnull_count >= mostly
+
+
+@eager_metric("map.unexpected_index_query")
+def _unexpected_index_query(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    """Stringified retrieval query for the violating rows (reference:
+    map_condition_auxilliary_methods.py:797-836) — documentation aid, not
+    executed by the engine."""
+    mask = unexpected_mask(cfg)
+    try:
+        expr = mask._jc.toString()  # noqa: SLF001 — classic pyspark
+    except AttributeError:  # pragma: no cover — Spark Connect columns
+        expr = str(mask)
+    return f"df.filter({expr})"
+
+
+@eager_metric("map.filtered_row_count")
+def _filtered_row_count(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    # reference: <name>.filtered_row_count (metric_function_types.py:106-112)
+    # row count of the compute domain after ignore_row_if/row_condition
+    return ddf.count()

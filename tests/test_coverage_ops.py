@@ -225,3 +225,29 @@ def test_evaluation_parameters(spark, orders):
     )
     assert not r2["success"]
     assert r2["exception_info"]["raised_exception"]
+
+
+def test_summarizer_metrics(spark, orders):
+    from sparkcheck.metrics import (
+        Domain,
+        MetricConfiguration,
+        MetricResolver,
+        freeze_kwargs,
+    )
+
+    res = MetricResolver(orders)
+    dom = Domain(column="o_orderstatus")
+    frozen = freeze_kwargs(
+        condition="column_values.in_set",
+        condition_kwargs={"value_set": ["O", "F"]},
+    )
+    q = MetricConfiguration("map.unexpected_index_query", dom, frozen)
+    vc = MetricConfiguration("map.unexpected_value_counts", dom, frozen)
+    fr = MetricConfiguration("map.filtered_row_count", dom)
+    head = MetricConfiguration("table.head", dom, freeze_kwargs(n_rows=3))
+    res.resolve([q, vc, fr, head])
+    assert res[q].startswith("df.filter(")
+    counts = res[vc]
+    assert counts and counts[0][0] == "P"  # only P is outside the set
+    assert res[fr] == orders.count()
+    assert len(res[head]) == 3 and "o_orderkey" in res[head][0]
