@@ -1,0 +1,118 @@
+"""Streaming validation: Structured Streaming micro-batches through the
+same engine.
+
+The reference is strictly batch (SURVEY.md §2.11 — no watermarks, windows,
+or stateful operators anywhere in GX); production incrementality there is
+"re-run the checkpoint on new batches". Ours keeps that batch-first design
+for the 10^12-doc corpus, but exposes the natural Spark-native bridge: a
+``foreachBatch`` sink that runs the full expectation suite + span-level
+violation extraction on every micro-batch and appends per-batch results /
+violations through the same store + manifest used by the batch runner —
+so a streaming ingest pipeline and a backfill job share one validation
+code path and one results table.
+
+Notes for scale:
+  - each micro-batch is a bounded DataFrame, so the fused-agg bundling,
+    skew-safe uniqueness, and violation-DataFrame paths apply unchanged;
+  - exactly-once: foreachBatch delivers (batch_id, df) at-least-once on
+    retry; the store's partition manifest keyed by ``batch={id}`` makes
+    the append idempotent (skip batches already committed);
+  - no engine-managed watermark: validation is per-batch, not windowed.
+    Late data simply lands in a later batch — matching the reference's
+    batch-revalidation semantics rather than inventing new ones. Windowed
+    drift checks can be layered by pre-aggregating with watermarks before
+    the sink.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from .runner import ParquetStore
+from .suite import ExpectationSuite
+from .validator import Validator
+
+
+class StreamingValidationSink:
+    """``foreachBatch`` callable validating each micro-batch.
+
+    Usage::
+
+        sink = StreamingValidationSink(store, suite, run_id="ingest",
+                                       violations_fn=span_violations)
+        q = (stream_df.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(
+        self,
+        store: ParquetStore,
+        suite: ExpectationSuite,
+        run_id: str = "stream",
+        violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
+        result_format: str = "BOOLEAN_ONLY",
+        on_result: Callable[[int, dict[str, Any]], None] | None = None,
+    ):
+        self.store = store
+        self.suite = suite
+        self.run_id = run_id
+        self.violations_fn = violations_fn
+        self.result_format = result_format
+        self.on_result = on_result
+        self.batches_validated = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        pid = f"batch={batch_id}"
+        # idempotent replay: foreachBatch re-delivers on failure/restart
+        if pid in self.store.committed_partitions(self.run_id):
+            return
+        result = Validator(batch_df).validate(
+            self.suite, result_format=self.result_format
+        )
+        n_rows = batch_df.count()
+        self._write(batch_df, pid, result, n_rows)
+        self.store.commit_partition(
+            self.run_id, pid, {"success": result["success"], "n_docs": int(n_rows)}
+        )
+        self.batches_validated += 1
+        if self.on_result is not None:
+            self.on_result(batch_id, result)
+
+    def _write(self, batch_df: DataFrame, pid: str, result, n_rows: int) -> None:
+        # reuse the batch runner's result/lineage writers for one shared
+        # results-table schema across streaming and batch validation
+        from .runner import CheckpointRunner
+
+        runner = CheckpointRunner(batch_df.sparkSession, self.store)
+        runner._write_results(self.run_id, pid, result)  # noqa: SLF001
+        runner._write_lineage(self.run_id, pid, result, n_rows)  # noqa: SLF001
+        if self.violations_fn is not None:
+            self.store.append(
+                "violations", self.violations_fn(batch_df, self.run_id, pid)
+            )
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    store: ParquetStore,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Start a streaming query that validates every micro-batch. Returns the
+    StreamingQuery (caller owns awaitTermination/stop)."""
+    sink = StreamingValidationSink(
+        store, suite, run_id=run_id, violations_fn=violations_fn
+    )
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
