@@ -114,11 +114,18 @@ class CheckpointRunner:
         store: ParquetStore,
         n_buckets: int = 8,
         violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
+        suite_violation_rows: bool = False,
+        doc_id_col: str = "doc_id",
     ):
         self.spark = spark
         self.store = store
         self.n_buckets = n_buckets
         self.violations_fn = violations_fn
+        # when set, per-row violations for every map expectation in the
+        # suite are derived automatically (summarize.suite_violations) and
+        # appended alongside any custom violations_fn output
+        self.suite_violation_rows = suite_violation_rows
+        self.doc_id_col = doc_id_col
 
     def run(
         self,
@@ -163,6 +170,14 @@ class CheckpointRunner:
                     self.store.append(
                         "violations", self.violations_fn(part, run_id, pid)
                     )
+                if self.suite_violation_rows:
+                    from .summarize import suite_violations
+
+                    sv = suite_violations(
+                        part, suite, self.doc_id_col, run_id, pid
+                    )
+                    if sv is not None:
+                        self.store.append("violations", sv)
                 self._write_lineage(run_id, pid, result, n_docs)
             finally:
                 part.unpersist()

@@ -301,3 +301,51 @@ def _filtered_row_count(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     # reference: <name>.filtered_row_count (metric_function_types.py:106-112)
     # row count of the compute domain after ignore_row_if/row_condition
     return ddf.count()
+
+
+def suite_violations(
+    df: DataFrame,
+    suite,
+    doc_id_col: str = "doc_id",
+    run_id: str = "",
+    partition_id: str = "",
+) -> DataFrame | None:
+    """Violation rows for every map-style expectation in a suite, as ONE
+    unioned DataFrame (doc_id, span_index=null, expectation, observed_value)
+    ready for the violations table — the scale replacement for COMPLETE
+    result_format collections (SURVEY.md §2.7 deviation). Non-map
+    expectations (aggregates, table shape) have no per-row violations and
+    are skipped. Returns None if the suite has no map expectations."""
+    from pyspark.sql import functions as _F
+
+    from .expectations import build_domain, get_expectation
+
+    parts = []
+    for cfg in suite.expectations:
+        try:
+            exp = get_expectation(cfg.expectation_type)
+        except KeyError:
+            continue
+        cond_name = getattr(exp, "condition_name", None)
+        if not cond_name:
+            continue
+        domain = build_domain(cfg)
+        kwargs = exp._condition_kwargs(cfg)  # noqa: SLF001 — same package
+        parts.append(
+            unexpected_df(
+                df, domain, cond_name, kwargs, cfg.expectation_type, doc_id_col
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        _F.lit(run_id).alias("run_id"),
+        _F.lit(partition_id).alias("partition_id"),
+        "doc_id",
+        "span_index",
+        "expectation",
+        "observed_value",
+    )

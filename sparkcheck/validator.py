@@ -28,6 +28,35 @@ class Validator:
     def __init__(self, df: DataFrame):
         self.df = df
         self.resolver = MetricResolver(df)
+        # interactive-mode suite: every expect_* call appends here, so a
+        # notebook session can be exported with to_suite() (reference entry
+        # point A, validator/validator.py:454-597)
+        self.interactive_suite = ExpectationSuite("interactive")
+
+    def __getattr__(self, name: str):
+        """Interactive API: ``validator.expect_column_values_to_not_be_null(
+        column="x", mostly=0.99)`` runs the single expectation immediately,
+        returns its EVR, and records the configuration (reference
+        Validator.__getattr__ :454-467 → inst_expectation :482-597).
+        Metric results are memoized in the shared resolver, so repeated
+        interactive calls reuse already-computed aggregates."""
+        if name.startswith("expect_"):
+            def run(**kwargs: Any) -> dict[str, Any]:
+                result_format = kwargs.pop("result_format", None)
+                cfg = ExpectationConfiguration(name, kwargs)
+                report = self.validate(
+                    ExpectationSuite("interactive_one", [cfg]),
+                    result_format=result_format,
+                )
+                self.interactive_suite.expectations.append(cfg)
+                return report["results"][0]
+
+            return run
+        raise AttributeError(name)
+
+    def to_suite(self, name: str = "exported") -> ExpectationSuite:
+        """Suite built from the interactive calls made on this validator."""
+        return ExpectationSuite(name, list(self.interactive_suite.expectations))
 
     def validate(
         self,

@@ -251,3 +251,65 @@ def test_summarizer_metrics(spark, orders):
     assert counts and counts[0][0] == "P"  # only P is outside the set
     assert res[fr] == orders.count()
     assert len(res[head]) == 3 and "o_orderkey" in res[head][0]
+
+
+def test_salted_anti_join_matches_broadcast(spark, orders):
+    from sparkcheck.referential import anti_join_violations
+
+    dim = spark.range(0, 2000).select(F.col("id").alias("k")).where(
+        F.col("k") % 97 != 0
+    )
+    fact = orders.select(F.col("o_custkey").alias("k"))
+    bc = anti_join_violations(fact, "k", dim, "k", broadcast_threshold=10**9)
+    salted = anti_join_violations(fact, "k", dim, "k", broadcast_threshold=0,
+                                  salt_factor=4)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    a = sorted(r["k"] for r in bc.collect())
+    b = sorted(r["k"] for r in salted.collect())
+    assert a == b and len(a) > 0
+
+
+def test_suite_violations_dataframe(spark, orders):
+    from sparkcheck.summarize import suite_violations
+
+    s = _suite(
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "o_orderstatus", "value_set": ["O", "F"]}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "o_totalprice", "max_value": 100000}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1}},  # non-map: skipped
+    )
+    v = suite_violations(orders, s, doc_id_col="o_orderkey", run_id="r", partition_id="p")
+    counts = {r["expectation"]: r["n"] for r in
+              v.groupBy("expectation").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["expect_column_values_to_be_in_set"] == \
+        orders.where("o_orderstatus = 'P'").count()
+    assert counts["expect_column_values_to_be_between"] == \
+        orders.where("o_totalprice > 100000").count()
+    assert set(counts) == {"expect_column_values_to_be_in_set",
+                           "expect_column_values_to_be_between"}
+
+
+def test_interactive_validator_api(spark, orders):
+    import json
+
+    from sparkcheck import ExpectationSuite, Validator
+
+    v = Validator(orders)
+    r = v.expect_column_values_to_not_be_null(column="o_custkey")
+    assert r["success"]
+    r2 = v.expect_column_mean_to_be_between(
+        column="o_totalprice", min_value=0, max_value=10**9
+    )
+    assert r2["success"] and "observed_value" in r2["result"]
+    with pytest.raises(AttributeError):
+        v.not_an_expectation  # noqa: B018
+    exported = v.to_suite("nb")
+    assert len(exported.expectations) == 2
+    # suite round-trips through JSON and revalidates identically
+    reloaded = ExpectationSuite.from_json(exported.to_json())
+    from sparkcheck import validate_df
+    rep = validate_df(orders, reloaded)
+    assert rep["success"] and len(rep["results"]) == 2
+    json.dumps(rep, default=str)  # EVRs are JSON-serializable

@@ -179,3 +179,20 @@ def test_span_violations_native_matches_arrow(spark, docs):
     arrow = sorted(span_violations_arrow(docs, "r", "p").collect(), key=key)
     assert len(native) == len(arrow)
     assert [key(r) for r in native] == [key(r) for r in arrow]
+
+
+def test_runner_suite_violation_rows(spark, docs, tmp_path):
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+
+    s = ExpectationSuite("v")
+    s.add("expect_column_values_to_match_regex", column="doc_id",
+          regex="^(hot[0-2]|p[0-9]{2})-", mostly=0.9)
+    store = ParquetStore(str(tmp_path / "sv"))
+    runner = CheckpointRunner(spark, store, n_buckets=2,
+                              suite_violation_rows=True)
+    runner.run(docs, s, run_id="rv")
+    v = store.read(spark, "violations")
+    n_bad = docs.where("doc_id IS NOT NULL AND doc_id NOT RLIKE '^(hot[0-2]|p[0-9]{2})-'").count()
+    assert v.where("expectation = 'expect_column_values_to_match_regex'").count() == n_bad
+    assert v.where("doc_id IS NULL").count() == 0
