@@ -307,6 +307,57 @@ def q_kl_drift_quantity(spark, sf):
     )
 
 
+def q_psi_drift_totalprice(spark, sf):
+    """PSI between o_totalprice distributions of orderstatus O vs F over
+    fixed equal-width bins — the drift-vs-baseline-snapshot machinery
+    (SURVEY.md §2.9 / sparkcheck.distribution.psi) as one plan."""
+    o = _t(spark, sf, "orders")
+    nb, w = 10, 50000.0
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / w), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
+
+    def hist(flag, cname):
+        return (
+            o.where(F.col("o_orderstatus") == flag)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("b"))
+    j = (
+        bins.join(hist("O", "co"), "b", "left")
+        .join(hist("F", "cf"), "b", "left")
+        .fillna(0)
+    )
+    no = F.sum("co").over(Window.partitionBy())
+    nf = F.sum("cf").over(Window.partitionBy())
+    eps = 1e-6
+    p = (F.col("co") / no) + eps
+    q = (F.col("cf") / nf) + eps
+    return j.select(((p - q) * F.log(p / q)).alias("t")).agg(
+        F.round(F.sum("t"), 4).alias("psi")
+    )
+
+
+def q_events_hourly_profile(spark, sf):
+    """Tumbling-window aggregation over the events stream table: per
+    (day, event_type) counts + value stats — the batch form of the
+    windowed-agg pattern (date_trunc keeps it oracle-comparable)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def q_zscore_outlier_count(spark, sf):
     o = _t(spark, sf, "orders")
     stats = o.agg(
@@ -498,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_length_profile": q_value_length_profile,
         "histogram_extendedprice": q_histogram_extendedprice,
         "kl_drift_quantity": q_kl_drift_quantity,
+        "psi_drift_totalprice": q_psi_drift_totalprice,
+        "events_hourly_profile": q_events_hourly_profile,
         "zscore_outlier_count": q_zscore_outlier_count,
         "referential_violations": q_referential_violations,
         "pair_violation_count": q_pair_violation_count,
@@ -626,6 +679,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM bins LEFT JOIN pa USING(b) LEFT JOIN pn USING(b)) "
             "SELECT round(sum(((ca + 1.0) / (na + 10.0)) * "
             "ln(((ca + 1.0) / (na + 10.0)) / ((cn + 1.0) / (nn + 10.0)))), 4) AS kl FROM j"
+        ),
+
+        "psi_drift_totalprice": (
+            "WITH ho AS (SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 9)::INT AS b, "
+            "count(*) AS c FROM orders WHERE o_orderstatus = 'O' GROUP BY 1), "
+            "hf AS (SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 9)::INT AS b, "
+            "count(*) AS c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1), "
+            "bins AS (SELECT unnest(range(0, 10))::INT AS b), "
+            "j AS (SELECT b, coalesce(ho.c, 0)::DOUBLE AS co, coalesce(hf.c, 0)::DOUBLE AS cf, "
+            "(SELECT sum(c) FROM ho)::DOUBLE AS no, (SELECT sum(c) FROM hf)::DOUBLE AS nf "
+            "FROM bins LEFT JOIN ho USING(b) LEFT JOIN hf USING(b)) "
+            "SELECT round(sum(((co / no + 0.000001) - (cf / nf + 0.000001)) * "
+            "ln((co / no + 0.000001) / (cf / nf + 0.000001))), 4) AS psi FROM j"
+        ),
+
+        "events_hourly_profile": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+            "count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value, "
+            "round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2"
         ),
 
         "zscore_outlier_count": (
