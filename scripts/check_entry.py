@@ -16,7 +16,7 @@ import duckdb
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

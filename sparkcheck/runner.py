@@ -140,9 +140,13 @@ class CheckpointRunner:
         t0 = time.monotonic()
         committed = self.store.committed_partitions(run_id)
 
-        docs = docs.withColumn(
-            "__bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets))
-        )
+        if "__bucket" not in docs.columns:
+            docs = docs.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets)),
+            )
+        # else: caller pre-bucketed (PartitionedCorpusRunner) — the filter
+        # below then hits a physical partition column and prunes files
 
         done = 0
         for b in range(self.n_buckets):
@@ -242,4 +246,35 @@ class CheckpointRunner:
                 )
         self.store.append(
             "lineage", self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
+        )
+
+
+class PartitionedCorpusRunner(CheckpointRunner):
+    """CheckpointRunner over a hash-bucket-partitioned corpus directory
+    (synth.write_bucketed_corpus layout; in production an Iceberg table
+    with a bucket(n, doc_id) partition spec).
+
+    Where the base runner filters ``pmod(xxhash64(doc_id), n) == b`` over a
+    full scan per bucket (O(n_buckets x corpus) reads — fine for one
+    DataFrame in memory, wrong for 100 TB), this one relies on partition
+    pruning: each bucket's read plans only that bucket's files, so a full
+    run reads the corpus exactly once regardless of n_buckets, and a
+    resumed run reads only the uncommitted buckets' files.
+    """
+
+    def __init__(self, spark: SparkSession, store: ParquetStore, corpus_path: str,
+                 n_buckets: int = 8, **kwargs):
+        super().__init__(spark, store, n_buckets=n_buckets, **kwargs)
+        self.corpus_path = corpus_path
+
+    def run(self, docs: DataFrame | None, suite: ExpectationSuite,
+            run_id: str | None = None, fail_after: int | None = None,
+            bucket_col: str = "doc_id") -> RunReport:
+        base = self.spark.read.parquet(self.corpus_path)
+        # partition-pruned view: filtering on the partition column prunes
+        # directories at planning time (verify: plan shows PartitionFilters)
+        pruned = base.withColumn("__bucket", F.col("bucket")).drop("bucket")
+        return super().run(
+            pruned, suite, run_id=run_id, fail_after=fail_after,
+            bucket_col=bucket_col,
         )

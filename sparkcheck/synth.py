@@ -140,3 +140,17 @@ def write_corpus(spark: SparkSession, out_dir: str, n_docs: int) -> None:
     generate_media_dim(spark, docs2).write.mode("overwrite").parquet(
         f"{out_dir}/media_dim.parquet"
     )
+
+
+def write_bucketed_corpus(
+    spark: SparkSession, out_dir: str, n_docs: int, n_buckets: int = 8
+) -> None:
+    """Write the corpus partitioned by the runner's hash bucket
+    (``bucket=<b>/`` directories) — the parquet stand-in for Iceberg's
+    ``bucket(n, doc_id)`` partition transform. A CheckpointRunner pointed
+    at this layout reads ONE bucket directory per partition instead of
+    re-scanning the whole corpus per bucket."""
+    docs = generate_docs(spark, n_docs)
+    docs.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(out_dir)

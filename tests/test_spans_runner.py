@@ -196,3 +196,31 @@ def test_runner_suite_violation_rows(spark, docs, tmp_path):
     n_bad = docs.where("doc_id IS NOT NULL AND doc_id NOT RLIKE '^(hot[0-2]|p[0-9]{2})-'").count()
     assert v.where("expectation = 'expect_column_values_to_match_regex'").count() == n_bad
     assert v.where("doc_id IS NULL").count() == 0
+
+
+def test_partitioned_corpus_runner_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.runner import ParquetStore, PartitionedCorpusRunner
+    from sparkcheck.synth import write_bucketed_corpus
+
+    corpus = str(tmp_path / "bucketed")
+    write_bucketed_corpus(spark, corpus, 5000, n_buckets=4)
+
+    # partition pruning: a bucket filter must plan fewer files than the full scan
+    base = spark.read.parquet(corpus)
+    pruned = base.where(F.col("bucket") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+    s = ExpectationSuite("p")
+    s.add("expect_column_values_to_not_be_null", column="doc_id", mostly=0.99)
+    store = ParquetStore(str(tmp_path / "store"))
+    runner = PartitionedCorpusRunner(spark, store, corpus, n_buckets=4)
+    rep = runner.run(None, s, run_id="pr1")
+    assert len(rep.partitions_run) == 4
+    assert rep.docs_validated == 5000  # every doc in exactly one bucket
+    # resume skips all four
+    rep2 = runner.run(None, s, run_id="pr1")
+    assert len(rep2.partitions_skipped) == 4 and not rep2.partitions_run
