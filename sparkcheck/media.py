@@ -72,13 +72,77 @@ def _fake_image_decode(buf: bytes) -> dict[str, Any]:
     }
 
 
+def decode_ppm(buf: bytes):
+    """REAL decode for binary PPM (P6) / PGM (P5) images — pure
+    numpy, no codec library. Returns (array[h, w, c], width, height).
+    Raises ValueError for other formats."""
+    import numpy as np  # noqa: PLC0415
+
+    if not buf.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if buf.startswith(b"P6") else 1
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment line
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    n = width * height * channels
+    arr = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
+    return arr.reshape(height, width, channels), width, height
+
+
 def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
-    if fake:
-        return _fake_image_decode(buf)
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv — not installed in this "
-        "container; pass fake=True for the deterministic stand-in"
-    )
+    """Image features. PPM/PGM decode is REAL (numpy); other formats need
+    PIL/opencv (not in this container) unless fake=True."""
+    if not fake:
+        try:
+            arr, width, height = decode_ppm(buf)
+        except ValueError as e:
+            raise NotImplementedError(
+                "non-PPM decode requires PIL/opencv — not installed; "
+                "pass fake=True for the deterministic stand-in"
+            ) from e
+        if arr.shape[2] == 3:
+            luma = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            ).mean() / 255.0
+        else:
+            luma = float(arr.mean()) / 255.0
+        return {
+            "width": width,
+            "height": height,
+            "mean_luma": float(luma),
+            "sha1": hashlib.sha1(buf).hexdigest(),
+        }
+    return _fake_image_decode(buf)
+
+
+def resize_image(buf: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a PPM/PGM payload — numpy-only, the real
+    transform for the one codec-free format; interpolating resizes belong
+    to the PIL-backed production decoder."""
+    import numpy as np  # noqa: PLC0415
+
+    arr, w, h = decode_ppm(buf)
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    out = arr[ys][:, xs]
+    magic = b"P6" if arr.shape[2] == 3 else b"P5"
+    header = b"%s\n%d %d\n255\n" % (magic, out_w, out_h)
+    return header + out.tobytes()
 
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -155,6 +219,34 @@ def media_integrity_violations(media: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def synth_ppm_media(spark, n_rows: int = 64) -> DataFrame:
+    """Deterministic REAL P6 (PPM) image table — valid payloads the
+    codec-free decode path can actually parse. Built distributed via
+    mapInPandas (numpy per Arrow batch, pixels derived from the row id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h = 8 + int(i) % 24, 8 + (int(i) // 3) % 24
+                rng_base = np.arange(w * h * 3, dtype=np.int64)
+                pix = ((rng_base * (int(i) * 2654435761 % 255 + 1)) % 256).astype(
+                    "uint8"
+                )
+                buf = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+                rows.append((f"ppm://{int(i):08d}", "image", buf,
+                             "image/x-portable-pixmap", len(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "kind", "media_bytes", "content_type",
+                         "n_bytes"],
+            )
+
+    return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_META_SCHEMA)
 
 
 def synth_media(docs_or_spark, n_rows: int = 256) -> DataFrame:

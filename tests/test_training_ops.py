@@ -182,3 +182,37 @@ def test_media_pipeline_plumbing(spark):
 def test_media_real_decode_raises(spark):
     with pytest.raises(NotImplementedError):
         media.decode_image(b"xx", fake=False)
+
+
+def test_real_ppm_decode_and_resize(spark):
+    import numpy as np
+
+    # hand-built 2x2 P6: known pixels -> exact luma
+    pix = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    buf = b"P6\n2 2\n255\n" + pix
+    feats = media.decode_image(buf)
+    assert (feats["width"], feats["height"]) == (2, 2)
+    expected_luma = (0.299 * (255 + 0 + 0 + 255)
+                     + 0.587 * (0 + 255 + 0 + 255)
+                     + 0.114 * (0 + 0 + 255 + 255)) / 4 / 255.0
+    assert feats["mean_luma"] == pytest.approx(expected_luma)
+    # comment + PGM handling
+    g = media.decode_image(b"P5\n# c\n2 1\n255\n" + bytes([0, 255]))
+    assert g["mean_luma"] == pytest.approx(0.5, abs=0.01)
+    # resize round-trips through the same decoder
+    big = media.resize_image(buf, 4, 4)
+    arr, w, h = media.decode_ppm(big)
+    assert (w, h) == (4, 4) and arr.shape == (4, 4, 3)
+    assert np.array_equal(arr[0, 0], [255, 0, 0])  # nearest-neighbor corners
+    assert np.array_equal(arr[3, 3], [255, 255, 255])
+    # non-PPM without fake -> explicit stub error
+    with pytest.raises(NotImplementedError):
+        media.decode_image(b"\x89PNG....")
+
+
+def test_real_ppm_pipeline(spark):
+    m = media.synth_ppm_media(spark, 32)
+    feats = media.image_features(m, fake=False).collect()
+    assert len(feats) == 32
+    assert all(8 <= r["width"] <= 32 and 0.0 <= r["mean_luma"] <= 1.0 for r in feats)
+    assert media.media_integrity_violations(m).count() == 0
