@@ -146,6 +146,26 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _fused_minhash(
+    docs: DataFrame,
+    n_hashes: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}) — all per-seed minima in ONE groupBy pass:
+    k fused MIN(md5(seed|shingle)) aggregate columns instead of exploding
+    the shingle table k times. Shuffle input is one shingle row (not k),
+    map-side combine reduces it to one k-column row per doc."""
+    sh = doc_shingles(docs, n, text_col, id_col, max_df)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 12,
@@ -154,23 +174,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     max_df: int | None = None,
 ) -> DataFrame:
-    """(doc_id, seed, minhash-hex). min(md5(seed|shingle)) is a plain MIN
-    aggregate → map-side combine, so the shuffle carries one 32-char row per
-    (doc, seed), not per shingle."""
-    sh = doc_shingles(docs, n, text_col, id_col, max_df)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select(
+    """(doc_id, seed, minhash-hex) — the row-form view of the fused
+    signature pass (stack/unpivot of _fused_minhash; identical values to
+    the per-seed-explode formulation, 1/n_hashes the shuffle volume)."""
+    fused = _fused_minhash(docs, n_hashes, n, text_col, id_col, max_df)
+    stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return fused.select(
         "doc_id",
-        seeds,
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias(
-            "h"
-        ),
+        F.expr(f"stack({n_hashes}, {stack})").alias("seed", "minhash"),
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -185,22 +197,19 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs: docs sharing any (band, bucket). Bucket key
     = the band's minhashes concatenated in seed order. Returns distinct
     (doc_a, doc_b)."""
-    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col, max_df)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                # collect (seed, minhash) then sort by seed for a stable key
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-                ",",
-            ).alias("bucket")
-        )
+    fused = _fused_minhash(docs, n_hashes, n, text_col, id_col, max_df)
+    # band bucket keys straight from the fused columns — no second shuffle
+    n_bands = (n_hashes + band_size - 1) // band_size
+    stack_terms = []
+    for band in range(n_bands):
+        cols = [f"m{s}" for s in range(band * band_size,
+                                       min((band + 1) * band_size, n_hashes))]
+        stack_terms.append(f"{band}, concat_ws(',', {', '.join(cols)})")
+    bands = fused.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {', '.join(stack_terms)})").alias(
+            "band", "bucket"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")
