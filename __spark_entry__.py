@@ -480,8 +480,9 @@ def q_embedding_neardup_count(spark, sf):
 
 
 def q_simhash_neardup_count(spark, sf):
+    # max_hamming=3 is the pigeonhole guarantee of 4 x 16-bit banding
     d = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(d, max_hamming=8).agg(
+    return dedup.simhash_near_duplicates(d, max_hamming=3).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
 
@@ -750,9 +751,12 @@ def oracle_sql() -> dict[str, str]:
             "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) "
             "ELSE 0.0 END, 4) AS mean_token_len, "
             f"round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_sw_list('en')})))::DOUBLE / len(toks) ELSE 0.0 END, 4) AS stopword_ratio, "
+            # the ELSE branch here is 0.0 (the Spark side coalesces the
+            # empty-text ratio to 0.0); only the quality term below keeps
+            # the 1.0 fallback, matching text.quality_score's coalesce
             "round(CASE WHEN length(lower(text)) > 0 THEN "
             "(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) "
-            "ELSE 1.0 END, 4) AS non_alnum_ratio, "
+            "ELSE 0.0 END, 4) AS non_alnum_ratio, "
             "round("
             "least(len(toks)::DOUBLE / 20.0, 1.0) * 0.5 + "
             f"least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_sw_list('en')})))::DOUBLE / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 0.25 + "
@@ -832,5 +836,39 @@ def oracle_sql() -> dict[str, str]:
             f"(sqrt({_fold_dot('va', 'va')}) * sqrt({_fold_dot('vb', 'vb')})), 6) AS cos "
             "FROM a JOIN b ON id_a < id_b) "
             "SELECT count(*)::BIGINT AS n_pairs FROM scored WHERE cos >= 0.9"
+        ),
+
+        # SimHash signatures bit-for-bit: md5-nibble token hashes, 64
+        # majority-vote bits as 4 x 16-bit chunk ints, bucket cap 1000,
+        # banding join + true-Hamming filter (mirrors dedup.simhash_chunks /
+        # simhash_near_duplicates exactly)
+        "simhash_neardup_count": (
+            f"{toks_cte}, sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
+            "AS shingle FROM t), "
+            "h AS (SELECT doc_id, md5(shingle) AS hh FROM sh), "
+            "bitsj AS (SELECT doc_id, hh, unnest(range(0, 64)) AS j FROM h), "
+            "votes AS (SELECT doc_id, j, sum(CASE WHEN "
+            "((strpos('0123456789abcdef', substr(hh, (j // 4)::INT + 1, 1)) - 1) "
+            ">> (j % 4)::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM bitsj GROUP BY 1, 2), "
+            "chunks AS (SELECT doc_id, (j // 16)::INT AS chunk_id, "
+            "sum(CASE WHEN v > 0 THEN 1 << (j % 16)::INT ELSE 0 END)::INT AS chunk_val "
+            "FROM votes GROUP BY 1, 2), "
+            "bc AS (SELECT chunk_id, chunk_val, count(*) AS c FROM chunks GROUP BY 1, 2), "
+            "ck AS (SELECT chunks.doc_id, chunks.chunk_id, chunks.chunk_val "
+            "FROM chunks JOIN bc USING(chunk_id, chunk_val) WHERE bc.c <= 1000), "
+            "sig AS (SELECT doc_id, "
+            "max(CASE WHEN chunk_id = 0 THEN chunk_val END) AS c0, "
+            "max(CASE WHEN chunk_id = 1 THEN chunk_val END) AS c1, "
+            "max(CASE WHEN chunk_id = 2 THEN chunk_val END) AS c2, "
+            "max(CASE WHEN chunk_id = 3 THEN chunk_val END) AS c3 "
+            "FROM chunks GROUP BY 1), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ck a "
+            "JOIN ck b USING(chunk_id, chunk_val) WHERE a.doc_id < b.doc_id), "
+            "ham AS (SELECT da, db, bit_count(xor(sa.c0, sb.c0)) + "
+            "bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + "
+            "bit_count(xor(sa.c3, sb.c3)) AS hamming FROM pairs "
+            "JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db) "
+            "SELECT count(*)::BIGINT AS n_pairs FROM ham WHERE hamming <= 3"
         ),
     }

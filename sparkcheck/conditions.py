@@ -39,12 +39,31 @@ class ConditionSpec:
     ignore_nulls: bool = True
     is_window: bool = False
 
-    def unexpected(self, domain: Domain, kwargs: dict[str, Any]) -> Column:
-        """The full null-aware unexpected mask."""
-        expected = self.build(domain, kwargs)
-        if self.ignore_nulls:
-            return self._nonnull(domain) & ~expected
-        return ~expected
+    def unexpected(
+        self,
+        domain: Domain,
+        kwargs: dict[str, Any],
+        float_cols: frozenset[str] = frozenset(),
+    ) -> Column:
+        """The full null-aware unexpected mask.
+
+        ``float_cols`` enables NaN≡NULL semantics (pandas parity, see
+        metrics.domain_col): on a float/double column a NaN value is never
+        "unexpected" for value checks — it is *missing* — and nullity
+        checks treat it exactly like NULL (reference Spark engine's
+        ``filter_nan`` analog, sparkdf_execution_engine.py:665-700, applied
+        uniformly as the Pandas engine does implicitly).
+        """
+        is_float = domain.column is not None and domain.column in float_cols
+        if not self.ignore_nulls:
+            if is_float and self.name in ("column_values.nonnull", "column_values.null"):
+                missing = F.col(domain.column).isNull() | F.isnan(F.col(domain.column))
+                return missing if self.name == "column_values.nonnull" else ~missing
+            return ~self.build(domain, kwargs)
+        guard = self._nonnull(domain)
+        if is_float:
+            guard = guard & ~F.isnan(F.col(domain.column))
+        return guard & ~self.build(domain, kwargs)
 
     @staticmethod
     def _nonnull(domain: Domain) -> Column:

@@ -27,6 +27,8 @@ differences across engines and keeps the DuckDB oracle exact.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,8 +113,11 @@ def jaccard_pairs(
     # The shingle table feeds the self-join twice plus the size aggregate;
     # without caching, the scan + shingle + md5 pipeline re-runs three
     # times. The table is compact ((doc_id, shingle) pairs — a fraction of
-    # corpus bytes) so MEMORY_AND_DISK is safe even at large scale; Spark's
-    # ContextCleaner drops the cache when the plan is garbage-collected.
+    # corpus bytes) so MEMORY_AND_DISK is safe even at large scale. The
+    # cache is explicitly released before returning (the result below is
+    # eagerly localCheckpoint-ed, so the returned DataFrame no longer
+    # depends on the cached lineage); relying on ContextCleaner GC left
+    # cached blocks piling up across repeated calls in a long-lived driver.
     from pyspark.storagelevel import StorageLevel
 
     sh = doc_shingles(docs, n, text_col, id_col, max_df).persist(
@@ -138,6 +143,11 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # materialize the (small, above-threshold) pair set so the shingle
+    # cache can be dropped deterministically — localCheckpoint truncates
+    # the lineage to the stored result partitions
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
@@ -254,41 +264,72 @@ def near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks; pigeonhole covers max_hamming <= 3
+DEFAULT_MAX_BUCKET = 1000  # per-(chunk, value) doc cap — quadratic-hot-key guard
+
+
+def _shingle_bit(j: int) -> Column:
+    """Bit j (0..63) of the shingle hash, from md5 hex nibbles: nibble
+    k = j//4 (hex char k+1 of md5), bit j%4 within the nibble. md5 is the
+    cross-engine hash (xxhash64 has no DuckDB equivalent; md5 keeps the
+    oracle exact)."""
+    nib = F.conv(F.substring(F.col("hh"), j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+
+def simhash_chunks(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, c0..c3) — the 64-bit SimHash signature as four 16-bit chunk
+    ints. Bit j = majority vote of bit j of md5(shingle) over the doc's
+    shingles; the vote is 64 fused sum(when) columns in ONE groupBy(doc)
+    pass (map-side combine, no per-bit shuffle), chunks reassembled with
+    shifts. Pure integer Column ops, zero Python.
+
+    Chunk ints (not one bigint) are the working form: 16-bit values avoid
+    the sign-bit wrap at bit 63 and give the banding join 65,536 bucket
+    values per chunk — the 8-bit-chunk variant had only 256, which makes
+    every bucket hold n_docs/256 docs and the self-join quadratic at
+    corpus scale."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("hh"))
+    votes = [
+        F.sum(F.when(_shingle_bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*votes)
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        chunk = F.lit(0)
+        for k in range(16):
+            j = c * 16 + k
+            chunk = chunk + F.when(
+                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1), k)
+            ).otherwise(F.lit(0))
+        chunk_cols.append(chunk.cast("int").alias(f"c{c}"))
+    return per_doc.select("doc_id", *chunk_cols)
+
+
 def simhash(
     docs: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, simhash:bigint). Bit j of the signature = majority vote of
-    bit j of xxhash64(shingle) over the doc's shingles. The vote is a SUM
-    aggregate per (doc, bit) — computed as n_bits fused sum(when) columns in
-    ONE groupBy(doc) pass (no per-bit shuffle), then reassembled with
-    bitwise ORs. Pure integer Column ops, zero Python."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for j in range(n_bits):
-        # shiftleft wraps at bit 63 exactly like Java's long << — bit 63 sets
-        # the sign bit, which is fine: the signature is an opaque 64-bit word.
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    """(doc_id, simhash:bigint) — the assembled 64-bit signature. Bit 63
+    wraps into the sign bit exactly like Java's long<<; the signature is an
+    opaque word."""
+    sig = simhash_chunks(docs, n, text_col, id_col)
+    out = F.lit(0).cast("long")
+    for c in range(SIMHASH_CHUNKS):
+        out = out.bitwiseOR(F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c))
+    return sig.select("doc_id", out.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -297,38 +338,53 @@ def simhash_near_duplicates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_chunks: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into n_chunks 8-bit
-    chunks; pigeonhole => any pair within max_hamming <= n_chunks-1 shares
-    at least one exact chunk. Join per chunk, then filter by true Hamming
-    distance via bit_count(xor)."""
-    sig = simhash(docs, n, text_col, id_col)
+    """Near-dup pairs by SimHash banding: 4 x 16-bit chunks; pigeonhole =>
+    any pair within max_hamming <= 3 shares at least one exact chunk. Join
+    per chunk bucket, then filter by true Hamming distance (bit_count of
+    per-chunk xors).
+
+    ``max_bucket`` drops (chunk_id, chunk_val) buckets holding more than
+    that many docs before the self-join — the analog of ``max_df`` in
+    doc_shingles: one degenerate bucket (e.g. the all-zeros chunk from
+    near-empty docs) would otherwise create a quadratic hot key. Dropping a
+    bucket only loses recall for pairs whose OTHER 3 chunks all differ."""
+    sig = simhash_chunks(docs, n, text_col, id_col)
     chunks = sig.select(
         "doc_id",
-        "simhash",
+        *[f"c{c}" for c in range(SIMHASH_CHUNKS)],
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255))
-                    for c in range(n_chunks)
-                ]
-            )
+            F.array(*[F.col(f"c{c}") for c in range(SIMHASH_CHUNKS)])
         ).alias("chunk_id", "chunk_val"),
     )
+    if max_bucket is not None:
+        bucket_counts = chunks.groupBy("chunk_id", "chunk_val").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        keep = bucket_counts.where(F.col("__bc") <= max_bucket).select(
+            "chunk_id", "chunk_val"
+        )
+        chunks = chunks.join(keep, on=["chunk_id", "chunk_val"], how="inner")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    pairs = (
+    hamming = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(
+                F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")).cast("long")
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ],
+    )
+    return (
         a.join(b, on=["chunk_id", "chunk_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs

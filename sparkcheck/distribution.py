@@ -44,7 +44,7 @@ from .metrics import (
 
 
 @agg_metric("column.histogram")
-def _histogram(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _histogram(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     """Bin counts + below/above-partition tails as ONE aggregate array.
 
     Result: array<long> of length n_bins + 2:
@@ -54,8 +54,10 @@ def _histogram(domain: Domain, cfg: MetricConfiguration) -> Column:
     column_histogram.py:279; same semantics here). ±inf endpoints become
     one-sided predicates (expect_column_kl_divergence...py:558-698 cases).
     """
+    from .metrics import domain_col
+
     bins = [float(b) for b in cfg.kw("bins")]
-    col = F.col(domain.column)
+    col = domain_col(domain, ctx)  # NaN≡NULL on float columns
 
     def cnt(cond: Column) -> Column:
         return F.coalesce(F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0))

@@ -114,6 +114,15 @@ class ColumnMapExpectation(Expectation):
                 out[k] = cfg.get(k)
         return out
 
+    def resolved_condition_kwargs(
+        self, cfg: ExpectationConfiguration, resolver: MetricResolver
+    ) -> dict[str, Any]:
+        """Condition kwargs with any stage-1 statistics resolved — what
+        violation-row extraction (summarize.suite_violations) must use for
+        two-stage expectations whose condition needs computed parameters
+        (z-scores need mean/stddev before the mask can be built)."""
+        return self._condition_kwargs(cfg)
+
     def _frozen_cond(self, cfg: ExpectationConfiguration, **extra: Any) -> tuple:
         return freeze_kwargs(
             condition=self.condition_name,
@@ -239,6 +248,11 @@ class ZScoreExpectation(ColumnMapExpectation):
             out["stddev"] = cfg.get("stddev")
         out.setdefault("double_sided", True)
         return out
+
+    def resolved_condition_kwargs(self, cfg, resolver):
+        stats = self._stats_reqs(cfg)
+        resolver.resolve(list(stats.values()))
+        return self._condition_kwargs(self._with_stats(cfg, resolver, stats))
 
     def validate(self, cfg, rf, resolver):
         stats = self._stats_reqs(cfg)
@@ -719,13 +733,21 @@ class SqlQueryExpectation(Expectation):
         return {}
 
     def validate(self, cfg, rf, resolver):
+        import uuid as _uuid
+
         df = resolver.df
-        view = "sparkcheck_active_batch"
+        # unique per-call view name: a fixed name lets two validators on the
+        # same SparkSession clobber each other's view and silently query the
+        # wrong DataFrame; dropped in finally so nothing leaks
+        view = f"sparkcheck_active_batch_{_uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
-        sql = cfg.get("query", "").replace("{active_batch}", view)
-        out = df.sparkSession.sql(sql)
-        limit = rf["partial_unexpected_count"]
-        sample = out.limit(limit + 1).collect()
+        try:
+            sql = cfg.get("query", "").replace("{active_batch}", view)
+            out = df.sparkSession.sql(sql)
+            limit = rf["partial_unexpected_count"]
+            sample = out.limit(limit + 1).collect()
+        finally:
+            df.sparkSession.catalog.dropTempView(view)
         n = len(sample)
         ret: dict[str, Any] = {"success": n == 0}
         if rf["result_format"] != "BOOLEAN_ONLY":

@@ -41,6 +41,35 @@ def _stable_id(obj: Any) -> str:
     ).hexdigest()
 
 
+_FLOAT_TYPES = ("float", "double")
+
+
+def float_columns(df: DataFrame) -> frozenset[str]:
+    """Names of float/double columns — the ones where NaN is possible."""
+    return frozenset(n for n, t in df.dtypes if t in _FLOAT_TYPES)
+
+
+def domain_col(domain: "Domain", ctx: "MetricResolver | None" = None) -> Column:
+    """The domain's accessor column with NaN≡NULL semantics for float
+    columns: NaN values are masked to NULL so every aggregate and count
+    skips them exactly like nulls.
+
+    Rationale: GX's cross-backend authority is the Pandas engine, where NaN
+    *is* null (so ``column.mean`` skips NaN and NaN never counts as an
+    unexpected value); the reference's Spark engine only injects
+    ``NOT isnan(col)`` for increasing/decreasing
+    (sparkdf_execution_engine.py:665-700 ``add_column_row_condition``
+    ``filter_nan``; callers column_values_increasing.py:105-108). We apply
+    the pandas-parity semantics uniformly — done as an expression (not a
+    row filter) so metrics on different columns still share ONE fused
+    df.agg pass.
+    """
+    c = F.col(domain.column)
+    if ctx is not None and domain.column in ctx.float_cols:
+        return F.when(~F.isnan(c), c)
+    return c
+
+
 @dataclass(frozen=True)
 class Domain:
     """The sub-table a metric is computed over (reference:
@@ -126,8 +155,8 @@ class MetricSpec:
 
     name: str
     kind: str  # 'agg' | 'eager' | 'derived'
-    # agg: (domain, metric_cfg) -> Column (unevaluated aggregate)
-    agg_fn: Callable[[Domain, MetricConfiguration], Column] | None = None
+    # agg: (domain, metric_cfg, resolver_ctx) -> Column (unevaluated aggregate)
+    agg_fn: Callable[..., Column] | None = None
     # eager: (engine, domain_df, metric_cfg, resolved) -> value
     eager_fn: Callable[..., Any] | None = None
     # derived: (resolved, metric_cfg) -> value
@@ -152,7 +181,7 @@ def get_metric_spec(name: str) -> MetricSpec:
 
 
 def agg_metric(name: str):
-    """Decorator: register fn(domain, cfg) -> Column as a bundled aggregate."""
+    """Decorator: register fn(domain, cfg, ctx) -> Column as a bundled aggregate."""
 
     def deco(fn):
         register_metric(MetricSpec(name=name, kind="agg", agg_fn=fn))
@@ -179,6 +208,24 @@ def derived_metric(name: str, deps_fn=None):
     return deco
 
 
+def _is_transient(e: Exception) -> bool:
+    """Whether a metric failure is worth retrying (reference retries every
+    failure MAX_METRIC_COMPUTATION_RETRIES times, validation_graph.py:38;
+    we classify: analysis/type/value errors are deterministic and fail the
+    same way every time, so only infrastructure-flavored failures retry)."""
+    try:  # pyspark exception taxonomy (Spark 3.4+)
+        from pyspark.errors import AnalysisException, PySparkException  # noqa: PLC0415
+
+        if isinstance(e, AnalysisException):
+            return False
+        if isinstance(e, PySparkException) and not isinstance(e, AnalysisException):
+            # runtime Spark failures (executor loss, fetch failure, ...)
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    return not isinstance(e, (KeyError, TypeError, ValueError, AttributeError))
+
+
 class MetricResolver:
     """Dependency-driven resolver with per-compute-domain agg bundling.
 
@@ -194,6 +241,8 @@ class MetricResolver:
         self.df = df
         self.cache: dict[tuple, Any] = {}
         self._domain_df_cache: dict[str, DataFrame] = {}
+        # float/double columns get NaN==NULL semantics (see domain_col)
+        self.float_cols = float_columns(df)
 
     def domain_df(self, domain: Domain) -> DataFrame:
         key = domain.compute_id
@@ -241,7 +290,7 @@ class MetricResolver:
                 ddf = self.domain_df(cfgs[0].domain)
                 aliased = []
                 for i, cfg in enumerate(cfgs):
-                    col = get_metric_spec(cfg.name).agg_fn(cfg.domain, cfg)
+                    col = get_metric_spec(cfg.name).agg_fn(cfg.domain, cfg, self)
                     aliased.append(col.alias(f"m_{i}"))
                 row = ddf.agg(*aliased).collect()[0]
                 for i, cfg in enumerate(cfgs):
@@ -265,6 +314,12 @@ class MetricResolver:
                         break
                     except Exception as e:  # noqa: BLE001 — retry then surface
                         last_err = e
+                        if not _is_transient(e):
+                            # deterministic failures (bad column name, bad
+                            # SQL, driver-side math) would fail identically
+                            # on every retry — surface immediately instead
+                            # of burning MAX_RETRIES-1 useless cluster jobs
+                            break
                 if last_err is not None:
                     raise last_err
                 self.cache[cfg.id] = value
@@ -282,61 +337,62 @@ class MetricResolver:
 
 
 @agg_metric("table.row_count")
-def _row_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _row_count(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # reference: table_metrics/table_row_count.py:58-66 (F.count(F.lit(1)))
     return F.count(F.lit(1))
 
 
 @agg_metric("column.null_count")
-def _null_count(domain: Domain, cfg: MetricConfiguration) -> Column:
-    return F.sum(F.col(domain.column).isNull().cast("long"))
+def _null_count(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    # NaN counts as missing on float columns (pandas parity, see domain_col)
+    return F.count(F.lit(1)) - F.count(domain_col(domain, ctx))
 
 
 @agg_metric("column.nonnull_count")
-def _nonnull_count(domain: Domain, cfg: MetricConfiguration) -> Column:
-    return F.count(F.col(domain.column))
+def _nonnull_count(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    return F.count(domain_col(domain, ctx))
 
 
 @agg_metric("column.mean")
-def _mean(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _mean(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # reference: column_aggregate_metrics/column_mean.py:31-37
-    return F.mean(F.col(domain.column))
+    return F.mean(domain_col(domain, ctx))
 
 
 @agg_metric("column.standard_deviation")
-def _stddev(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _stddev(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # reference: column_standard_deviation.py:93-96 (sample stddev, n-1)
-    return F.stddev_samp(F.col(domain.column))
+    return F.stddev_samp(domain_col(domain, ctx))
 
 
 @agg_metric("column.min")
-def _min(domain: Domain, cfg: MetricConfiguration) -> Column:
-    return F.min(F.col(domain.column))
+def _min(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    return F.min(domain_col(domain, ctx))
 
 
 @agg_metric("column.max")
-def _max(domain: Domain, cfg: MetricConfiguration) -> Column:
-    return F.max(F.col(domain.column))
+def _max(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    return F.max(domain_col(domain, ctx))
 
 
 @agg_metric("column.sum")
-def _sum(domain: Domain, cfg: MetricConfiguration) -> Column:
-    return F.sum(F.col(domain.column))
+def _sum(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    return F.sum(domain_col(domain, ctx))
 
 
 @agg_metric("column.distinct_values.count")
-def _distinct_count(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _distinct_count(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     """Distinct count. Default is the HLL sketch (north rule: HLL for
     uniqueness at 10^12 scale); exact=True falls back to countDistinct for
     fixture parity (reference uses exact: column_distinct_values.py:122-132).
     """
     if cfg.kw("exact", False):
-        return F.countDistinct(F.col(domain.column))
-    return F.approx_count_distinct(F.col(domain.column), rsd=cfg.kw("rsd", 0.01))
+        return F.countDistinct(domain_col(domain, ctx))
+    return F.approx_count_distinct(domain_col(domain, ctx), rsd=cfg.kw("rsd", 0.01))
 
 
 @agg_metric("column.quantile_values")
-def _quantiles(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _quantiles(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     """Quantiles inside the bundled agg.
 
     Default: ``percentile_approx`` (t-digest-style sketch, mergeable across
@@ -346,7 +402,7 @@ def _quantiles(domain: Domain, cfg: MetricConfiguration) -> Column:
     a *separate driver action*; folding into the single agg pass saves a job.
     """
     qs = list(cfg.kw("quantiles", (0.25, 0.5, 0.75)))
-    col = F.col(domain.column)
+    col = domain_col(domain, ctx)
     qlit = F.array(*[F.lit(float(q)) for q in qs])
     if cfg.kw("exact", False):
         return F.percentile(col, qlit)
@@ -355,20 +411,20 @@ def _quantiles(domain: Domain, cfg: MetricConfiguration) -> Column:
 
 
 @agg_metric("column.median")
-def _median(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _median(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # reference: column_median.py:91-121 (approxQuantile epsilon trick);
     # ours: exact interpolated median in the fused agg.
-    return F.percentile(F.col(domain.column), F.lit(0.5))
+    return F.percentile(domain_col(domain, ctx), F.lit(0.5))
 
 
 @agg_metric("column_values.length.min")
-def _len_min(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _len_min(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # reference: column_values_length_min.py:31-32
     return F.min(F.length(F.col(domain.column)))
 
 
 @agg_metric("column_values.length.max")
-def _len_max(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _len_max(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     return F.max(F.length(F.col(domain.column)))
 
 
@@ -392,21 +448,40 @@ def _unique_proportion(resolved: dict, cfg: MetricConfiguration):
     return (distinct / nonnull) if nonnull else 0.0
 
 
+# collect() ceiling for full value histograms: a typo'd high-cardinality
+# column must error, not OOM the driver (the docstring-only warning was not
+# enforceable). Raise via value_kwargs max_groups when genuinely needed.
+VALUE_COUNTS_MAX_GROUPS = 100_000
+
+
 @eager_metric("column.value_counts")
 def _value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
     """Value counts, collected. reference: column_value_counts.py:135-166.
 
-    NOTE: collect() of a full value histogram is only safe for
-    low-cardinality columns; the runner uses it for categorical KL only.
-    """
+    collect() of a full value histogram is only safe for low-cardinality
+    columns (categorical KL, distinct-set checks); the ``max_groups`` cap is
+    ENFORCED — fetching max_groups+1 rows costs nothing extra and turns a
+    driver OOM into a clean error."""
     col = cfg.domain.column
     sort = cfg.kw("sort", "value")
-    out = ddf.where(F.col(col).isNotNull()).groupBy(col).count()
+    max_groups = int(cfg.kw("max_groups", VALUE_COUNTS_MAX_GROUPS))
+    nn = F.col(col).isNotNull()
+    if col in resolver.float_cols:
+        nn = nn & ~F.isnan(F.col(col))
+    out = ddf.where(nn).groupBy(col).count()
     if sort == "count":
         out = out.orderBy(F.desc("count"), F.col(col))
     else:
         out = out.orderBy(F.col(col))
-    return [(r[col], r["count"]) for r in out.collect()]
+    rows = out.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"column.value_counts on {col!r} exceeds max_groups={max_groups} "
+            "distinct values; this metric collects the full histogram to the "
+            "driver and is only meant for low-cardinality columns — raise "
+            "max_groups explicitly if this is intentional"
+        )
+    return [(r[col], r["count"]) for r in rows]
 
 
 @derived_metric(

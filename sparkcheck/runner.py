@@ -263,9 +263,40 @@ class PartitionedCorpusRunner(CheckpointRunner):
     """
 
     def __init__(self, spark: SparkSession, store: ParquetStore, corpus_path: str,
-                 n_buckets: int = 8, **kwargs):
+                 n_buckets: int | None = None, **kwargs):
+        detected = self._detect_buckets(corpus_path)
+        if n_buckets is None:
+            if detected is None:
+                raise ValueError(
+                    f"{corpus_path} has no bucket=<n> partition directories; "
+                    "pass n_buckets explicitly for unpartitioned corpora"
+                )
+            n_buckets = detected
+        elif detected is not None and detected > n_buckets:
+            # a too-small n_buckets would silently skip buckets >= n_buckets
+            # and report success on a partial run
+            raise ValueError(
+                f"corpus has {detected} bucket partitions but runner was "
+                f"configured with n_buckets={n_buckets}; buckets "
+                f">= {n_buckets} would never be validated"
+            )
         super().__init__(spark, store, n_buckets=n_buckets, **kwargs)
         self.corpus_path = corpus_path
+
+    @staticmethod
+    def _detect_buckets(corpus_path: str) -> int | None:
+        """Bucket count from the partition layout (cheap directory listing,
+        the parquet analog of reading Iceberg's partition spec). None if the
+        layout is not bucket-partitioned."""
+        try:
+            vals = [
+                int(name.split("=", 1)[1])
+                for name in os.listdir(corpus_path)
+                if name.startswith("bucket=")
+            ]
+        except (OSError, ValueError):
+            return None
+        return max(vals) + 1 if vals else None
 
     def run(self, docs: DataFrame | None, suite: ExpectationSuite,
             run_id: str | None = None, fail_after: int | None = None,

@@ -36,6 +36,7 @@ from .metrics import (
     MetricConfiguration,
     agg_metric,
     eager_metric,
+    float_columns,
 )
 
 
@@ -56,15 +57,18 @@ def condition_kwargs(cfg: MetricConfiguration) -> tuple[str, dict[str, Any]]:
     return name, kw or {}
 
 
-def unexpected_mask(cfg: MetricConfiguration) -> Column:
+def unexpected_mask(
+    cfg: MetricConfiguration, float_cols: frozenset[str] = frozenset()
+) -> Column:
     name, kw = condition_kwargs(cfg)
-    return get_condition(name).unexpected(cfg.domain, kw)
+    return get_condition(name).unexpected(cfg.domain, kw, float_cols)
 
 
 @agg_metric("map.unexpected_count")
-def _unexpected_count_agg(domain: Domain, cfg: MetricConfiguration) -> Column:
+def _unexpected_count_agg(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # joins the fused df.agg pass — reference :625-640
-    return F.sum(F.when(unexpected_mask(cfg), 1).otherwise(0))
+    fc = ctx.float_cols if ctx is not None else frozenset()
+    return F.sum(F.when(unexpected_mask(cfg, fc), 1).otherwise(0))
 
 
 @eager_metric("map.unexpected_count.window")
@@ -76,6 +80,8 @@ def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration,
     # map-side combine — same result, orders of magnitude less shuffle I/O,
     # and AQE skew-split applies to the aggregation.
     name, _kw = condition_kwargs(cfg)
+    if name in ("column_values.increasing", "column_values.decreasing"):
+        _guard_global_window(ddf, name, _kw)
     if name == "column_values.unique":
         col = cfg.domain.column
         dup = (
@@ -97,27 +103,101 @@ def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration,
             .collect()[0][0]
         )
         return int(dup or 0)
-    return ddf.withColumn("__unexpected", unexpected_mask(cfg)).filter(
-        F.col("__unexpected")
-    ).count()
+    return ddf.withColumn(
+        "__unexpected", unexpected_mask(cfg, resolver.float_cols)
+    ).filter(F.col("__unexpected")).count()
 
 
-def _filter_unexpected(ddf: DataFrame, cfg: MetricConfiguration) -> DataFrame:
-    """Materialize the mask with withColumn before filtering — window
-    expressions are not allowed directly in WHERE (Spark restriction), and
-    this form works for plain conditions too."""
+# Refusal threshold for global-ordering checks: a single-partition window
+# over more rows than this is a diagnostic misuse, not a query plan.
+GLOBAL_WINDOW_MAX_ROWS = 10_000_000
+
+
+def _guard_global_window(ddf: DataFrame, name: str, kw: dict[str, Any]) -> None:
+    """increasing/decreasing compile to a single-partition global-order
+    window (reference: column_values_increasing.py:133-137 — the documented
+    scaling hazard). They are fine as small-partition diagnostics; above
+    GLOBAL_WINDOW_MAX_ROWS rows the check refuses to run rather than
+    funneling the dataset through one task."""
+    n = ddf.count()
+    if n > GLOBAL_WINDOW_MAX_ROWS:
+        raise ValueError(
+            f"{name} evaluates a single-partition global-order window; "
+            f"refusing to run over {n} rows (> {GLOBAL_WINDOW_MAX_ROWS}). "
+            "Validate a partition/sample instead, or check monotonicity "
+            "per natural partition."
+        )
+
+
+def filter_unexpected_rows(
+    ddf: DataFrame,
+    condition_name: str,
+    domain: Domain,
+    kwargs: dict[str, Any],
+    float_cols: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Rows violating a condition, with skew-safe routing for uniqueness.
+
+    Uniqueness checks do NOT use the window mask
+    ``count().over(Window.partitionBy(col))`` — that shuffles ENTIRE rows
+    (including fat payload columns) keyed by value. Instead: derive the
+    duplicated *keys* via groupBy-count>1 (key-only shuffle with map-side
+    combine, AQE skew-split applies) and left-semi join the rows back; the
+    dup-key side is almost always tiny, so Catalyst broadcasts it and the
+    full rows are never shuffled at all. Same rows, orders of magnitude
+    less shuffle I/O at corpus scale.
+    """
+    if condition_name == "column_values.unique":
+        col = domain.column
+        dups = (
+            ddf.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select(col)
+        )
+        return ddf.join(dups, on=col, how="left_semi")
+    if condition_name == "compound_columns.unique":
+        cols = list(domain.column_list)
+        dups = (
+            ddf.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+        )
+        # null-safe equality: the window form groups NULL keys together, so
+        # the join must too
+        on = None
+        for c in cols:
+            term = ddf[c].eqNullSafe(dups[f"__k_{c}"])
+            on = term if on is None else (on & term)
+        return ddf.join(dups, on=on, how="left_semi")
+    if condition_name in ("column_values.increasing", "column_values.decreasing"):
+        _guard_global_window(ddf, condition_name, kwargs)
+    mask = get_condition(condition_name).unexpected(domain, kwargs, float_cols)
+    # materialize the mask with withColumn before filtering — window
+    # expressions are not allowed directly in WHERE (Spark restriction)
     return (
-        ddf.withColumn("__unexpected", unexpected_mask(cfg))
+        ddf.withColumn("__unexpected", mask)
         .filter(F.col("__unexpected"))
         .drop("__unexpected")
     )
+
+
+def _filter_unexpected(
+    ddf: DataFrame,
+    cfg: MetricConfiguration,
+    float_cols: frozenset[str] = frozenset(),
+) -> DataFrame:
+    name, kw = condition_kwargs(cfg)
+    return filter_unexpected_rows(ddf, name, cfg.domain, kw, float_cols)
 
 
 @eager_metric("map.unexpected_values")
 def _unexpected_values(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     # reference: column_map_condition_auxilliary_methods.py:337-384
     limit = cfg.kw("limit")
-    out = _filter_unexpected(ddf, cfg)
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols)
     dom = cfg.domain
     if dom.column is not None:
         out = out.select(F.col(dom.column).alias("v"))
@@ -145,7 +225,7 @@ def _unexpected_index_list(resolver, ddf: DataFrame, cfg: MetricConfiguration, _
         else [dom.column_a, dom.column_b]
     )
     sel = list(dict.fromkeys(index_cols + value_cols))
-    out = _filter_unexpected(ddf, cfg).select(*sel)
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols).select(*sel)
     rows = (out.limit(int(limit)) if limit else out).collect()
     return [r.asDict() for r in rows]
 
@@ -155,7 +235,7 @@ def _unexpected_value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration,
     # reference: column_map_condition_auxilliary_methods.py:387-428
     dom = cfg.domain
     out = (
-        _filter_unexpected(ddf, cfg)
+        _filter_unexpected(ddf, cfg, resolver.float_cols)
         .groupBy(F.col(dom.column).alias("v"))
         .count()
         .orderBy(F.desc("count"), F.col("v"))
@@ -179,8 +259,6 @@ def unexpected_df(
     the violations table by the runner instead of collect()ing
     (SURVEY.md §2.7 'Key deviation').
     """
-    spec = get_condition(condition_name)
-    mask = spec.unexpected(domain, kwargs)
     observed: Column
     if domain.column is not None:
         observed = F.col(domain.column).cast("string")
@@ -188,11 +266,8 @@ def unexpected_df(
         observed = F.to_json(F.struct(*[F.col(c) for c in domain.column_list]))
     else:
         observed = F.to_json(F.struct(F.col(domain.column_a), F.col(domain.column_b)))
-    out = (
-        domain.apply(df)
-        .withColumn("__unexpected", mask)
-        .filter(F.col("__unexpected"))
-        .drop("__unexpected")
+    out = filter_unexpected_rows(
+        domain.apply(df), condition_name, domain, kwargs, float_columns(df)
     )
     span_index = (
         F.col(span_index_col).cast("int") if span_index_col else F.lit(None).cast("int")
@@ -319,7 +394,12 @@ def suite_violations(
     from pyspark.sql import functions as _F
 
     from .expectations import build_domain, get_expectation
+    from .metrics import MetricResolver
 
+    # one shared resolver: two-stage expectations (z-scores) resolve their
+    # stage-1 statistics through it before the mask is built, and repeated
+    # stats across expectations are memoized into one fused agg pass
+    resolver = MetricResolver(df)
     parts = []
     for cfg in suite.expectations:
         try:
@@ -330,7 +410,7 @@ def suite_violations(
         if not cond_name:
             continue
         domain = build_domain(cfg)
-        kwargs = exp._condition_kwargs(cfg)  # noqa: SLF001 — same package
+        kwargs = exp.resolved_condition_kwargs(cfg, resolver)
         parts.append(
             unexpected_df(
                 df, domain, cond_name, kwargs, cfg.expectation_type, doc_id_col
