@@ -7,9 +7,10 @@ sf0.001 documents table and returns the per-expectation results DataFrame.
 SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
 search, text analysis, span-level checks, multimodal plumbing); each
 callable takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()``
-gives the DuckDB-equivalent ANSI SQL for every SQL-expressible query; the
-remaining entries (xxhash64-based LSH, mapInPandas media stages, the
-synthetic interleaved-span corpus) are rows-only checks by design.
+gives the DuckDB-equivalent ANSI SQL for EVERY query (39/39): hash-based
+operators (SimHash, sign-LSH, media fakes) use md5/sha256 derivations both
+engines share, and the interleaved span corpus is rebuilt in SQL from the
+documents table via the same md5 branch decisions.
 
 Cross-engine determinism rules used throughout:
   - float aggregates rounded to 4 dp (6 dp for cosines) on BOTH sides;
@@ -121,6 +122,34 @@ def _fold_dot(a: str, b: str) -> str:
 
 def _sw_list(code: str) -> str:
     return ", ".join(f"'{w}'" for w in text.STOPWORDS[code])
+
+
+def _cos_sql(a: str, b: str, round_dp: int | None = 6) -> str:
+    """Cosine via the same sequential folds as similarity.cosine."""
+    core = (
+        f"{_fold_dot(a, b)} / (sqrt({_fold_dot(a, a)}) * sqrt({_fold_dot(b, b)}))"
+    )
+    return f"round({core}, {round_dp})" if round_dp is not None else core
+
+
+def _lsh_sig_sql(n_planes: int = 8) -> tuple[str, str]:
+    """(proj column defs, signature expression) for sign-LSH in DuckDB.
+
+    The hyperplane coefficients are the SAME literal floats the Spark plan
+    embeds (similarity.plane_coeffs — md5-derived at build time), so the
+    signatures agree bit-for-bit; repr() round-trips doubles exactly."""
+    from sparkcheck.similarity import plane_coeffs
+
+    coeffs = plane_coeffs(n_planes, 64)
+    projs, sig_terms = [], []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in coeffs[p]) + "]"
+        projs.append(
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y) AS proj{p}"
+        )
+        sig_terms.append(f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)")
+    return ", ".join(projs), " + ".join(sig_terms)
 
 
 _LANG_SCORES = ", ".join(
@@ -489,38 +518,53 @@ def q_simhash_neardup_count(spark, sf):
 
 def q_lsh_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
-    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, n_planes=8)
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, n_planes=8).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rnk")
+    )
 
 
 def q_ivf_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=4
+    ).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rnk")
     )
 
 
 def q_span_struct_violations(spark, sf):
-    """North-rule interleaved corpus: deterministic synthetic docs with
-    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) -> violation
-    rows per span-level expectation, aggregated."""
-    docs = synth.generate_docs(spark, 2000)
+    """North-rule interleaved corpus (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) derived deterministically from the documents table
+    (md5-based interleave, DuckDB-replicable) -> violation rows per
+    span-level expectation from the single-pass native extractor."""
+    d = _t(spark, sf, "documents")
+    docs = spans.interleave_documents(d)
     v = spans.span_violations(docs, run_id="q", partition_id="all")
     return v.groupBy("expectation").agg(F.count(F.lit(1)).alias("n_violations"))
 
 
 def q_span_fingerprints(spark, sf):
-    docs = synth.generate_docs(spark, 1000)
-    fp = docs.select(spans.span_sequence_fingerprint("spans").alias("fp"))
-    return fp.agg(F.countDistinct("fp").alias("n_distinct_fingerprints"))
+    """Span-sequence equality invariant: per-doc md5 fingerprint of the
+    ordered (kind, text, media_ref) sequence via the Arrow pandas UDF; the
+    oracle recomputes the same byte stream in SQL, verifying the UDF
+    row-for-row."""
+    d = _t(spark, sf, "documents")
+    docs = spans.interleave_documents(d)
+    return docs.select(
+        "doc_id", spans.span_sequence_fingerprint("spans").alias("fp")
+    )
 
 
 def q_media_image_features(spark, sf):
+    """mapInPandas image feature extraction over the deterministic fake
+    media table; every feature is sha256-of-payload-derived, so the oracle
+    recomputes the identical numbers in SQL from range(256)."""
     m = media.synth_media(spark, 256)
     feats = media.image_features(m, fake=True)
     return feats.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
-        F.countDistinct("sha1").alias("n_distinct"),
+        F.countDistinct("digest").alias("n_distinct"),
     )
 
 
@@ -567,7 +611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_count": q_minhash_candidate_count,
         "ann_topk": q_ann_topk,
         "embedding_neardup_count": q_embedding_neardup_count,
-        # rows-only (non-SQL-expressible: xxhash64 LSH, mapInPandas, synth corpus)
         "simhash_neardup_count": q_simhash_neardup_count,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -871,4 +914,156 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db) "
             "SELECT count(*)::BIGINT AS n_pairs FROM ham WHERE hamming <= 3"
         ),
+
+        "lsh_ann_topk": _lsh_oracle(),
+        "ivf_ann_topk": _ivf_oracle(),
+        "span_struct_violations": _span_violations_oracle(),
+        "span_fingerprints": _span_fingerprints_oracle(),
+        "media_image_features": _media_oracle("image"),
+        "media_frame_samples": _media_oracle("frames"),
     }
+
+
+def _nib(h: str, k: int) -> str:
+    """Value of hex nibble k (1-based) of expression h."""
+    return f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+
+
+def _media_oracle(which: str) -> str:
+    """Regenerate media.synth_media from range(256) in SQL: ref layout,
+    md5-nibble kind/length branching, sha256 payloads — then replicate the
+    fake decoder's sha256-derived features (image) or the frame-count
+    arithmetic (frames: n_frames = len//32 = 2*reps, sampled every 5)."""
+    base = (
+        "WITH base AS (SELECT unnest(range(256)) AS id), "
+        "m AS (SELECT printf('media://b%d/%016x', (id % 4)::INT, id) AS ref "
+        "FROM base), "
+        f"k AS (SELECT ref, ({_nib('md5(ref)', 1)} % 3) AS kv, "
+        f"({_nib('md5(ref)', 2)} % 8) + 1 AS reps FROM m), "
+    )
+    if which == "image":
+        byte2 = f"({_nib('h', 5)} * 16 + {_nib('h', 6)})"
+        return base + (
+            "imgs AS (SELECT ref, repeat(sha256(ref), reps) AS payload "
+            "FROM k WHERE kv = 0), "
+            "feats AS (SELECT ref, sha256(payload) AS h FROM imgs) "
+            "SELECT count(*)::BIGINT AS n_images, "
+            f"round(avg({byte2} / 255.0), 4) AS avg_luma, "
+            "count(DISTINCT h)::BIGINT AS n_distinct FROM feats"
+        )
+    return base + (
+        "vids AS (SELECT ref, ((2 * reps - 1) // 5) + 1 AS n FROM k WHERE kv = 2) "
+        "SELECT coalesce(sum(n), 0)::BIGINT AS n_frames, "
+        "count(*)::BIGINT AS n_videos FROM vids"
+    )
+
+
+# Rebuild of spans.interleave_documents in SQL: same md5(doc_id|idx|tag)
+# branch decisions, same constructed kind/text/media_ref/offset per token.
+_SPAN_BUILD = (
+    "t AS (SELECT doc_id, text, "
+    + _TOKS
+    + " AS toks FROM documents), "
+    "ex AS (SELECT doc_id::VARCHAR AS did, i - 1 AS idx, toks[i] AS tok "
+    "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)), "
+    "sp AS (SELECT did, idx, tok, "
+    "substr(md5(did || '|' || idx::VARCHAR || '|k'), 1, 1) = '0' AS is_media, "
+    "substr(md5(did || '|' || idx::VARCHAR || '|p'), 1, 2) = '00' AS ptest, "
+    "substr(md5(did || '|' || idx::VARCHAR || '|m'), 1, 2) = '00' AS mtest, "
+    "(substr(md5(did || '|' || idx::VARCHAR || '|o'), 1, 1) = '0' AND idx > 0) AS otest, "
+    "'media://' || substr(md5(did || '|' || idx::VARCHAR || '|r'), 1, 8) AS ref "
+    "FROM ex), "
+    "built AS (SELECT did, idx, "
+    "CASE WHEN is_media THEN 'image' ELSE 'text' END AS kind, "
+    "CASE WHEN is_media THEN NULL WHEN ptest THEN tok || chr(1) ELSE tok END AS stext, "
+    "CASE WHEN is_media OR mtest THEN ref ELSE NULL END AS sref, "
+    "CASE WHEN otest THEN idx * 10 - 15 ELSE idx * 10 END AS soff "
+    "FROM sp)"
+)
+
+
+def _span_violations_oracle() -> str:
+    return (
+        f"WITH {_SPAN_BUILD}, "
+        "flags AS (SELECT did, idx, kind, stext, sref, soff, "
+        "lag(soff) OVER (PARTITION BY did ORDER BY idx) AS prev_off FROM built), "
+        "viol AS ("
+        "SELECT 'expect_span_text_printable' AS expectation FROM flags "
+        "WHERE kind = 'text' AND stext IS NOT NULL AND "
+        "NOT regexp_matches(stext, '^[\\x20-\\x7E]*$') "
+        "UNION ALL "
+        "SELECT 'expect_span_kind_payload_consistent' FROM flags "
+        "WHERE kind NOT IN ('text', 'image', 'audio', 'video') "
+        "OR (kind = 'text' AND (stext IS NULL OR sref IS NOT NULL)) "
+        "OR (kind <> 'text' AND (sref IS NULL OR stext IS NOT NULL)) "
+        "UNION ALL "
+        "SELECT 'expect_span_offsets_increasing' FROM flags "
+        "WHERE prev_off IS NOT NULL AND soff IS NOT NULL AND soff <= prev_off) "
+        "SELECT expectation, count(*)::BIGINT AS n_violations FROM viol GROUP BY 1"
+    )
+
+
+def _span_fingerprints_oracle() -> str:
+    # byte stream per span: kind \x00 text \x00 media_ref \x01 (nulls -> ''),
+    # concatenated in span order — identical to span_sequence_fingerprint
+    return (
+        f"WITH {_SPAN_BUILD}, "
+        "agg AS (SELECT did, md5(string_agg("
+        "kind || chr(0) || coalesce(stext, '') || chr(0) || "
+        "coalesce(sref, '') || chr(1), '' ORDER BY idx)) AS fp "
+        "FROM built GROUP BY did) "
+        "SELECT t.doc_id, CASE WHEN t.toks IS NULL THEN NULL "
+        "ELSE coalesce(agg.fp, md5('')) END AS fp "
+        "FROM t LEFT JOIN agg ON agg.did = t.doc_id::VARCHAR"
+    )
+
+
+def _lsh_oracle() -> str:
+    proj_defs, sig_expr = _lsh_sig_sql(8)
+    return (
+        f"WITH pr AS (SELECT vec_id, embedding, {proj_defs} FROM embeddings), "
+        f"sig AS (SELECT vec_id, embedding, {sig_expr} AS sig FROM pr), "
+        "q AS (SELECT vec_id AS query_id, embedding AS q_vec, sig FROM sig "
+        "WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, sig FROM sig), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"{_cos_sql('q_vec', 'c_vec')} AS cos "
+        "FROM c JOIN q USING(sig) WHERE query_id <> neighbor_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, cos, rnk::INT AS rnk FROM ranked "
+        "WHERE rnk <= 5"
+    )
+
+
+def _ivf_oracle() -> str:
+    # centroids = 16 lowest-id vectors; assignment/probes by argmax cosine
+    # with (cos DESC, centroid_id ASC) tie-break — identical float folds on
+    # both engines make the ties consistent (mirrors similarity.ivf_topk)
+    return (
+        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS "
+        "centroid_id, embedding AS c_vec "
+        "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)), "
+        "ac AS (SELECT e.vec_id, e.embedding, cent.centroid_id, "
+        f"{_cos_sql('e.embedding', 'cent.c_vec', None)} AS c_cos "
+        "FROM embeddings e CROSS JOIN cent), "
+        "asg AS (SELECT vec_id, embedding, centroid_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY c_cos DESC, centroid_id ASC) AS r FROM ac) WHERE r = 1), "
+        "qc AS (SELECT e.vec_id AS query_id, e.embedding AS q_vec, "
+        "cent.centroid_id, "
+        f"{_cos_sql('e.embedding', 'cent.c_vec', None)} AS c_cos "
+        "FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 5), "
+        "probes AS (SELECT query_id, q_vec, centroid_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY c_cos DESC, centroid_id ASC) AS r FROM qc) WHERE r <= 4), "
+        "scored AS (SELECT query_id, asg.vec_id AS neighbor_id, "
+        f"{_cos_sql('q_vec', 'asg.embedding')} AS cos "
+        "FROM asg JOIN probes USING(centroid_id) WHERE query_id <> asg.vec_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, cos, rnk::INT AS rnk FROM ranked "
+        "WHERE rnk <= 5"
+    )

@@ -46,7 +46,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
-        T.StructField("sha1", T.StringType()),
+        T.StructField("digest", T.StringType()),  # sha256 of the payload
     ]
 )
 
@@ -54,21 +54,22 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
         T.StructField("frame_index", T.IntegerType()),
-        T.StructField("frame_sha1", T.StringType()),
+        T.StructField("frame_digest", T.StringType()),
     ]
 )
 
 
 def _fake_image_decode(buf: bytes) -> dict[str, Any]:
-    """Deterministic fake decoder: dimensions/luma derived from a digest of
-    the bytes. Replace with PIL in production — same signature, same
-    downstream schema."""
-    d = hashlib.sha1(buf).digest()
+    """Deterministic fake decoder: dimensions/luma derived from the sha256
+    digest of the bytes (sha256, not sha1, so the DuckDB oracle can
+    recompute the same features in SQL). Replace with PIL in production —
+    same signature, same downstream schema."""
+    d = hashlib.sha256(buf).digest()
     return {
         "width": 64 + d[0] % 192,
         "height": 64 + d[1] % 192,
         "mean_luma": d[2] / 255.0,
-        "sha1": hashlib.sha1(buf).hexdigest(),
+        "digest": hashlib.sha256(buf).hexdigest(),
     }
 
 
@@ -125,7 +126,7 @@ def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
             "width": width,
             "height": height,
             "mean_luma": float(luma),
-            "sha1": hashlib.sha1(buf).hexdigest(),
+            "digest": hashlib.sha256(buf).hexdigest(),
         }
     return _fake_image_decode(buf)
 
@@ -176,10 +177,10 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
                     refs.append(ref)
                     idxs.append(i)
                     hashes.append(
-                        hashlib.sha1(buf + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(buf + i.to_bytes(4, "big")).hexdigest()
                     )
             yield pd.DataFrame(
-                {"media_ref": refs, "frame_index": idxs, "frame_sha1": hashes}
+                {"media_ref": refs, "frame_index": idxs, "frame_digest": hashes}
             )
 
     pruned = media.where(F.col("kind") == "video").select("media_ref", "media_bytes")
@@ -251,16 +252,19 @@ def synth_ppm_media(spark, n_rows: int = 64) -> DataFrame:
 
 def synth_media(docs_or_spark, n_rows: int = 256) -> DataFrame:
     """Deterministic fake media table for tests: bytes derived from
-    sha2(media_ref) repeated to a pseudo-random length (pure Column ops)."""
+    sha2(media_ref) repeated to a pseudo-random length (pure Column ops).
+    Kind/length branching is md5(ref)-nibble-derived (not xxhash64) so the
+    DuckDB oracle regenerates the identical table from range(n_rows)."""
     spark = docs_or_spark if not isinstance(docs_or_spark, DataFrame) else docs_or_spark.sparkSession
     base = spark.range(n_rows)
+    ref = F.format_string("media://b%d/%016x", F.pmod("id", F.lit(4)), F.col("id"))
+    h = F.md5(ref)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3)) + 1).cast("int"),
+        (F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 3) + 1,
     )
-    ref = F.format_string("media://b%d/%016x", F.pmod("id", F.lit(4)), F.col("id"))
     # payload: sha2 hex repeated r times -> deterministic pseudo-bytes
-    reps = (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(8)) + 1).cast("int")
+    reps = (F.conv(F.substring(h, 2, 1), 16, 10).cast("int") % 8) + 1
     payload = F.encode(F.repeat(F.sha2(ref.cast("binary"), 256), reps), "utf-8")
     return base.select(
         ref.alias("media_ref"),

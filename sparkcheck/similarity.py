@@ -109,30 +109,47 @@ def cosine_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def _plane_coeff(plane: Column, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
-    derived from xxhash64(plane, dim) so every executor regenerates the same
-    planes with zero driver state shipped."""
-    h = F.pmod(F.xxhash64(plane, dim_idx), F.lit(100_000))
-    return h.cast("double") / F.lit(100_000.0) - F.lit(0.5)
+DEFAULT_EMBEDDING_DIM = 64
 
 
-def sign_lsh_signature(vec_col: Column, n_planes: int = 16) -> Column:
+def plane_coeffs(n_planes: int, dim: int = DEFAULT_EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in [-0.5, 0.5):
+    coeff[p][d] = int(md5(f"{p}|{d}")[:4 hex], 16) / 65536 - 0.5.
+
+    Computed once at plan-build time and shipped as literal arrays (a few
+    hundred doubles — negligible plan size), so (a) every executor sees
+    identical planes with no RNG state, (b) the hot loop does ZERO hashing
+    per row, and (c) any engine (the DuckDB oracle included) reproduces the
+    exact floats by embedding the same literals."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def sign_lsh_signature(
+    vec_col: Column, n_planes: int = 16, dim: int = DEFAULT_EMBEDDING_DIM
+) -> Column:
     """n_planes-bit signature as an int Column; bit p = sign of the
     projection of the vector on pseudo-random plane p. Pure higher-order
-    functions — one pass over the array per plane, no explode, no shuffle."""
-    def _proj_term(p: int):
-        # closure (not default-arg capture): pyspark HOFs inspect lambda
-        # signatures, so extra default params break arity detection
-        return lambda x, i: x.cast("double") * _plane_coeff(F.lit(p), i)
-
+    functions over literal coefficient arrays — one pass over the array per
+    plane, no explode, no shuffle, no per-row hashing."""
+    coeffs = plane_coeffs(n_planes, dim)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
+        carr = F.array(*[F.lit(c) for c in coeffs[p]])
+        # coalesce: vectors shorter than dim zip against nulls — treat the
+        # missing dimensions as zeros instead of null-poisoning the fold
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                _proj_term(p),
+                carr,
+                lambda x, y: F.coalesce(x.cast("double") * y, F.lit(0.0)),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -187,38 +204,57 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n_centroids lowest-id vectors,
+    collected to the driver (tiny — n_centroids rows) and re-shipped as
+    plan literals. A k-means refinement would iterate this list; the seed
+    pick keeps the assignment reproducible for the oracle."""
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    return [(cid, [float(x) for x in r["v"]]) for cid, r in enumerate(rows)]
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """centroid_id of the nearest centroid by cosine — a pure per-row argmax
+    over literal centroid arrays: array_max of (cos, -centroid_id) structs,
+    ties to the lowest id. ZERO shuffle and zero corpus replication — the
+    previous formulation cross-joined the corpus with the centroid table and
+    ran a row_number window partitioned by vec_id, i.e. shuffled a
+    n_centroids-times-replicated corpus; this one is a narrow map."""
+    scored = [
+        F.struct(
+            cosine(vec_col, F.array(*[F.lit(x) for x in cvec])).alias("c_cos"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    return (-F.array_max(F.array(*scored))["neg_cid"]).cast("int")
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Pick n_centroids deterministic seed vectors (lowest ids) as
-    centroids; assign every vector to its nearest centroid by cosine.
-    Returns (centroids(centroid_id, c_vec), assigned(corpus + centroid_id)).
-    One broadcast join — the corpus is scanned once, never shuffled."""
-    centroids = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            # deterministic centroid ids regardless of partitioning
-            (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).alias(
-                "centroid_id"
-            ),
-            F.col(vec_col).alias("c_vec"),
-        )
-    )
-    scored = corpus.join(F.broadcast(centroids)).select(
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Assign every vector to its nearest centroid. Returns
+    (centroids list, assigned DataFrame(corpus + centroid_id)). One narrow
+    scan; at Iceberg scale the assignment would be written once and the
+    table re-clustered by centroid_id (the IVF index build)."""
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .drop("r", "c_cos")
+        _nearest_centroid(F.col(vec_col), centroids).alias("centroid_id"),
     )
     return centroids, assigned
 
@@ -233,22 +269,34 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-flat ANN: per query, score only vectors assigned to the n_probe
-    nearest centroids — scans ~n_probe/n_centroids of the corpus."""
+    nearest centroids — scans ~n_probe/n_centroids of the corpus. The probe
+    list is a per-row top-n over the literal centroid array (sort_array +
+    slice — no join, no shuffle); the only join is corpus-side
+    assigned ⋈ broadcast(probes)."""
     centroids, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probe_scores = q.join(F.broadcast(centroids)).select(
-        "query_id",
-        "q_vec",
-        "centroid_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    scored_structs = [
+        F.struct(
+            cosine(F.col("q_vec"), F.array(*[F.lit(x) for x in cvec])).alias("c_cos"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
     probes = (
-        probe_scores.withColumn("r", F.row_number().over(wq))
-        .where(F.col("r") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.slice(
+                    F.sort_array(F.array(*scored_structs), asc=False),
+                    1,
+                    n_probe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "q_vec", (-F.col("probe.neg_cid")).cast("int").alias("centroid_id"))
     )
     scored = assigned.join(F.broadcast(probes), on="centroid_id").where(
         F.col("query_id") != F.col(id_col)

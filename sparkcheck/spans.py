@@ -30,6 +30,57 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def interleave_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic interleaved span corpus derived from a plain
+    (doc_id, text) documents table: one span per whitespace token, ~1/16
+    spans are media ('image' + media_ref), with seeded defects so every
+    span-level expectation has violations:
+
+      - non-printable text  (~1/256 text spans: token + chr(1))
+      - media_ref on a text span (~1/256: kind/payload inconsistency)
+      - offset inversion    (~1/16 of non-first spans: offset dips by 15)
+
+    Every branch decision is md5(doc_id|index|tag)-derived, so any engine
+    (the DuckDB oracle included) reproduces the corpus bit-for-bit from the
+    same documents table — which turns the span-violation and
+    span-fingerprint queries into exact oracle-checked rows instead of
+    rows-only checks. Pure Column ops (transform with index lambda), one
+    narrow scan, no Python."""
+    from .text import tokens
+
+    did = F.col(id_col).cast("string")
+
+    def make(tok, i):
+        sid = F.concat(did, F.lit("|"), i.cast("string"))
+
+        def h(tag):
+            return F.md5(F.concat(sid, F.lit("|" + tag)))
+
+        is_media = F.substring(h("k"), 1, 1) == "0"
+        ptest = F.substring(h("p"), 1, 2) == "00"
+        mtest = F.substring(h("m"), 1, 2) == "00"
+        otest = (F.substring(h("o"), 1, 1) == "0") & (i > 0)
+        text_val = F.when(ptest, F.concat(tok, F.lit("\x01"))).otherwise(tok)
+        ref = F.concat(F.lit("media://"), F.substring(h("r"), 1, 8))
+        kind = F.when(is_media, F.lit("image")).otherwise(F.lit("text"))
+        text_out = F.when(~is_media, text_val)
+        ref_out = F.when(is_media | mtest, ref)
+        offset = F.when(otest, i * 10 - 15).otherwise(i * 10).cast("int")
+        return F.struct(
+            kind.alias("kind"),
+            text_out.alias("text"),
+            ref_out.alias("media_ref"),
+            offset.alias("offset"),
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(text_col), make).alias("spans"),
+    )
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
     """One row per span: (doc_id, span_index, kind, text, media_ref, offset).
 
