@@ -232,23 +232,51 @@ def _len_equals(domain: Domain, kw: dict) -> Column:
     return F.length(F.col(domain.column)) == F.lit(int(kw["value"]))
 
 
+# strftime -> Spark (Java DateTimeFormatter) pattern translations
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+    "%j": "DDD", "%f": "SSSSSS", "%p": "a",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%z": "xx", "%%": "'%'",
+}
+
+
+def strftime_to_spark_pattern(fmt: str) -> str:
+    """Translate a strftime format to a Spark datetime pattern.
+
+    Literal characters are single-quoted (Java patterns reserve ALL
+    letters, so an unquoted 'T' in an ISO format would be a pattern error);
+    unknown %-directives raise."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            d = fmt[i : i + 2]
+            if d not in _STRFTIME_MAP:
+                raise ValueError(f"unsupported strftime directive {d!r} in {fmt!r}")
+            out.append(_STRFTIME_MAP[d])
+            i += 2
+            continue
+        j = i
+        while j < len(fmt) and fmt[j] != "%":
+            j += 1
+        literal = fmt[i:j]
+        if literal.strip(" -:/.,") == "":
+            out.append(literal)  # separators need no quoting
+        else:
+            out.append("'" + literal.replace("'", "''") + "'")
+        i = j
+    return "".join(out)
+
+
 @condition("column_values.match_strftime_format")
 def _strftime(domain: Domain, kw: dict) -> Column:
-    """strftime-format match via native to_timestamp (JVM), not a Python UDF
-    (reference uses a per-row udf, column_values_match_strftime_format.py:35-59
-    — the slow path we deliberately avoid). Supports the common directives by
-    translating strftime -> Spark datetime pattern.
-    """
-    fmt = kw["strftime_format"]
-    trans = {
-        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
-        "%H": "HH", "%M": "mm", "%S": "ss", "%j": "DDD", "%f": "SSSSSS",
-    }
-    spark_fmt = fmt
-    for k, v in trans.items():
-        spark_fmt = spark_fmt.replace(k, v)
-    if re.search(r"%[A-Za-z]", spark_fmt):
-        raise ValueError(f"unsupported strftime directive in {fmt!r}")
+    """strftime-format match via native try_to_timestamp (JVM), not a Python
+    UDF (reference uses a per-row udf,
+    column_values_match_strftime_format.py:35-59 — the slow path we
+    deliberately avoid)."""
+    spark_fmt = strftime_to_spark_pattern(kw["strftime_format"])
     return F.try_to_timestamp(F.col(domain.column), F.lit(spark_fmt)).isNotNull()
 
 

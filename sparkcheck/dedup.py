@@ -270,12 +270,11 @@ DEFAULT_MAX_BUCKET = 1000  # per-(chunk, value) doc cap — quadratic-hot-key gu
 
 
 def _shingle_bit(j: int) -> Column:
-    """Bit j (0..63) of the shingle hash, from md5 hex nibbles: nibble
-    k = j//4 (hex char k+1 of md5), bit j%4 within the nibble. md5 is the
-    cross-engine hash (xxhash64 has no DuckDB equivalent; md5 keeps the
-    oracle exact)."""
-    nib = F.conv(F.substring(F.col("hh"), j // 4 + 1, 1), 16, 10).cast("int")
-    return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+    """Bit j (0..63) of the shingle hash: bit j%4 of pre-projected md5
+    nibble column nib{j//4} (see simhash_chunks — nibbles are extracted
+    once per shingle row, not once per bit). md5 is the cross-engine hash
+    (xxhash64 has no DuckDB equivalent; md5 keeps the oracle exact)."""
+    return F.shiftright(F.col(f"nib{j // 4}"), j % 4).bitwiseAND(F.lit(1))
 
 
 def simhash_chunks(
@@ -295,10 +294,25 @@ def simhash_chunks(
     values per chunk — the 8-bit-chunk variant had only 256, which makes
     every bucket hold n_docs/256 docs and the self-join quadratic at
     corpus scale."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    ).select("doc_id", F.md5("shingle").alias("hh"))
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("hh"))
+        # 16 nibble ints projected ONCE per shingle; the 64 vote aggregates
+        # then only shift+mask ints (the conv/substring work is not repeated
+        # 4x per nibble inside the aggregate expressions)
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("hh", k + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"nib{k}")
+                for k in range(16)
+            ],
+        )
+    )
     votes = [
         F.sum(F.when(_shingle_bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)

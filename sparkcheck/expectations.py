@@ -45,13 +45,36 @@ def list_expectations() -> list[str]:
     return sorted(_EXPECTATIONS)
 
 
+def _ignore_row_if_sql(cols: list[str], mode: str | None) -> str | None:
+    """ignore_row_if as a SQL keep-filter for pair/multicolumn domains
+    (reference: sparkdf_execution_engine.py:537-588). None for never/neither."""
+    if not mode or not cols:
+        return None
+    nulls = [f"`{c}` IS NULL" for c in cols]
+    if mode in ("both_values_are_missing", "all_values_are_missing"):
+        return "NOT (" + " AND ".join(nulls) + ")"
+    if mode in ("either_value_is_missing", "any_value_is_missing"):
+        return "NOT (" + " OR ".join(nulls) + ")"
+    return None
+
+
 def build_domain(cfg: ExpectationConfiguration) -> Domain:
+    from .row_conditions import resolve_row_condition
+
+    multi_cols = list(cfg.get("column_list") or ())
+    pair_cols = [c for c in (cfg.get("column_A"), cfg.get("column_B")) if c]
+    ignore_sql = _ignore_row_if_sql(
+        multi_cols or pair_cols, cfg.get("ignore_row_if")
+    )
     return Domain(
-        row_condition=cfg.get("row_condition"),
+        row_condition=resolve_row_condition(
+            cfg.get("row_condition"), cfg.get("condition_parser")
+        ),
+        filter_conditions=(ignore_sql,) if ignore_sql else (),
         column=cfg.get("column"),
         column_a=cfg.get("column_A"),
         column_b=cfg.get("column_B"),
-        column_list=tuple(cfg.get("column_list") or ()),
+        column_list=tuple(multi_cols),
     )
 
 
@@ -159,6 +182,17 @@ class ColumnMapExpectation(Expectation):
             reqs["unexpected_values"] = MetricConfiguration(
                 "map.unexpected_values", domain, self._frozen_cond(cfg, limit=limit)
             )
+        if rf["result_format"] != "BOOLEAN_ONLY" and rf.get(
+            "include_unexpected_rows"
+        ):
+            limit = (
+                None
+                if rf["result_format"] == "COMPLETE"
+                else rf["partial_unexpected_count"]
+            )
+            reqs["unexpected_rows"] = MetricConfiguration(
+                "map.unexpected_rows", domain, self._frozen_cond(cfg, limit=limit)
+            )
         if rf["result_format"] in ("SUMMARY", "COMPLETE") and rf.get(
             "unexpected_index_column_names"
         ):
@@ -197,6 +231,9 @@ class ColumnMapExpectation(Expectation):
             if "unexpected_index_list" in reqs
             else None
         )
+        rows = (
+            resolver[reqs["unexpected_rows"]] if "unexpected_rows" in reqs else None
+        )
         return format_map_output(
             rf,
             success,
@@ -206,6 +243,7 @@ class ColumnMapExpectation(Expectation):
             partial_unexpected_list=values,
             unexpected_list=values if rf["result_format"] == "COMPLETE" else None,
             unexpected_index_list=index_list,
+            unexpected_rows=rows,
         )
 
 
@@ -621,6 +659,14 @@ _MAP_EXPECTATIONS = [
     ),
     (
         "expect_compound_columns_to_be_unique",
+        "compound_columns.unique",
+        (),
+    ),
+    # legacy alias in the reference's core-55 registry: same compound-key
+    # uniqueness semantics ("unique together, all duplicate instances fail" —
+    # ref expect_multicolumn_values_to_be_unique.py:27-49)
+    (
+        "expect_multicolumn_values_to_be_unique",
         "compound_columns.unique",
         (),
     ),

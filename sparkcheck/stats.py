@@ -280,6 +280,91 @@ class KsTestExpectation(Expectation):
         return ret
 
 
+class BootstrappedKsTestExpectation(Expectation):
+    """expect_column_bootstrapped_ks_test_p_value_to_be_greater_than
+    (column, partition_object={bins, weights}, p=0.05,
+    bootstrap_samples=1000, bootstrap_sample_size=2*len(weights)).
+
+    Reference (Pandas-only): column_bootstrapped_ks_test_p_value.py:22-25 —
+    repeatedly np.random.choice-samples the RAW column and runs
+    scipy.stats.kstest against the partition's interpolated CDF;
+    test_result = (1 + #(p_i >= p)) / (n_samples + 1).
+
+    Spark-native adaptation: the raw column never leaves the cluster — the
+    empirical distribution is compressed into a percentile_approx quantile
+    grid (ONE mergeable-sketch agg at any row count) and bootstrap samples
+    are drawn driver-side by inverse-CDF interpolation over that grid, with
+    a fixed seed for reproducibility. The KS statistic and the asymptotic
+    Kolmogorov p-value are computed with the same driver math as
+    KsTestExpectation (no scipy)."""
+
+    name = "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than"
+
+    def _reqs(self, cfg) -> dict[str, MetricConfiguration]:
+        g = int(cfg.get("grid_points", 200))
+        qs = tuple((i + 0.5) / g for i in range(g))
+        domain = build_domain(cfg)
+        return {
+            "quantiles": MetricConfiguration(
+                "column.quantile_values", domain,
+                freeze_kwargs(quantiles=qs, exact=bool(cfg.get("exact", False)),
+                              accuracy=int(cfg.get("accuracy", 10000))),
+            ),
+            "nonnull": MetricConfiguration("column.nonnull_count", domain),
+        }
+
+    def metric_requests(self, cfg, rf):
+        return self._reqs(cfg)
+
+    def validate(self, cfg, rf, resolver):
+        po = cfg.get("partition_object") or {}
+        bins = np.asarray(po.get("bins", ()), dtype=float)
+        weights = np.asarray(po.get("weights", ()), dtype=float)
+        if len(bins) != len(weights) + 1 or len(weights) == 0:
+            raise ValueError("invalid continuous partition object")
+        if not np.isfinite(bins).all():
+            # reference raises the same constraint (:38-42)
+            raise ValueError("Partition endpoints must be finite.")
+        test_cdf = np.append([0.0], np.cumsum(weights / weights.sum()))
+
+        reqs = self._reqs(cfg)
+        grid = np.asarray(
+            [q for q in (resolver[reqs["quantiles"]] or []) if q is not None],
+            dtype=float,
+        )
+        n = int(resolver[reqs["nonnull"]] or 0)
+        p = float(cfg.get("p", 0.05))
+        n_samples = int(cfg.get("bootstrap_samples", 1000))
+        size = int(cfg.get("bootstrap_sample_size", 2 * len(weights)))
+        if n == 0 or grid.size == 0:
+            observed = 1.0
+        else:
+            g = grid.size
+            positions = (np.arange(g) + 0.5) / g
+            rng = np.random.default_rng(int(cfg.get("seed", 7)))
+            hits = 0
+            for _ in range(n_samples):
+                xs = np.sort(np.interp(rng.random(size), positions, grid))
+                fvals = np.interp(xs, bins, test_cdf)
+                iarr = np.arange(size)
+                d = max(
+                    float(np.max(fvals - iarr / size)),
+                    float(np.max((iarr + 1) / size - fvals)),
+                )
+                if ks_p_value(d, size) >= p:
+                    hits += 1
+            observed = (1 + hits) / (n_samples + 1)
+        ret: dict[str, Any] = {"success": observed > p}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": observed,
+                "details": {"bootstrap_samples": n_samples,
+                            "bootstrap_sample_size": size},
+            }
+        return ret
+
+
 register_expectation(CramersPhiExpectation())
 register_expectation(ChisquareTestExpectation())
 register_expectation(KsTestExpectation())
+register_expectation(BootstrappedKsTestExpectation())

@@ -230,6 +230,18 @@ def _unexpected_index_list(resolver, ddf: DataFrame, cfg: MetricConfiguration, _
     return [r.asDict() for r in rows]
 
 
+@eager_metric("map.unexpected_rows")
+def _unexpected_rows(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    """Whole violating rows for ``include_unexpected_rows`` (reference:
+    map_condition_auxilliary_methods.py:671-700 ``_spark_map_condition_rows``
+    — COMPLETE collects all, otherwise limit(partial_unexpected_count);
+    surfaced in the EVR by expectation.py:3543-3548)."""
+    limit = cfg.kw("limit")
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols)
+    rows = (out.limit(int(limit)) if limit else out).collect()
+    return [r.asDict(recursive=True) for r in rows]
+
+
 @eager_metric("map.unexpected_value_counts")
 def _unexpected_value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     # reference: column_map_condition_auxilliary_methods.py:387-428
@@ -289,6 +301,7 @@ def format_map_output(
     partial_unexpected_list: list[Any] | None = None,
     unexpected_list: list[Any] | None = None,
     unexpected_index_list: list[dict] | None = None,
+    unexpected_rows: list[dict] | None = None,
 ) -> dict[str, Any]:
     """Port of _format_map_output (expectation.py:3465-3609)."""
     rf = result_format["result_format"]
@@ -322,6 +335,11 @@ def format_map_output(
         "unexpected_percent_nonmissing": unexpected_percent_nonmissing,
         "partial_unexpected_list": partial,
     }
+    # unexpected_rows lands at BASIC level and above when requested
+    # (reference expectation.py:3543-3548 — the update precedes the BASIC
+    # early-return)
+    if result_format.get("include_unexpected_rows"):
+        ret["result"]["unexpected_rows"] = unexpected_rows
     if rf == "BASIC":
         return ret
 

@@ -156,21 +156,59 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
 
 
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document text-analysis profile — one narrow scan, no shuffle."""
-    return docs.select(
+    """Per-document text-analysis profile — one narrow scan, no shuffle.
+
+    The token array is materialized ONCE in an inner projection and every
+    metric references that column. Composing the helpers directly would
+    re-expand ``filter(split(lower(text)))`` per metric (~8x); codegen's
+    subexpression elimination recovers the flat copies but NOT the ones
+    inside higher-order functions, which are interpreted (the BENCH finding
+    behind the 4.4s text_profile row in round 1). Catalyst keeps the inner
+    projection because the alias is non-cheap and multiply referenced."""
+    base = docs.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        char_count(text_col).alias("n_chars"),
-        F.round(F.coalesce(mean_token_length(text_col), F.lit(0.0)), 4).alias(
-            "mean_token_len"
-        ),
-        F.round(F.coalesce(stopword_ratio(text_col), F.lit(0.0)), 4).alias(
-            "stopword_ratio"
-        ),
-        F.round(F.coalesce(non_alnum_ratio(text_col), F.lit(0.0)), 4).alias(
-            "non_alnum_ratio"
-        ),
-        F.round(quality_score(text_col), 4).alias("quality"),
-        langid(text_col).alias("pred_lang"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.col(text_col).alias("__txt"),
+        tokens(text_col).alias("__toks"),
+    )
+    toks, txt = F.col("__toks"), F.col("__txt")
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_tok = F.when(n > 0, total_len.cast("double") / nd)
+    sw_hits = F.size(F.filter(toks, _member_of(DEFAULT_QUALITY_STOPWORDS)))
+    sw_ratio = F.when(n > 0, sw_hits.cast("double") / nd)
+    low = F.lower(txt)
+    kept = F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+    na_ratio = F.when(
+        F.length(low) > 0, (F.length(low) - kept).cast("double") / F.length(low)
+    )
+    quality = (
+        F.least(nd / F.lit(20.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(F.coalesce(sw_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
+        * F.lit(0.25)
+        + (
+            F.lit(1.0)
+            - F.least(F.coalesce(na_ratio, F.lit(1.0)) * F.lit(2.0), F.lit(1.0))
+        )
+        * F.lit(0.25)
+    )
+    scored = []
+    for code, words in sorted(STOPWORDS.items()):
+        hits = F.size(F.filter(toks, _member_of(words)))
+        score = F.when(n > 0, hits.cast("double") / nd).otherwise(F.lit(0.0))
+        scored.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
+    best = F.array_max(F.array(*scored))
+    pred_lang = F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+    return base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.length(txt).alias("n_chars"),
+        F.round(F.coalesce(mean_tok, F.lit(0.0)), 4).alias("mean_token_len"),
+        F.round(F.coalesce(sw_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(F.coalesce(na_ratio, F.lit(0.0)), 4).alias("non_alnum_ratio"),
+        F.round(quality, 4).alias("quality"),
+        pred_lang.alias("pred_lang"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )

@@ -162,18 +162,20 @@ class Validator:
 def _bind_config(
     cfg: ExpectationConfiguration, params: dict[str, Any]
 ) -> ExpectationConfiguration:
-    """Substitute ``{"$PARAMETER": "name"}`` kwarg values from the bound
-    evaluation parameters — the minimal core of the reference's
-    evaluation-parameter DSL (core/evaluation_parameters.py; priority
-    runtime > suite per validator.py:1583-1607). Unknown names raise, which
-    catch_exceptions converts into a failed EVR for that expectation."""
+    """Substitute ``{"$PARAMETER": <name-or-expression>}`` kwarg values from
+    the bound evaluation parameters (reference
+    core/evaluation_parameters.py; priority runtime > suite per
+    validator.py:1583-1607). A bare name passes its value through any type;
+    anything else evaluates as the arithmetic DSL
+    (``+ - * / ^``, trunc/round/abs/..., ``now()`` — see
+    evaluation_parameters.parse_evaluation_parameter). Unknown names raise,
+    which catch_exceptions converts into a failed EVR for that
+    expectation."""
+    from .evaluation_parameters import parse_evaluation_parameter
 
     def sub(v: Any) -> Any:
         if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
-            name = v["$PARAMETER"]
-            if name not in params:
-                raise KeyError(f"unbound evaluation parameter {name!r}")
-            return params[name]
+            return parse_evaluation_parameter(v["$PARAMETER"], params)
         if isinstance(v, dict):
             return {k: sub(x) for k, x in v.items()}
         if isinstance(v, list):
