@@ -35,10 +35,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_spark(cores: int | None, mem: str):
+def build_spark(cores: int | None, mem: str, offheap: str = "8g", tag: str = ""):
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.appName("sparkcheck-scaling-job")
+    builder = SparkSession.builder.appName(f"sparkcheck-scaling-job{tag}")
     if cores:
         builder = (
             builder.master(f"local[{cores}]")
@@ -58,7 +58,7 @@ def build_spark(cores: int | None, mem: str):
         # the GC heap (measured 28s -> 21s on the span pass at local[32])
         .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", "8g")
+        .config("spark.memory.offHeap.size", offheap)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # shuffle spill to tmpfs: on a single box the local disk is a
         # serial bottleneck that fakes poor CPU scaling; a real cluster
@@ -67,6 +67,19 @@ def build_spark(cores: int | None, mem: str):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def wait_barrier(barrier: str, tag: str, timeout_s: float = 600.0) -> None:
+    """File barrier for multi-JVM concurrent timing: announce readiness as
+    <barrier>.ready.<tag>, then block until the orchestrator creates
+    <barrier>.go — so every JVM starts its timed iterations at the same
+    instant and the aggregate wall-clock is a true concurrent measurement."""
+    open(f"{barrier}.ready.{tag}", "w").close()
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(f"{barrier}.go"):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"barrier {barrier}.go never appeared")
+        time.sleep(0.05)
 
 
 def main() -> None:
@@ -78,36 +91,63 @@ def main() -> None:
                     help="parquet corpus dir; overrides --docs generation")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--mem", default=os.environ.get("BENCH_DRIVER_MEM", "16g"))
+    ap.add_argument("--offheap", default=os.environ.get("BENCH_OFFHEAP", "8g"))
+    ap.add_argument("--layout", choices=("nested", "flat"), default="nested",
+                    help="nested = array<struct> spans; flat = pre-exploded "
+                         "span columns (synth.write_flat_corpus layout)")
+    ap.add_argument("--barrier", default=None,
+                    help="path prefix for multi-JVM synchronized timing")
+    ap.add_argument("--tag", default="0", help="barrier identity tag")
     args = ap.parse_args()
 
-    spark = build_spark(args.cores, args.mem)
+    spark = build_spark(args.cores, args.mem, args.offheap, f"-{args.tag}")
     spark.sparkContext.setLogLevel("ERROR")
     cores = args.cores or spark.sparkContext.defaultParallelism
 
     from sparkcheck import validate_df
-    from sparkcheck.spans import span_violations
+    from sparkcheck.spans import span_violations, span_violations_flat
     from sparkcheck.synth import generate_docs
     from bench import _synth_suite
 
-    if args.input:
-        docs = spark.read.parquet(args.input)
-        n_docs = docs.count()
-    else:
-        docs = generate_docs(spark, args.docs, n_partitions=cores * 4)
-        n_docs = args.docs
     suite = _synth_suite()
+    if args.layout == "flat":
+        # pre-exploded layout: doc-level suite over the small docs table,
+        # span checks as flat predicates over the span table
+        docs = spark.read.parquet(*[f"{p}/docs.parquet" for p in args.input.split(",")])
+        flat = spark.read.parquet(*[f"{p}/spans.parquet" for p in args.input.split(",")])
+        n_docs = docs.count()
 
-    def pipeline():
-        # BOOLEAN_ONLY: counts only — the scale configuration (violation
-        # rows flow through span_violations instead of driver collects)
-        report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
-        span_violations(docs).write.format("noop").mode("overwrite").save()
-        return report
+        def pipeline():
+            report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
+            span_violations_flat(flat).write.format("noop").mode("overwrite").save()
+            return report
 
-    # warmup: one pipeline on a small slice compiles every plan + JIT
-    wdocs = docs.limit(max(n_docs // 50, 10_000))
-    validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
-    span_violations(wdocs).write.format("noop").mode("overwrite").save()
+        wdocs, wflat = docs.limit(10_000), flat.limit(50_000)
+        validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
+        span_violations_flat(wflat).write.format("noop").mode("overwrite").save()
+    else:
+        if args.input:
+            # comma-separated paths: disjoint shard dirs read as one corpus
+            docs = spark.read.parquet(*args.input.split(","))
+            n_docs = docs.count()
+        else:
+            docs = generate_docs(spark, args.docs, n_partitions=cores * 4)
+            n_docs = args.docs
+
+        def pipeline():
+            # BOOLEAN_ONLY: counts only — the scale configuration (violation
+            # rows flow through span_violations instead of driver collects)
+            report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
+            span_violations(docs).write.format("noop").mode("overwrite").save()
+            return report
+
+        # warmup: one pipeline on a small slice compiles every plan + JIT
+        wdocs = docs.limit(max(n_docs // 50, 10_000))
+        validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
+        span_violations(wdocs).write.format("noop").mode("overwrite").save()
+
+    if args.barrier:
+        wait_barrier(args.barrier, args.tag)
 
     iters = []
     report = None

@@ -76,6 +76,45 @@ def main():
         "combine -> band bucket keys -> self-join on (band, bucket). All "
         "shuffle keys are md5-uniform, so no skew mitigation is needed.")
 
+    from sparkcheck.metrics import Domain
+    from sparkcheck.summarize import unexpected_df
+    add("Uniqueness violation EXTRACTION (groupBy + left-semi, no Window)",
+        unexpected_df(generate_docs(spark, 1000), Domain(column="doc_id"),
+                      "column_values.unique", {},
+                      "expect_column_values_to_be_unique"),
+        "Violating rows are recovered by deriving duplicated KEYS "
+        "(key-only shuffle with map-side combine) and left-semi-joining them "
+        "back — the dup-key side broadcasts, so full rows (including the fat "
+        "spans payload) are never shuffled. No Window operator appears; the "
+        "window form would shuffle entire rows keyed by value.")
+
+    from sparkcheck.spans import span_violations_flat
+    from sparkcheck.synth import FLAT_SPAN_COLUMNS  # noqa: F401
+    import tempfile, os as _os
+    flat_dir = tempfile.mkdtemp()
+    from sparkcheck.synth import write_flat_corpus
+    write_flat_corpus(spark, flat_dir, 1000)
+    add("Span violations over the FLAT span layout (storage-level fix)",
+        span_violations_flat(spark.read.parquet(f"{flat_dir}/spans.parquet")),
+        "The pre-exploded Iceberg-style layout turns the span pass into a "
+        "pure vectorized flat-column scan + predicates: `ReadSchema` lists "
+        "exactly the seven flat columns, there is no Generate/explode for "
+        "the scan itself, and the nested-array reader (the round-1 "
+        "memory-bandwidth bottleneck) is out of the picture entirely. "
+        "Measured: 3.0x throughput at local[8], 3.4x at local[32], 0.876 "
+        "scaling efficiency at 2->8 cores (BENCH/BASELINE.md round-2 "
+        "campaign).")
+
+    from sparkcheck.similarity import ivf_assign
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    add("IVF centroid assignment (broadcast-literal argmax, narrow)",
+        ivf_assign(emb, n_centroids=8)[1],
+        "Assignment is a per-row argmax over literal centroid arrays "
+        "(array_max of (cos, -cid) structs): a single Project over the scan "
+        "— no Exchange, no Window, no replication of the corpus. The "
+        "previous formulation cross-joined the corpus with the centroid "
+        "table and ran a row_number window partitioned by vec_id.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

@@ -267,6 +267,64 @@ def span_violations(docs: DataFrame, run_id: str = "", partition_id: str = "") -
     )
 
 
+def span_violations_flat(
+    flat_spans: DataFrame, run_id: str = "", partition_id: str = ""
+) -> DataFrame:
+    """span_violations over the pre-exploded FLAT span layout
+    (synth.write_flat_corpus): same three checks, but the input is already
+    one row per span with ``prev_offset`` denormalized at ingest — so the
+    plan is a pure scan + flat predicates with exact column pruning and no
+    generator, and the parquet decode uses the vectorized flat readers
+    instead of the nested array<struct> reader (the round-1 scaling
+    bottleneck was nested-decode allocation pressure; this layout removes
+    it at the storage level, exactly what an Iceberg table would do).
+    Violation rows match span_violations on the equivalent nested corpus
+    row-for-row."""
+    ex = flat_spans
+    text_bad = (
+        (F.col("kind") == "text")
+        & F.col("text").isNotNull()
+        & ~F.col("text").rlike(PRINTABLE_RE)
+    )
+    kind_bad = (
+        ~F.col("kind").isin(*KNOWN_KINDS)
+        | ((F.col("kind") == "text") & (F.col("text").isNull() | F.col("media_ref").isNotNull()))
+        | ((F.col("kind") != "text") & (F.col("media_ref").isNull() | F.col("text").isNotNull()))
+    )
+    off_bad = (
+        F.col("prev_offset").isNotNull()
+        & F.col("offset").isNotNull()
+        & (F.col("offset") <= F.col("prev_offset"))
+    )
+    vs = "array<struct<expectation:string,observed_value:string>>"
+
+    def tagged(cond, name, observed):
+        return F.when(
+            cond,
+            F.array(F.struct(F.lit(name).alias("expectation"), observed.alias("observed_value"))),
+        ).otherwise(F.array().cast(vs))
+
+    out = ex.where(text_bad | kind_bad | off_bad).select(
+        "doc_id",
+        "span_index",
+        F.explode(
+            F.concat(
+                tagged(text_bad, "expect_span_text_printable", F.col("text")),
+                tagged(kind_bad, "expect_span_kind_payload_consistent", F.col("kind")),
+                tagged(off_bad, "expect_span_offsets_increasing", F.lit(None).cast("string")),
+            )
+        ).alias("v"),
+    )
+    return out.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(partition_id).alias("partition_id"),
+        "doc_id",
+        F.col("span_index").cast("int").alias("span_index"),
+        F.col("v.expectation").alias("expectation"),
+        F.col("v.observed_value").alias("observed_value"),
+    )
+
+
 def span_violations_arrow(
     docs: DataFrame, run_id: str = "", partition_id: str = ""
 ) -> DataFrame:

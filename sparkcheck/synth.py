@@ -142,6 +142,60 @@ def write_corpus(spark: SparkSession, out_dir: str, n_docs: int) -> None:
     )
 
 
+def write_sharded_corpus(
+    spark: SparkSession, out_dir: str, n_docs: int, n_shards: int = 4
+) -> None:
+    """Corpus partitioned into n_shards equal disjoint shards
+    (``shard=<i>/`` dirs) — the multi-executor bench layout: one JVM per
+    shard models one executor-group per Iceberg partition subset. Sharding
+    is by generator index (round-robin), so shards are equal-sized and the
+    union is exactly generate_docs(n_docs)."""
+    docs = generate_docs(spark, n_docs)
+    docs.withColumn(
+        "shard", F.pmod(F.monotonically_increasing_id(), F.lit(n_shards))
+    ).write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+
+FLAT_SPAN_COLUMNS = (
+    "doc_id", "span_index", "kind", "text", "media_ref", "offset", "prev_offset"
+)
+
+
+def write_flat_corpus(spark: SparkSession, out_dir: str, n_docs: int) -> None:
+    """The pre-exploded storage layout: spans as FLAT columns
+    (doc_id, span_index, kind, text, media_ref, offset, prev_offset) plus a
+    small docs table (doc_id, n_spans).
+
+    This is the Iceberg-table-layout alternative to nested
+    array<struct> spans: parquet then stores plain string/int columns, so
+    scans decode with the vectorized flat readers (no nested-reader
+    allocation pressure), prune to exactly the referenced columns, and push
+    predicates down. ``prev_offset`` is denormalized at ingest (one narrow
+    pass here) so the offset-monotonicity check needs no window at read
+    time. Span-sequence order stays recoverable via (doc_id, span_index)."""
+    docs = generate_docs(spark, n_docs)
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_index", "s"),
+        F.transform(F.col("spans"), lambda x: x["offset"]).alias("__offs"),
+    ).select(
+        "doc_id",
+        F.col("span_index").cast("int").alias("span_index"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        # element_at is 1-based: index span_index is the PREVIOUS span
+        F.when(
+            F.col("span_index") > 0,
+            F.element_at(F.col("__offs"), F.col("span_index")),
+        ).alias("prev_offset"),
+    )
+    flat.write.mode("overwrite").parquet(f"{out_dir}/spans.parquet")
+    docs.select("doc_id", F.size("spans").alias("n_spans")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/docs.parquet")
+
+
 def write_bucketed_corpus(
     spark: SparkSession, out_dir: str, n_docs: int, n_buckets: int = 8
 ) -> None:
