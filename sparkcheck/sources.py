@@ -13,6 +13,10 @@ hash splitter over a bucket(n, key)-partitioned table reads one bucket.
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+import re
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +29,37 @@ _EXT_FORMATS = {
     ".json": "json",
     ".orc": "orc",
 }
+
+# URI schemes handled by hadoop FS connectors — the path passes straight to
+# spark.read; credentials/endpoint go through hadoop_conf
+# (reference: PathBatchSpec S3/GCS handling + AzureBatchSpec,
+# sparkdf_execution_engine.py:276-360)
+CLOUD_SCHEMES = ("s3://", "s3a://", "s3n://", "gs://", "wasb://", "wasbs://",
+                 "abfs://", "abfss://")
+
+
+def apply_hadoop_conf(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Install hadoop FS configuration (credentials, endpoints) on the
+    session — the hook the reference's cloud BatchSpecs use (AzureBatchSpec
+    sets fs.azure.* keys, sparkdf_execution_engine.py:320-340)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    for k, v in conf.items():
+        hconf.set(k, str(v))
+
+
+def azure_account_conf(storage_account: str, account_key: str) -> dict[str, str]:
+    """The wasbs:// credential config the reference's AzureBatchSpec
+    installs: fs.azure.account.key.<account>.blob.core.windows.net."""
+    return {
+        f"fs.azure.account.key.{storage_account}.blob.core.windows.net": account_key
+    }
+
+
+def read_glue_table(spark: SparkSession, database: str, table: str) -> DataFrame:
+    """GlueDataCatalogBatchSpec analog: a catalog table read — on EMR the
+    Glue catalog is wired in as the session catalog, so this is
+    spark.table(db.tbl) (reference: sparkdf_execution_engine.py:342-360)."""
+    return spark.table(f"{database}.{table}")
 
 
 def guess_format_from_path(path: str) -> str:
@@ -43,9 +78,15 @@ def read_batch(
     fmt: str | None = None,
     schema: Any = None,
     reader_options: dict[str, Any] | None = None,
+    hadoop_conf: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Materialize a batch: explicit table (Iceberg/catalog) or path.
-    csv/tsv get sane defaults (header, inferSchema unless schema given)."""
+    """Materialize a batch: explicit table (Iceberg/Glue catalog) or path —
+    local or cloud (s3a://, gs://, wasbs://, abfss:// pass through the
+    hadoop connectors; credentials via ``hadoop_conf`` or
+    ``azure_account_conf``). csv/tsv get sane defaults (header, inferSchema
+    unless schema given)."""
+    if hadoop_conf:
+        apply_hadoop_conf(spark, hadoop_conf)
     if table is not None:
         return spark.table(table)
     if path is None:
@@ -62,6 +103,63 @@ def read_batch(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.format(fmt).options(**opts).load(path)
+
+
+# ---------------------------------------------------------------------------
+# Fluent file assets with batching regex
+# (reference: datasource/fluent/spark_file_path_datasource.py:22-40 —
+#  CSVAsset etc. slice a directory of files into batches by a regex whose
+#  named groups become batch identifiers)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FileAsset:
+    """A directory of data files sliced into batches by ``batching_regex``.
+
+    ``batching_regex`` named groups become batch parameters, e.g.
+    ``r"events_(?P<year>\\d{4})-(?P<month>\\d{2})\\.csv"`` yields batches
+    identified by {"year": ..., "month": ...}; ``get_batch(year="2021")``
+    reads every file whose groups match the given subset.
+    """
+
+    base_dir: str
+    batching_regex: str
+    fmt: str | None = None
+    reader_options: dict[str, Any] = field(default_factory=dict)
+
+    def _matches(self) -> list[tuple[str, dict[str, str]]]:
+        rx = re.compile(self.batching_regex)
+        out = []
+        for path in sorted(_glob.glob(os.path.join(self.base_dir, "*"))):
+            m = rx.search(os.path.basename(path))
+            if m:
+                out.append((path, m.groupdict()))
+        return out
+
+    def batch_identifiers(self) -> list[dict[str, str]]:
+        """All batch-parameter dicts present in the directory, in filename
+        order."""
+        return [ident for _, ident in self._matches()]
+
+    def get_batch(self, spark: SparkSession, **params: str) -> DataFrame:
+        """One DataFrame over every file whose regex groups match params
+        (all files when no params given). Raises if nothing matches."""
+        paths = [
+            p for p, ident in self._matches()
+            if all(str(ident.get(k)) == str(v) for k, v in params.items())
+        ]
+        if not paths:
+            raise FileNotFoundError(
+                f"no files under {self.base_dir} match "
+                f"{self.batching_regex!r} with {params}"
+            )
+        fmt = self.fmt or guess_format_from_path(paths[0])
+        opts = dict(self.reader_options)
+        if fmt == "csv":
+            opts.setdefault("header", "true")
+            opts.setdefault("inferSchema", "true")
+        return spark.read.format(fmt).options(**opts).load(paths)
 
 
 # ---------------------------------------------------------------------------
