@@ -423,6 +423,39 @@ def q_row_condition_mean(spark, sf):
     )
 
 
+def q_multicolumn_unique_violations(spark, sf):
+    """Legacy expect_multicolumn_values_to_be_unique semantics via the
+    skew-safe extraction path (groupBy dup keys + left-semi join back —
+    summarize.filter_unexpected_rows; no full-row window)."""
+    li = _t(spark, sf, "lineitem")
+    v = unexpected_df(
+        li,
+        Domain(column_list=("l_partkey", "l_suppkey")),
+        "compound_columns.unique",
+        {},
+        "expect_multicolumn_values_to_be_unique",
+        doc_id_col="l_orderkey",
+    )
+    return v.agg(F.count(F.lit(1)).alias("n_duplicate_rows"))
+
+
+def q_dsl_row_condition_mean(spark, sf):
+    """GE mini-DSL row condition (condition_parser="great_expectations")
+    translated to a pushdown-able Spark SQL predicate."""
+    from sparkcheck.row_conditions import resolve_row_condition
+
+    li = _t(spark, sf, "lineitem")
+    dom = Domain(
+        row_condition=resolve_row_condition(
+            'col("l_quantity") > 25', "great_expectations"
+        )
+    )
+    return dom.apply(li).agg(
+        F.round(F.mean("l_extendedprice"), 4).alias("mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_table_schema_lineitem(spark, sf):
     li = _t(spark, sf, "lineitem")
     # parquet timestamps read as timestamp_ntz in Spark 4; normalize to the
@@ -600,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_violations": q_referential_violations,
         "pair_violation_count": q_pair_violation_count,
         "row_condition_mean": q_row_condition_mean,
+        "multicolumn_unique_violations": q_multicolumn_unique_violations,
+        "dsl_row_condition_mean": q_dsl_row_condition_mean,
         "table_schema_lineitem": q_table_schema_lineitem,
         "span_profile": q_span_profile,
         "span_token_violations": q_span_token_violations,
@@ -765,6 +800,17 @@ def oracle_sql() -> dict[str, str]:
         "row_condition_mean": (
             "SELECT round(avg(l_extendedprice), 4) AS mean_price, "
             "count(*)::BIGINT AS n FROM lineitem WHERE l_returnflag = 'A'"
+        ),
+
+        "multicolumn_unique_violations": (
+            "SELECT coalesce(sum(n), 0)::BIGINT AS n_duplicate_rows FROM ("
+            "SELECT count(*) AS n FROM lineitem GROUP BY l_partkey, l_suppkey "
+            "HAVING count(*) > 1)"
+        ),
+
+        "dsl_row_condition_mean": (
+            "SELECT round(avg(l_extendedprice), 4) AS mean_price, "
+            "count(*)::BIGINT AS n FROM lineitem WHERE l_quantity > 25"
         ),
 
         "table_schema_lineitem": (
