@@ -7,7 +7,7 @@ sf0.001 documents table and returns the per-expectation results DataFrame.
 SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
 search, text analysis, span-level checks, multimodal plumbing); each
 callable takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()``
-gives the DuckDB-equivalent ANSI SQL for EVERY query (39/39): hash-based
+gives the DuckDB-equivalent ANSI SQL for EVERY query (42/42): hash-based
 operators (SimHash, sign-LSH, media fakes) use md5/sha256 derivations both
 engines share, and the interleaved span corpus is rebuilt in SQL from the
 documents table via the same md5 branch decisions.
@@ -531,6 +531,15 @@ def q_ann_topk(spark, sf):
     )
 
 
+def q_lsh_neardup_pairs(spark, sf):
+    """Embedding near-dup discovery via sign-LSH buckets (the scale path;
+    embedding_neardup_count below is the exact O(n^2) oracle stage)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.lsh_near_duplicates(e, threshold=0.3, n_planes=6).select(
+        "id_a", "id_b", "cos"
+    )
+
+
 def q_embedding_neardup_count(spark, sf):
     e = _t(spark, sf, "embeddings")
     return similarity.cosine_near_duplicates(e, threshold=0.9).agg(
@@ -645,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_candidate_count": q_minhash_candidate_count,
         "ann_topk": q_ann_topk,
+        "lsh_neardup_pairs": q_lsh_neardup_pairs,
         "embedding_neardup_count": q_embedding_neardup_count,
         "simhash_neardup_count": q_simhash_neardup_count,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -961,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_pairs FROM ham WHERE hamming <= 3"
         ),
 
+        "lsh_neardup_pairs": _lsh_neardup_oracle(),
         "lsh_ann_topk": _lsh_oracle(),
         "ivf_ann_topk": _ivf_oracle(),
         "span_struct_violations": _span_violations_oracle(),
@@ -1061,6 +1072,18 @@ def _span_fingerprints_oracle() -> str:
         "SELECT t.doc_id, CASE WHEN t.toks IS NULL THEN NULL "
         "ELSE coalesce(agg.fp, md5('')) END AS fp "
         "FROM t LEFT JOIN agg ON agg.did = t.doc_id::VARCHAR"
+    )
+
+
+def _lsh_neardup_oracle() -> str:
+    proj_defs, sig_expr = _lsh_sig_sql(6)
+    return (
+        f"WITH pr AS (SELECT vec_id, embedding, {proj_defs} FROM embeddings), "
+        f"sig AS (SELECT vec_id, embedding, {sig_expr} AS sig FROM pr), "
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{_cos_sql('a.embedding', 'b.embedding')} AS cos "
+        "FROM sig a JOIN sig b USING(sig) WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3"
     )
 
 

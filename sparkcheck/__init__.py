@@ -9,6 +9,7 @@ Public API:
 from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_format
 from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
+from .profiler import profile_suite
 
 # import registers distribution/referential/stats expectations & metrics
 from . import distribution as _distribution  # noqa: F401
@@ -24,6 +25,7 @@ __all__ = [
     "get_expectation",
     "list_expectations",
     "register_expectation",
+    "profile_suite",
 ]
 
 __version__ = "0.1.0"

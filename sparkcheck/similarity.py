@@ -199,6 +199,50 @@ def lsh_topk(
     )
 
 
+def lsh_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding near-dup pair DISCOVERY at scale: sign-LSH bucket the
+    corpus (one narrow signature pass), self-join within buckets only, then
+    filter by exact cosine — the bucketed analog of
+    ``cosine_near_duplicates`` (which stays the O(n^2) oracle stage).
+
+    Recall: two vectors with cosine c collide on all n_planes bits with
+    probability (1 - acos(c)/pi)^n_planes — at c=0.9 and 12 planes ~0.66
+    single-probe; raise recall with fewer planes or multi-probe.
+    ``max_bucket`` drops degenerate buckets (e.g. all-zero vectors) before
+    the self-join — the quadratic-hot-key guard, same as dedup's max_df."""
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+    )
+    if max_bucket is not None:
+        keep = (
+            sig.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("sig")
+        )
+        sig = sig.join(keep, on="sig", how="inner")
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, on="sig")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-flat
 # ---------------------------------------------------------------------------
