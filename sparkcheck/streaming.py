@@ -94,6 +94,93 @@ class StreamingValidationSink:
             )
 
 
+def windowed_violation_counts(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-event-time-window validation metrics as ONE watermarked streaming
+    aggregation: element_count plus a fused ``sum(when(mask))`` unexpected
+    count per map expectation in the suite — the windowed/late-data form of
+    the engine's fused agg pass. With a streaming input the watermark bounds
+    state and drops data later than ``watermark``; on a batch DataFrame the
+    same plan computes historical per-window metrics (used for parity
+    testing and backfills)."""
+    from pyspark.sql import functions as F
+
+    from .expectations import build_domain, get_expectation
+    from .conditions import get_condition
+    from .metrics import float_columns
+
+    fc = float_columns(df)
+    aggs = [F.count(F.lit(1)).alias("element_count")]
+    for i, cfg in enumerate(suite.expectations):
+        try:
+            exp = get_expectation(cfg.expectation_type)
+        except KeyError:
+            continue
+        cond_name = getattr(exp, "condition_name", None)
+        if not cond_name:
+            continue
+        spec = get_condition(cond_name)
+        if spec.is_window:
+            continue  # window/order conditions have no per-row mask
+        kwargs = exp._condition_kwargs(cfg)  # noqa: SLF001 — same package
+        mask = spec.unexpected(build_domain(cfg), kwargs, fc)
+        col = cfg.get("column") or "_"
+        aggs.append(
+            F.sum(mask.cast("long")).alias(f"unexpected__{cfg.expectation_type}__{col}")
+        )
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    ).agg(*aggs)
+
+
+def stateful_key_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running batch-count statistics with spike flagging (a batch
+    whose row count exceeds 3x the key's running mean). Demonstrates the
+    engine's extension point for stateful checks Spark's built-in windowed
+    aggregations cannot express (cross-batch per-key memory). State is one
+    small tuple per key — bounded, no timeline retention."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "key string, batch_count long, total_count long, "
+        "n_batches long, spike boolean"
+    )
+    state_schema = "total long, n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        cnt = 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        total, n = state.get if state.exists else (0, 0)
+        mean = (total / n) if n else None
+        spike = bool(mean is not None and cnt > 3 * mean)
+        total, n = total + cnt, n + 1
+        state.update((total, n))
+        yield pd.DataFrame({
+            "key": [key[0]], "batch_count": [cnt], "total_count": [total],
+            "n_batches": [n], "spike": [spike],
+        })
+
+    # applyInPandasWithState needs a plain grouping column — project the
+    # stringified key first rather than aliasing inside groupBy
+    keyed = stream_df.withColumn("__skc_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("__skc_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def validate_stream(
     stream_df: DataFrame,
     suite: ExpectationSuite,

@@ -57,3 +57,105 @@ def test_streaming_sink_idempotent_replay(spark, tmp_path):
     assert sink.batches_validated == 1
     results = store.read(spark, "results")
     assert results.where("partition_id = 'batch=7'").count() == 2  # 2 expectations once
+
+
+def test_windowed_violation_counts_batch_parity(spark):
+    from sparkcheck.streaming import windowed_violation_counts
+
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:10", 5), ("2026-01-01 00:00:40", -1),
+         ("2026-01-01 00:01:10", 7), ("2026-01-01 00:01:20", None),
+         ("2026-01-01 00:01:30", 200)],
+        "ts_s string, value int",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "value")
+    out = windowed_violation_counts(df, _suite_bounded(), "ts", "1 minute")
+    rows = {r["window"]["start"].second + r["window"]["start"].minute * 60:
+            r.asDict() for r in out.collect()}
+    w0, w1 = rows[0], rows[60]
+    assert w0["element_count"] == 2 and w1["element_count"] == 3
+    k = "unexpected__expect_column_values_to_be_between__value"
+    kn = "unexpected__expect_column_values_to_not_be_null__value"
+    assert w0[k] == 1       # -1 out of range
+    assert w1[k] == 1       # 200 out of range; null is missing, not unexpected
+    assert w0[kn] == 0 and w1[kn] == 1
+
+
+def _suite_bounded():
+    return ExpectationSuite("wb", [
+        ExpectationConfiguration(
+            "expect_column_values_to_be_between",
+            {"column": "value", "min_value": 0, "max_value": 100},
+        ),
+        ExpectationConfiguration("expect_column_values_to_not_be_null",
+                                 {"column": "value"}),
+    ])
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    from sparkcheck.streaming import windowed_violation_counts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(F.col("timestamp").alias("ts"), F.col("value"))
+    )
+    agg = windowed_violation_counts(
+        stream, _suite_bounded_wide(), "ts", "2 seconds", watermark="4 seconds"
+    )
+    q = (agg.writeStream.format("memory").queryName("wvc")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM wvc").count() >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM wvc").collect()
+    assert len(rows) >= 2
+    assert all(r["element_count"] > 0 for r in rows)
+
+
+def _suite_bounded_wide():
+    return ExpectationSuite("wbw", [
+        ExpectationConfiguration(
+            "expect_column_values_to_be_between",
+            {"column": "value", "min_value": 0, "max_value": 10**12},
+        ),
+    ])
+
+
+def test_stateful_key_counts(spark, tmp_path):
+    from sparkcheck.streaming import stateful_key_counts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "400").load()
+        .select((F.col("value") % 4).alias("k"), "value")
+    )
+    out = stateful_key_counts(stream, "k")
+    q = (out.writeStream.format("memory").queryName("skc")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT max(n_batches) AS m FROM skc").collect()
+            if rows and rows[0]["m"] and rows[0]["m"] >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM skc").collect()
+    keys = {r["key"] for r in rows}
+    assert keys <= {"0", "1", "2", "3"} and len(keys) == 4
+    # running totals are cumulative across batches (stateful memory works)
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["key"], []).append((r["n_batches"], r["total_count"]))
+    for seq in per_key.values():
+        seq.sort()
+        totals = [t for _, t in seq]
+        assert totals == sorted(totals)
