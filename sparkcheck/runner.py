@@ -116,6 +116,7 @@ class CheckpointRunner:
         violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
         suite_violation_rows: bool = False,
         doc_id_col: str = "doc_id",
+        max_concurrency: int = 1,
     ):
         self.spark = spark
         self.store = store
@@ -126,6 +127,16 @@ class CheckpointRunner:
         # appended alongside any custom violations_fn output
         self.suite_violation_rows = suite_violation_rows
         self.doc_id_col = doc_id_col
+        # >1 validates partitions concurrently from a thread pool — the
+        # analog of GX's checkpoint-level AsyncExecutor
+        # (core/async_executor.py:41-77), but submitting Spark jobs, which
+        # the scheduler interleaves across cores. Store appends stay
+        # serialized behind a lock: concurrent parquet appends into one
+        # directory share the committer's _temporary dir and can clobber.
+        self.max_concurrency = max_concurrency
+        import threading
+
+        self._write_lock = threading.Lock()
 
     def run(
         self,
@@ -148,58 +159,83 @@ class CheckpointRunner:
         # else: caller pre-bucketed (PartitionedCorpusRunner) — the filter
         # below then hits a physical partition column and prunes files
 
-        done = 0
+        todo = []
         for b in range(self.n_buckets):
             pid = f"bucket={b}"
             if pid in committed:
                 report.partitions_skipped.append(pid)
-                continue
-            part = docs.filter(F.col("__bucket") == b).drop("__bucket")
-            # one cached pass per partition: the validator's fused agg +
-            # sampled collections reuse this materialization (the reference
-            # never persists its batch — a known perf gap, SURVEY.md §3)
-            part = part.persist()
-            try:
-                result = Validator(part).validate(suite)
-                n_docs = next(
-                    (
-                        r["result"]["element_count"]
-                        for r in result["results"]
-                        if "result" in r and "element_count" in r.get("result", {})
-                    ),
-                    part.count(),
-                )
-                self._write_results(run_id, pid, result)
-                if self.violations_fn is not None:
-                    self.store.append(
-                        "violations", self.violations_fn(part, run_id, pid)
-                    )
-                if self.suite_violation_rows:
-                    from .summarize import suite_violations
+            else:
+                todo.append((b, pid))
 
-                    sv = suite_violations(
-                        part, suite, self.doc_id_col, run_id, pid
+        if self.max_concurrency > 1 and fail_after is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.max_concurrency) as pool:
+                outcomes = list(
+                    pool.map(
+                        lambda bp: self._run_partition(
+                            docs, suite, run_id, bp[1], bp[0]
+                        ),
+                        todo,
                     )
-                    if sv is not None:
-                        self.store.append("violations", sv)
-                self._write_lineage(run_id, pid, result, n_docs)
-            finally:
-                part.unpersist()
-            self.store.commit_partition(
-                run_id,
-                pid,
-                {"success": result["success"], "n_docs": int(n_docs)},
-            )
+                )
+        else:
+            outcomes = []
+            done = 0
+            for b, pid in todo:
+                outcomes.append(self._run_partition(docs, suite, run_id, pid, b))
+                done += 1
+                if fail_after is not None and done >= fail_after:
+                    raise RuntimeError(f"injected failure after {done} partitions")
+
+        for pid, n_docs, result in outcomes:
             report.partitions_run.append(pid)
             report.docs_validated += int(n_docs)
             report.expectation_evals += result["statistics"]["evaluated_expectations"]
             report.success = report.success and result["success"]
-            done += 1
-            if fail_after is not None and done >= fail_after:
-                raise RuntimeError(f"injected failure after {done} partitions")
 
         report.wall_secs = time.monotonic() - t0
         return report
+
+    def _run_partition(self, docs, suite, run_id: str, pid: str, b: int):
+        """Validate + persist one bucket. Thread-safe: Spark job submission
+        is safe from multiple threads; store writes serialize behind
+        _write_lock; the manifest commit is last (the commit point)."""
+        part = docs.filter(F.col("__bucket") == b).drop("__bucket")
+        # one cached pass per partition: the validator's fused agg +
+        # sampled collections reuse this materialization (the reference
+        # never persists its batch — a known perf gap, SURVEY.md §3)
+        part = part.persist()
+        try:
+            result = Validator(part).validate(suite)
+            n_docs = next(
+                (
+                    r["result"]["element_count"]
+                    for r in result["results"]
+                    if "result" in r and "element_count" in r.get("result", {})
+                ),
+                part.count(),
+            )
+            violations = []
+            if self.violations_fn is not None:
+                violations.append(self.violations_fn(part, run_id, pid))
+            if self.suite_violation_rows:
+                from .summarize import suite_violations
+
+                sv = suite_violations(part, suite, self.doc_id_col, run_id, pid)
+                if sv is not None:
+                    violations.append(sv)
+            with self._write_lock:
+                self._write_results(run_id, pid, result)
+                for v in violations:
+                    self.store.append("violations", v)
+                self._write_lineage(run_id, pid, result, n_docs)
+        finally:
+            part.unpersist()
+        self.store.commit_partition(
+            run_id, pid, {"success": result["success"], "n_docs": int(n_docs)}
+        )
+        return pid, n_docs, result
 
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
         rows = []

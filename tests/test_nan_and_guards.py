@@ -200,3 +200,39 @@ def test_sql_query_view_is_isolated(spark):
     assert not [
         t for t in spark.catalog.listTables() if "sparkcheck_active_batch" in t.name
     ]
+
+
+def test_concurrent_runner_matches_serial(spark, tmp_path):
+    """max_concurrency>1 (the GX AsyncExecutor analog) must produce the
+    same committed partitions and per-expectation results as serial."""
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+    from sparkcheck.synth import generate_docs
+
+    docs = generate_docs(spark, 4000)
+    suite = ExpectationSuite("c", [
+        ExpectationConfiguration("expect_column_values_to_not_be_null",
+                                 {"column": "doc_id", "mostly": 0.99}),
+        ExpectationConfiguration("expect_column_values_to_be_unique",
+                                 {"column": "doc_id", "mostly": 0.98}),
+    ])
+    serial = CheckpointRunner(spark, ParquetStore(str(tmp_path / "s")),
+                              n_buckets=4)
+    conc = CheckpointRunner(spark, ParquetStore(str(tmp_path / "c")),
+                            n_buckets=4, max_concurrency=4)
+    rs = serial.run(docs, suite, run_id="r")
+    rc = conc.run(docs, suite, run_id="r")
+    assert sorted(rs.partitions_run) == sorted(rc.partitions_run)
+    assert rs.docs_validated == rc.docs_validated
+    assert rs.success == rc.success
+
+    def rows(store):
+        return sorted(
+            (r["partition_id"], r["expectation"], r["success"],
+             r["unexpected_count"])
+            for r in store.read(spark, "results").collect()
+        )
+
+    assert rows(serial.store) == rows(conc.store)
+    # resume works in concurrent mode too
+    rc2 = conc.run(docs, suite, run_id="r")
+    assert len(rc2.partitions_skipped) == 4 and not rc2.partitions_run
