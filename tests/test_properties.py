@@ -99,3 +99,58 @@ def test_unique_matches_pandas(spark, values):
     evr = _run(spark, values, "c string",
                ("expect_column_values_to_be_unique", {"column": "c"}))
     assert evr["result"]["unexpected_count"] == dup_rows
+
+
+# --- round-2 parsers -------------------------------------------------------
+
+
+@_settings
+@given(
+    col=st.sampled_from(["foo", "pk_2", "a-b.c"]),
+    op=st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
+    num=st.one_of(
+        st.integers(min_value=-1000, max_value=1000),
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False),
+    ),
+)
+def test_ge_dsl_numeric_matches_pandas(spark, col, op, num):
+    """Random col/op/number DSL conditions filter identically to pandas."""
+    import operator as _op
+
+    from sparkcheck.row_conditions import parse_condition_to_spark_sql
+
+    values = [-500.0, -1.0, 0.0, 1.0, 2.0, 50.0, 999.0, None]
+    sql = parse_condition_to_spark_sql(f'col("{col}") {op} {num!r}')
+    df = spark.createDataFrame([(v,) for v in values], f"`{col}` double")
+    got = sorted(
+        r[col] for r in df.filter(sql).collect() if r[col] is not None
+    )
+    ops = {">": _op.gt, "<": _op.lt, ">=": _op.ge, "<=": _op.le,
+           "==": _op.eq, "!=": _op.ne}
+    want = sorted(
+        float(v) for v in values if v is not None and ops[op](float(v), num)
+    )
+    assert got == want
+
+
+@_settings
+@given(
+    a=st.integers(min_value=-50, max_value=50),
+    b=st.integers(min_value=1, max_value=20),
+    c=st.integers(min_value=-10, max_value=10),
+)
+def test_eval_param_arithmetic_matches_python(spark, a, b, c):
+    from sparkcheck.evaluation_parameters import parse_evaluation_parameter
+
+    params = {"a": a, "b": b, "c": c}
+    for expr, want in [
+        ("a + b * c", a + b * c),
+        ("(a + b) * c", (a + b) * c),
+        ("a - b / b", a - b / b),
+        ("trunc(a / b) + c", int(a / b) + c),
+        ("abs(c) ^ 2", abs(c) ** 2),
+        ("-a + b", -a + b),
+    ]:
+        got = parse_evaluation_parameter(expr, params)
+        assert got == want, (expr, got, want)
