@@ -270,11 +270,16 @@ DEFAULT_MAX_BUCKET = 1000  # per-(chunk, value) doc cap — quadratic-hot-key gu
 
 
 def _shingle_bit(j: int) -> Column:
-    """Bit j (0..63) of the shingle hash: bit j%4 of pre-projected md5
-    nibble column nib{j//4} (see simhash_chunks — nibbles are extracted
-    once per shingle row, not once per bit). md5 is the cross-engine hash
-    (xxhash64 has no DuckDB equivalent; md5 keeps the oracle exact)."""
-    return F.shiftright(F.col(f"nib{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+    """Bit j (0..63) of the shingle hash. Contract (shared with the DuckDB
+    oracle): bit j = bit j%4 of hex nibble j//4 of md5(shingle). The
+    nibbles live packed in two pre-projected 32-bit ints h0/h1 (8 hex chars
+    each, big-endian — conv parses char 1 as the most significant nibble),
+    so extraction is one shift+mask instead of per-nibble conv/substring.
+    md5 is the cross-engine hash (xxhash64 has no DuckDB equivalent)."""
+    k = j // 4  # nibble index 0..15
+    word, pos = divmod(k, 8)  # chars 1-8 -> h0, chars 9-16 -> h1
+    shift = 4 * (7 - pos) + (j % 4)
+    return F.shiftright(F.col(f"h{word}"), shift).bitwiseAND(F.lit(1))
 
 
 def simhash_chunks(
@@ -300,17 +305,12 @@ def simhash_chunks(
             F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
         )
         .select("doc_id", F.md5("shingle").alias("hh"))
-        # 16 nibble ints projected ONCE per shingle; the 64 vote aggregates
-        # then only shift+mask ints (the conv/substring work is not repeated
-        # 4x per nibble inside the aggregate expressions)
+        # the first 16 hex chars packed into two 32-bit ints, projected ONCE
+        # per shingle row; the 64 vote aggregates then only shift+mask
         .select(
             "doc_id",
-            *[
-                F.conv(F.substring("hh", k + 1, 1), 16, 10)
-                .cast("int")
-                .alias(f"nib{k}")
-                for k in range(16)
-            ],
+            F.conv(F.substring("hh", 1, 8), 16, 10).cast("long").alias("h0"),
+            F.conv(F.substring("hh", 9, 8), 16, 10).cast("long").alias("h1"),
         )
     )
     votes = [
@@ -399,6 +399,8 @@ def simhash_near_duplicates(
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: most shared-chunk candidates fail the
+        # Hamming cut, so the dedup shuffle only sees true near-dups
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
