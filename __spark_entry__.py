@@ -7,7 +7,7 @@ sf0.001 documents table and returns the per-expectation results DataFrame.
 SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
 search, text analysis, span-level checks, multimodal plumbing); each
 callable takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()``
-gives the DuckDB-equivalent ANSI SQL for EVERY query (42/42): hash-based
+gives the DuckDB-equivalent ANSI SQL for EVERY query (43/43): hash-based
 operators (SimHash, sign-LSH, media fakes) use md5/sha256 derivations both
 engines share, and the interleaved span corpus is rebuilt in SQL from the
 documents table via the same md5 branch decisions.
@@ -585,6 +585,44 @@ def q_span_struct_violations(spark, sf):
     return v.groupBy("expectation").agg(F.count(F.lit(1)).alias("n_violations"))
 
 
+def q_span_suite_report(spark, sf):
+    """Span-level expectations as first-class suite members: the validator
+    runs expect_span_values_* over the exploded span domain; the oracle
+    recomputes element/missing/unexpected per expectation from the same
+    md5-derived corpus construction."""
+    docs = spans.interleave_documents(_t(spark, sf, "documents"))
+    suite = ExpectationSuite("span_suite", [
+        ExpectationConfiguration.from_dict(d) for d in [
+            {"expectation_type": "expect_span_values_to_be_in_set",
+             "kwargs": {"span_field": "kind",
+                        "value_set": ["text", "image", "audio", "video"]}},
+            {"expectation_type": "expect_span_values_to_match_regex",
+             "kwargs": {"span_field": "text", "regex": "^[\\x20-\\x7E]*$",
+                        "mostly": 0.9}},
+            {"expectation_type": "expect_span_values_to_be_between",
+             "kwargs": {"span_field": "offset", "min_value": 0,
+                        "max_value": 10**6}},
+        ]
+    ])
+    rep = validate_df(docs, suite, result_format="BASIC")
+    rows = []
+    for r in rep["results"]:
+        cfg = r["expectation_config"]
+        res = r["result"]
+        rows.append((
+            cfg["expectation_type"],
+            cfg["kwargs"]["span_field"],
+            int(res["element_count"]),
+            int(res["missing_count"]),
+            int(res["unexpected_count"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "expectation string, span_field string, element_count bigint, "
+        "missing_count bigint, unexpected_count bigint",
+    )
+
+
 def q_span_fingerprints(spark, sf):
     """Span-sequence equality invariant: per-doc md5 fingerprint of the
     ordered (kind, text, media_ref) sequence via the Arrow pandas UDF; the
@@ -660,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "span_struct_violations": q_span_struct_violations,
+        "span_suite_report": q_span_suite_report,
         "span_fingerprints": q_span_fingerprints,
         "media_image_features": q_media_image_features,
         "media_frame_samples": q_media_frame_samples,
@@ -975,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_oracle(),
         "ivf_ann_topk": _ivf_oracle(),
         "span_struct_violations": _span_violations_oracle(),
+        "span_suite_report": _span_suite_oracle(),
         "span_fingerprints": _span_fingerprints_oracle(),
         "media_image_features": _media_oracle("image"),
         "media_frame_samples": _media_oracle("frames"),
@@ -1057,6 +1097,28 @@ def _span_violations_oracle() -> str:
         "SELECT 'expect_span_offsets_increasing' FROM flags "
         "WHERE prev_off IS NOT NULL AND soff IS NOT NULL AND soff <= prev_off) "
         "SELECT expectation, count(*)::BIGINT AS n_violations FROM viol GROUP BY 1"
+    )
+
+
+def _span_suite_oracle() -> str:
+    return (
+        f"WITH {_SPAN_BUILD} "
+        "SELECT 'expect_span_values_to_be_in_set' AS expectation, "
+        "'kind' AS span_field, count(*)::BIGINT AS element_count, "
+        "0::BIGINT AS missing_count, "
+        "sum(CASE WHEN kind NOT IN ('text','image','audio','video') "
+        "THEN 1 ELSE 0 END)::BIGINT AS unexpected_count FROM built "
+        "UNION ALL "
+        "SELECT 'expect_span_values_to_match_regex', 'text', "
+        "count(*)::BIGINT, sum(CASE WHEN stext IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+        "sum(CASE WHEN stext IS NOT NULL AND "
+        "NOT regexp_matches(stext, '^[\\x20-\\x7E]*$') THEN 1 ELSE 0 END)::BIGINT "
+        "FROM built "
+        "UNION ALL "
+        "SELECT 'expect_span_values_to_be_between', 'offset', "
+        "count(*)::BIGINT, 0::BIGINT, "
+        "sum(CASE WHEN NOT (soff >= 0 AND soff <= 1000000) THEN 1 ELSE 0 END)::BIGINT "
+        "FROM built"
     )
 
 

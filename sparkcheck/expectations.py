@@ -66,15 +66,23 @@ def build_domain(cfg: ExpectationConfiguration) -> Domain:
     ignore_sql = _ignore_row_if_sql(
         multi_cols or pair_cols, cfg.get("ignore_row_if")
     )
+    # span-level domains (expect_span_values_*): the accessor is a struct
+    # field of the exploded spans array
+    column = cfg.get("column")
+    explode_col = None
+    if cfg.get("span_field"):
+        explode_col = cfg.get("spans_column", "spans")
+        column = f"__span.{cfg.get('span_field')}"
     return Domain(
         row_condition=resolve_row_condition(
             cfg.get("row_condition"), cfg.get("condition_parser")
         ),
         filter_conditions=(ignore_sql,) if ignore_sql else (),
-        column=cfg.get("column"),
+        column=column,
         column_a=cfg.get("column_A"),
         column_b=cfg.get("column_B"),
         column_list=tuple(multi_cols),
+        explode_col=explode_col,
     )
 
 
@@ -683,6 +691,30 @@ _MAP_EXPECTATIONS = [
 ]
 
 for _name, _cond, _keys in _MAP_EXPECTATIONS:
+    register_expectation(ColumnMapExpectation(_name, _cond, _keys))
+
+# Span-level expectations (north-rule capability; the reference never
+# explodes nested data — SURVEY §1): the same map conditions applied per
+# SPAN of an interleaved document. kwargs: span_field (struct field name),
+# spans_column (default "spans") + the condition's own keys. element_count
+# in the EVR is the SPAN count; violation rows carry __span_index.
+_SPAN_MAP_EXPECTATIONS = [
+    ("expect_span_values_to_not_be_null", "column_values.nonnull", ()),
+    ("expect_span_values_to_be_null", "column_values.null", ()),
+    ("expect_span_values_to_be_in_set", "column_values.in_set", ("value_set",)),
+    ("expect_span_values_to_match_regex", "column_values.match_regex", ("regex",)),
+    (
+        "expect_span_values_to_be_between",
+        "column_values.between",
+        ("min_value", "max_value", "strict_min", "strict_max"),
+    ),
+    (
+        "expect_span_value_lengths_to_be_between",
+        "column_values.value_length.between",
+        ("min_value", "max_value"),
+    ),
+]
+for _name, _cond, _keys in _SPAN_MAP_EXPECTATIONS:
     register_expectation(ColumnMapExpectation(_name, _cond, _keys))
 
 register_expectation(ZScoreExpectation())

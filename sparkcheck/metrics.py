@@ -90,12 +90,22 @@ class Domain:
     column_a: str | None = None
     column_b: str | None = None
     column_list: tuple[str, ...] = ()
+    # span-level domains (north rule): posexplode this array<struct> column
+    # so one row per span exists before any metric runs; accessors then
+    # reference struct fields as `__span.<field>` and the span ordinal as
+    # `__span_index`. The explode is a narrow generator — it changes the
+    # scanned row set, so it is part of the compute identity.
+    explode_col: str | None = None
 
     @property
     def compute_id(self) -> str:
         """Identity of the scanned row set — the bundling key."""
         return _stable_id(
-            {"row_condition": self.row_condition, "filters": self.filter_conditions}
+            {
+                "row_condition": self.row_condition,
+                "filters": self.filter_conditions,
+                "explode": self.explode_col,
+            }
         )
 
     @property
@@ -104,6 +114,7 @@ class Domain:
             {
                 "row_condition": self.row_condition,
                 "filters": self.filter_conditions,
+                "explode": self.explode_col,
                 "column": self.column,
                 "column_a": self.column_a,
                 "column_b": self.column_b,
@@ -112,8 +123,12 @@ class Domain:
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        """Realize the compute domain: filters only — column projection is
-        left to Catalyst column pruning."""
+        """Realize the compute domain: explode (for span domains) +
+        filters — column projection is left to Catalyst column pruning."""
+        if self.explode_col:
+            df = df.select(
+                "*", F.posexplode(self.explode_col).alias("__span_index", "__span")
+            )
         if self.row_condition:
             df = df.filter(self.row_condition)
         for cond in self.filter_conditions:

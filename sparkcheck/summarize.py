@@ -281,6 +281,8 @@ def unexpected_df(
     out = filter_unexpected_rows(
         domain.apply(df), condition_name, domain, kwargs, float_columns(df)
     )
+    if span_index_col is None and domain.explode_col:
+        span_index_col = "__span_index"  # span domains carry the ordinal
     span_index = (
         F.col(span_index_col).cast("int") if span_index_col else F.lit(None).cast("int")
     )
