@@ -7,7 +7,7 @@ sf0.001 documents table and returns the per-expectation results DataFrame.
 SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
 search, text analysis, span-level checks, multimodal plumbing); each
 callable takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()``
-gives the DuckDB-equivalent ANSI SQL for EVERY query (43/43): hash-based
+gives the DuckDB-equivalent ANSI SQL for EVERY query (44/44): hash-based
 operators (SimHash, sign-LSH, media fakes) use md5/sha256 derivations both
 engines share, and the interleaved span corpus is rebuilt in SQL from the
 documents table via the same md5 branch decisions.
@@ -387,6 +387,34 @@ def q_events_hourly_profile(spark, sf):
     )
 
 
+def q_windowed_validation(spark, sf):
+    """Per-event-time-window validation metrics via the streaming-shared
+    windowed aggregation (streaming.windowed_violation_counts — identical
+    plan on batch input)."""
+    from sparkcheck.streaming import windowed_violation_counts
+
+    e = _t(spark, sf, "events")
+    suite = ExpectationSuite("w", [
+        ExpectationConfiguration.from_dict(d) for d in [
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "value", "min_value": 0, "max_value": 50}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "value"}},
+        ]
+    ])
+    out = windowed_violation_counts(e, suite, "ts", "1 day")
+    return out.select(
+        F.to_date(F.col("window.start")).alias("window_start"),
+        "element_count",
+        F.col("unexpected__expect_column_values_to_be_between__value").alias(
+            "n_out_of_range"
+        ),
+        F.col("unexpected__expect_column_values_to_not_be_null__value").alias(
+            "n_null"
+        ),
+    )
+
+
 def q_zscore_outlier_count(spark, sf):
     o = _t(spark, sf, "orders")
     stats = o.agg(
@@ -676,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift_quantity": q_kl_drift_quantity,
         "psi_drift_totalprice": q_psi_drift_totalprice,
         "events_hourly_profile": q_events_hourly_profile,
+        "windowed_validation": q_windowed_validation,
         "zscore_outlier_count": q_zscore_outlier_count,
         "referential_violations": q_referential_violations,
         "pair_violation_count": q_pair_violation_count,
@@ -826,6 +855,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
             "count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value, "
             "round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2"
+        ),
+
+        # Spark's window("1 day") aligns tumbling windows to the epoch, so
+        # window.start == date_trunc('day', ts) for day-granularity windows
+        "windowed_validation": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, "
+            "count(*)::BIGINT AS element_count, "
+            "sum(CASE WHEN value IS NOT NULL AND NOT "
+            "(value >= 0 AND value <= 50) THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_out_of_range, "
+            "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null "
+            "FROM events GROUP BY 1"
         ),
 
         "zscore_outlier_count": (
