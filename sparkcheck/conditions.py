@@ -114,10 +114,12 @@ def _null(domain: Domain, kw: dict) -> Column:
 
 @condition("column_values.in_set")
 def _in_set(domain: Domain, kw: dict) -> Column:
-    # reference: column_values_in_set.py:91-108 (empty set -> lit(True)
-    # i.e. everything unexpected... GX returns expected=False for all;
-    # empty value_set means nothing can match)
-    value_set = kw.get("value_set") or []
+    # reference: column_values_in_set.py:104-108 — value_set=None is
+    # VACUOUSLY TRUE (everything expected), while an explicit empty set
+    # means nothing can match (isin([]) -> all unexpected)
+    value_set = kw.get("value_set")
+    if value_set is None:
+        return F.lit(True)
     if not value_set:
         return F.lit(False)
     return F.col(domain.column).isin(list(value_set))

@@ -59,7 +59,9 @@ def _build_df(spark, ds):
     rows = [tuple(data[c][i] for c in cols) for i in range(n)]
     schema_spec = (ds.get("schemas") or {}).get("spark")
     if schema_spec:
-        ddl = ", ".join(f"{c} {_TYPE_MAP[schema_spec[c]]}" for c in cols)
+        # backtick-quote: reference fixtures include column names with
+        # spaces, numeric names ("0"), and headerless names ("_c0")
+        ddl = ", ".join(f"`{c}` {_TYPE_MAP[schema_spec[c]]}" for c in cols)
         return spark.createDataFrame(rows, ddl)
     return spark.createDataFrame(rows, cols)
 
