@@ -63,9 +63,16 @@ def build_domain(cfg: ExpectationConfiguration) -> Domain:
 
     multi_cols = list(cfg.get("column_list") or ())
     pair_cols = [c for c in (cfg.get("column_A"), cfg.get("column_B")) if c]
-    ignore_sql = _ignore_row_if_sql(
-        multi_cols or pair_cols, cfg.get("ignore_row_if")
-    )
+    ignore = cfg.get("ignore_row_if")
+    if ignore is None:
+        # reference defaults: multicolumn family "all_values_are_missing"
+        # (expectation.py:3235), pair family "both_values_are_missing"
+        # (expect_column_pair_values_to_be_equal.py:84)
+        if multi_cols:
+            ignore = "all_values_are_missing"
+        elif len(pair_cols) == 2:
+            ignore = "both_values_are_missing"
+    ignore_sql = _ignore_row_if_sql(multi_cols or pair_cols, ignore)
     # span-level domains (expect_span_values_*): the accessor is a struct
     # field of the exploded spans array
     column = cfg.get("column")
@@ -657,6 +664,14 @@ _MAP_EXPECTATIONS = [
     ),
     (
         "expect_column_pair_values_a_to_be_greater_than_b",
+        "column_pair_values.a_greater_than_b",
+        ("or_equal", "parse_strings_as_datetimes"),
+    ),
+    # the reference's test_definitions use the capital-A/B spelling
+    # (expect_column_pair_values_A_to_be_greater_than_B.json) — register
+    # both so GX suites load verbatim
+    (
+        "expect_column_pair_values_A_to_be_greater_than_B",
         "column_pair_values.a_greater_than_b",
         ("or_equal", "parse_strings_as_datetimes"),
     ),

@@ -203,12 +203,17 @@ def _unexpected_values(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
         out = out.select(F.col(dom.column).alias("v"))
         rows = (out.limit(int(limit)) if limit else out).collect()
         return [r["v"] for r in rows]
-    cols = (
-        list(dom.column_list) if dom.column_list else [dom.column_a, dom.column_b]
-    )
-    out = out.select(*cols)
+    if dom.column_list:
+        # multicolumn domains: dicts of the domain columns (reference
+        # multicolumn fixtures, e.g. compound unique: {"b": 1, "c": 1})
+        out = out.select(*dom.column_list)
+        rows = (out.limit(int(limit)) if limit else out).collect()
+        return [r.asDict() for r in rows]
+    # pair domains: [A, B] value lists (reference pair fixtures, e.g.
+    # expect_column_pair_values_to_be_equal: [[6.0, null], ...])
+    out = out.select(dom.column_a, dom.column_b)
     rows = (out.limit(int(limit)) if limit else out).collect()
-    return [r.asDict() for r in rows]
+    return [[r[0], r[1]] for r in rows]
 
 
 @eager_metric("map.unexpected_index_list")
