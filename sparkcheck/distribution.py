@@ -218,7 +218,10 @@ class KLDivergenceExpectation(Expectation):
     # --- validation --------------------------------------------------------
 
     def validate(self, cfg, rf, resolver):
-        threshold = float(cfg.get("threshold", 0.6))
+        # threshold=None always succeeds (reference: used by profiling to
+        # capture the partition without asserting on it)
+        thr = cfg.get("threshold", 0.6)
+        threshold = None if thr is None else float(thr)
         tail_holdout = float(cfg.get("tail_weight_holdout", 0.0))
         internal_holdout = float(cfg.get("internal_weight_holdout", 0.0))
         po = cfg.get("partition_object")
@@ -262,7 +265,16 @@ class KLDivergenceExpectation(Expectation):
 
     @staticmethod
     def _result(rf, observed_kl, threshold, details):
-        success = observed_kl is not None and observed_kl <= threshold
+        # undefined/infinite divergence reports observed_value=None
+        # (reference expect_column_kl_divergence...py: np.isinf/isnan -> None)
+        if observed_kl is not None and (
+            math.isinf(observed_kl) or math.isnan(observed_kl)
+        ):
+            observed_kl = None
+        if threshold is None:
+            success = True
+        else:
+            success = observed_kl is not None and observed_kl <= threshold
         ret: dict[str, Any] = {"success": bool(success)}
         if rf["result_format"] != "BOOLEAN_ONLY":
             ret["result"] = {"observed_value": observed_kl, "details": details}
@@ -311,6 +323,31 @@ class KLDivergenceExpectation(Expectation):
         )
         below_w = below / nonnull if nonnull else 0.0
         above_w = above / nonnull if nonnull else 0.0
+
+        exp_tails = po.get("tail_weights")
+        if exp_tails is not None:
+            # explicit expected tail mass in the partition object
+            # (weights + tail_weights sum to 1 per the reference's
+            # is_valid_continuous_partition_object)
+            q = exp_w * (1.0 - internal_holdout)
+            zeros = q == 0
+            if internal_holdout > 0 and zeros.any():
+                q[zeros] = internal_holdout / zeros.sum()
+            p = [below_w] + list(obs_w) + [above_w]
+            qq = [float(exp_tails[0])] + list(q) + [float(exp_tails[1])]
+            kl = kl_divergence(np.array(p), np.array(qq))
+            return kl, {
+                "observed_partition": {
+                    "bins": po["bins"],
+                    "weights": list(obs_w),
+                    "tail_weights": [below_w, above_w],
+                },
+                "expected_partition": {
+                    "bins": po["bins"],
+                    "weights": list(exp_w),
+                    "tail_weights": [float(exp_tails[0]), float(exp_tails[1])],
+                },
+            }
 
         # internal holdout -> redistribute to zero-weight expected bins
         # (reference :547-554)

@@ -53,8 +53,15 @@ def _cases():
 
 
 def _build_df(spark, ds):
-    data = ds["data"]
+    data = dict(ds["data"])
     cols = list(data)
+    # reference fixtures mix ints and floats in one column (e.g. [-1.5, -1]);
+    # normalize to float so schema inference doesn't see conflicting types
+    for c in cols:
+        vals = data[c]
+        if any(isinstance(v, float) for v in vals):
+            data[c] = [float(v) if isinstance(v, int) and not isinstance(v, bool)
+                       else v for v in vals]
     n = len(data[cols[0]])
     rows = [tuple(data[c][i] for c in cols) for i in range(n)]
     schema_spec = (ds.get("schemas") or {}).get("spark")
