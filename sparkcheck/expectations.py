@@ -500,17 +500,31 @@ class DistinctValuesSetExpectation(Expectation):
     def validate(self, cfg, rf, resolver):
         vc = resolver[self._metric_cfg(cfg)]
         observed = sorted({v for v, _ in vc})
-        want = set(cfg.get("value_set") or ())
+        value_set = cfg.get("value_set")
+        report = observed
+        if cfg.get("parse_strings_as_datetimes"):
+            # reference parses BOTH sides to datetimes and the EVR then
+            # carries the parsed values (isoformat after JSON serialization)
+            from dateutil.parser import parse as _parse  # noqa: PLC0415
+
+            observed = [_parse(v) for v in observed]
+            report = [d.isoformat() for d in observed]
+            if value_set is not None:
+                value_set = [_parse(v) for v in value_set]
         got = set(observed)
-        if self.mode == "in":
-            success = got <= want
-        elif self.mode == "contain":
-            success = want <= got
+        if value_set is None and self.mode == "in":
+            success = True  # vacuously true universal set (ref semantics)
         else:
-            success = got == want
+            want = set(value_set or ())
+            if self.mode == "in":
+                success = got <= want
+            elif self.mode == "contain":
+                success = want <= got
+            else:
+                success = got == want
         ret: dict[str, Any] = {"success": success}
         if rf["result_format"] != "BOOLEAN_ONLY":
-            ret["result"] = {"observed_value": observed}
+            ret["result"] = {"observed_value": report}
         return ret
 
 
