@@ -136,21 +136,20 @@ def _not_in_set(domain: Domain, kw: dict) -> Column:
 @condition("column_values.between")
 def _between(domain: Domain, kw: dict) -> Column:
     # reference: column_values_between.py:303-356 — one-sided allowed,
-    # strict_min/strict_max flags.
+    # strict_min/strict_max flags; parse_strings_as_datetimes turns string
+    # bounds into datetime literals for timestamp columns.
     col = F.col(domain.column)
+    lo, hi = kw.get("min_value"), kw.get("max_value")
+    if kw.get("parse_strings_as_datetimes"):
+        from dateutil.parser import parse as _parse  # noqa: PLC0415
+
+        lo = _parse(lo) if isinstance(lo, str) else lo
+        hi = _parse(hi) if isinstance(hi, str) else hi
     conds = []
-    if kw.get("min_value") is not None:
-        conds.append(
-            col > F.lit(kw["min_value"])
-            if kw.get("strict_min")
-            else col >= F.lit(kw["min_value"])
-        )
-    if kw.get("max_value") is not None:
-        conds.append(
-            col < F.lit(kw["max_value"])
-            if kw.get("strict_max")
-            else col <= F.lit(kw["max_value"])
-        )
+    if lo is not None:
+        conds.append(col > F.lit(lo) if kw.get("strict_min") else col >= F.lit(lo))
+    if hi is not None:
+        conds.append(col < F.lit(hi) if kw.get("strict_max") else col <= F.lit(hi))
     if not conds:
         return F.lit(True)
     return reduce(lambda a, b: a & b, conds)

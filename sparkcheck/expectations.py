@@ -606,7 +606,8 @@ _MAP_EXPECTATIONS = [
     (
         "expect_column_values_to_be_between",
         "column_values.between",
-        ("min_value", "max_value", "strict_min", "strict_max"),
+        ("min_value", "max_value", "strict_min", "strict_max",
+         "parse_strings_as_datetimes"),
     ),
     ("expect_column_values_to_match_regex", "column_values.match_regex", ("regex",)),
     ("expect_column_values_to_not_match_regex", "column_values.not_match_regex", ("regex",)),

@@ -31,6 +31,7 @@ _TYPE_MAP = {
     "FloatType": "float",
     "StringType": "string",
     "BooleanType": "boolean",
+    "TimestampType": "timestamp",
 }
 
 
@@ -57,11 +58,21 @@ def _build_df(spark, ds):
     cols = list(data)
     # reference fixtures mix ints and floats in one column (e.g. [-1.5, -1]);
     # normalize to float so schema inference doesn't see conflicting types
+    schema_pre = (ds.get("schemas") or {}).get("spark") or {}
     for c in cols:
         vals = data[c]
         if any(isinstance(v, float) for v in vals):
             data[c] = [float(v) if isinstance(v, int) and not isinstance(v, bool)
                        else v for v in vals]
+        if schema_pre.get(c) == "TimestampType":
+            from dateutil.parser import parse as _p
+
+            data[c] = [None if v is None else _p(v) for v in vals]
+        elif schema_pre.get(c) in ("IntegerType", "LongType"):
+            # reference fixtures carry typed columns as strings ('1')
+            data[c] = [None if v is None else int(v) for v in data[c]]
+        elif schema_pre.get(c) in ("DoubleType", "FloatType"):
+            data[c] = [None if v is None else float(v) for v in data[c]]
     n = len(data[cols[0]])
     rows = [tuple(data[c][i] for c in cols) for i in range(n)]
     schema_spec = (ds.get("schemas") or {}).get("spark")
