@@ -321,7 +321,13 @@ def _increasing(domain: Domain, kw: dict) -> Column:
         if order
         else Window.orderBy(F.monotonically_increasing_id())
     )
-    prev = F.lag(F.col(domain.column)).over(w)
+    # previous NON-NULL value: the reference drops nulls before the lag
+    # (add_column_row_condition filter_null/filter_nan,
+    # column_values_increasing.py:105-108), so a value is compared against
+    # the last non-null predecessor, not a null-interspersed neighbor
+    prev = F.last(F.col(domain.column), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     cmp = (
         F.col(domain.column) > prev
         if kw.get("strictly")
@@ -338,7 +344,9 @@ def _decreasing(domain: Domain, kw: dict) -> Column:
         if order
         else Window.orderBy(F.monotonically_increasing_id())
     )
-    prev = F.lag(F.col(domain.column)).over(w)
+    prev = F.last(F.col(domain.column), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     cmp = (
         F.col(domain.column) < prev
         if kw.get("strictly")

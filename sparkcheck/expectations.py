@@ -457,7 +457,10 @@ class TableColumnsExpectation(Expectation):
     def validate(self, cfg, rf, resolver):
         cols = list(resolver[self._metric_cfg(cfg)])
         if self.mode == "ordered_list":
-            success = cols == list(cfg.get("column_list") or ())
+            want_list = cfg.get("column_list")
+            # column_list=None is vacuously true (reference fixture:
+            # null_list_provides_vacuously_true_expectation)
+            success = want_list is None or cols == list(want_list)
             observed: Any = cols
         elif self.mode == "set":
             want = set(cfg.get("column_set") or ())
@@ -465,7 +468,16 @@ class TableColumnsExpectation(Expectation):
             success = set(cols) == want if exact else want <= set(cols)
             observed = cols
         elif self.mode == "exist":
-            success = cfg.get("column") in cols
+            idx = cfg.get("column_index")
+            if idx:
+                # zero-indexed positional check (ref expect_column_to_exist
+                # _validate: actual_columns[column_index] == column)
+                try:
+                    success = cols[int(idx)] == cfg.get("column")
+                except IndexError:
+                    success = False
+            else:
+                success = cfg.get("column") in cols
             observed = cols
         elif self.mode == "count_equal":
             success = len(cols) == int(cfg.get("value"))
