@@ -38,12 +38,17 @@ class ConditionSpec:
     build: Callable[[Domain, dict[str, Any]], Column]  # expected-predicate
     ignore_nulls: bool = True
     is_window: bool = False
+    # optional fn(simple_dtype_string, kwargs) raising on a column type the
+    # condition cannot evaluate (reference parity: the per-row UDF engines
+    # raise, e.g. strftime on an int column)
+    type_guard: Callable[[str, dict[str, Any]], None] | None = None
 
     def unexpected(
         self,
         domain: Domain,
         kwargs: dict[str, Any],
         float_cols: frozenset[str] = frozenset(),
+        dtypes: dict[str, str] | None = None,
     ) -> Column:
         """The full null-aware unexpected mask.
 
@@ -54,6 +59,13 @@ class ConditionSpec:
         ``filter_nan`` analog, sparkdf_execution_engine.py:665-700, applied
         uniformly as the Pandas engine does implicitly).
         """
+        if (
+            self.type_guard is not None
+            and dtypes is not None
+            and domain.column is not None
+            and domain.column in dtypes
+        ):
+            self.type_guard(dtypes[domain.column], kwargs)
         is_float = domain.column is not None and domain.column in float_cols
         if not self.ignore_nulls:
             if is_float and self.name in ("column_values.nonnull", "column_values.null"):
@@ -86,14 +98,38 @@ def get_condition(name: str) -> ConditionSpec:
     return _CONDITIONS[name]
 
 
-def condition(name: str, ignore_nulls: bool = True, is_window: bool = False):
+def condition(
+    name: str,
+    ignore_nulls: bool = True,
+    is_window: bool = False,
+    type_guard: Callable[[str, dict[str, Any]], None] | None = None,
+):
     def deco(fn):
         register_condition(
-            ConditionSpec(name=name, build=fn, ignore_nulls=ignore_nulls, is_window=is_window)
+            ConditionSpec(
+                name=name, build=fn, ignore_nulls=ignore_nulls,
+                is_window=is_window, type_guard=type_guard,
+            )
         )
         return fn
 
     return deco
+
+
+def _string_only_guard(expectation: str) -> Callable[[str, dict], None]:
+    def guard(dtype: str, kw: dict[str, Any]) -> None:
+        if dtype != "string":
+            # reference message verbatim
+            # (column_values_match_strftime_format.py:27,
+            #  column_values_dateutil_parseable.py:19)
+            raise TypeError(
+                f"Values passed to {expectation} must be of type string.\n"
+                "If you want to validate a column of dates or timestamps, "
+                "please call the expectation before converting from string "
+                "format."
+            )
+
+    return guard
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +269,9 @@ def _len_equals(domain: Domain, kw: dict) -> Column:
     return F.length(F.col(domain.column)) == F.lit(int(kw["value"]))
 
 
-# strftime -> Spark (Java DateTimeFormatter) pattern translations
+# strftime -> Spark (Java DateTimeFormatter) pattern translations.
+# %f maps to SSSSSS, which Spark parses LAXLY (1-6 fraction digits match,
+# verified empirically) — same acceptance as Python strptime's %f.
 _STRFTIME_MAP = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
     "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
@@ -242,21 +280,31 @@ _STRFTIME_MAP = {
     "%z": "xx", "%%": "'%'",
 }
 
+# Python strptime %z accepts +0000 / +00:00 / +000000 / +00:00:00 / Z; no
+# single Java offset pattern does, so %z expands to these variants and the
+# match coalesces try_to_timestamp over the expansion (all JVM-side).
+_TZ_VARIANTS = ("XX", "XXX", "XXXX", "XXXXX")
 
-def strftime_to_spark_pattern(fmt: str) -> str:
-    """Translate a strftime format to a Spark datetime pattern.
+
+def strftime_to_spark_patterns(fmt: str) -> list[str]:
+    """Translate a strftime format to Spark datetime pattern candidates.
 
     Literal characters are single-quoted (Java patterns reserve ALL
     letters, so an unquoted 'T' in an ISO format would be a pattern error);
-    unknown %-directives raise."""
-    out: list[str] = []
+    unknown %-directives raise. A %z directive fans out into one pattern
+    per offset variant Python's strptime accepts."""
+    outs: list[list[str]] = [[]]
     i = 0
     while i < len(fmt):
         if fmt[i] == "%":
             d = fmt[i : i + 2]
             if d not in _STRFTIME_MAP:
                 raise ValueError(f"unsupported strftime directive {d!r} in {fmt!r}")
-            out.append(_STRFTIME_MAP[d])
+            if d == "%z":
+                outs = [prev + [v] for prev in outs for v in _TZ_VARIANTS]
+            else:
+                for prev in outs:
+                    prev.append(_STRFTIME_MAP[d])
             i += 2
             continue
         j = i
@@ -264,21 +312,44 @@ def strftime_to_spark_pattern(fmt: str) -> str:
             j += 1
         literal = fmt[i:j]
         if literal.strip(" -:/.,") == "":
-            out.append(literal)  # separators need no quoting
+            piece = literal  # separators need no quoting
         else:
-            out.append("'" + literal.replace("'", "''") + "'")
+            piece = "'" + literal.replace("'", "''") + "'"
+        for prev in outs:
+            prev.append(piece)
         i = j
-    return "".join(out)
+    return ["".join(parts) for parts in outs]
 
 
-@condition("column_values.match_strftime_format")
+def strftime_to_spark_pattern(fmt: str) -> str:
+    """First (canonical) Spark pattern for a strftime format."""
+    return strftime_to_spark_patterns(fmt)[0]
+
+
+@condition(
+    "column_values.match_strftime_format",
+    type_guard=_string_only_guard("expect_column_values_to_match_strftime_format"),
+)
 def _strftime(domain: Domain, kw: dict) -> Column:
     """strftime-format match via native try_to_timestamp (JVM), not a Python
     UDF (reference uses a per-row udf,
     column_values_match_strftime_format.py:35-59 — the slow path we
     deliberately avoid)."""
-    spark_fmt = strftime_to_spark_pattern(kw["strftime_format"])
-    return F.try_to_timestamp(F.col(domain.column), F.lit(spark_fmt)).isNotNull()
+    fmt = kw["strftime_format"]
+    # reference format validation + message
+    # (expect_column_values_to_match_strftime_format.py:185-189): the format
+    # must survive a strftime->strptime round trip
+    from datetime import datetime as _dt  # noqa: PLC0415
+
+    try:
+        _dt.strptime(_dt.strftime(_dt(2000, 1, 2, 3, 4, 5), fmt), fmt)
+    except ValueError as e:
+        raise ValueError(f"Unable to use provided strftime_format. {e}") from e
+    probes = [
+        F.try_to_timestamp(F.col(domain.column), F.lit(p))
+        for p in strftime_to_spark_patterns(fmt)
+    ]
+    return F.coalesce(*probes).isNotNull() if len(probes) > 1 else probes[0].isNotNull()
 
 
 @condition("column_values.json_parseable")
@@ -464,7 +535,11 @@ def _dateutil_parseable_udf():
     return ok
 
 
-@condition("column_values.dateutil_parseable", is_window=True)
+@condition(
+    "column_values.dateutil_parseable",
+    is_window=True,
+    type_guard=_string_only_guard("expect_column_values_to_be_dateutil_parseable"),
+)
 def _dateutil_parseable(domain: Domain, kw: dict) -> Column:
     # is_window=True here means "not agg-bundleable": a pandas-UDF column
     # cannot join the fused JVM df.agg pass, so the count runs as its own

@@ -328,6 +328,18 @@ def validate_value_between(
     """Port of _validate_metric_value_between (expectation.py:2345-2432)."""
     if value is None:
         return False
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        # reference expectation.py:2394-2411 — a datetime observed value
+        # parses string bounds unconditionally (not gated on
+        # parse_strings_as_datetimes)
+        from dateutil.parser import parse as _parse
+
+        if isinstance(min_value, str):
+            min_value = _parse(min_value)
+        if isinstance(max_value, str):
+            max_value = _parse(max_value)
     ok = True
     if min_value is not None:
         ok = ok and (value > min_value if strict_min else value >= min_value)
@@ -594,12 +606,18 @@ class ColumnTypeExpectation(Expectation):
         types = {d["name"]: d["type"] for d in resolver[self._metric_cfg(cfg)]}
         observed = types.get(cfg.get("column"))
         if self.mode == "of_type":
-            want = [cfg.get("type_")]
+            want = None if cfg.get("type_") is None else [cfg.get("type_")]
         else:
-            want = list(cfg.get("type_list") or ())
-        success = observed is not None and self._norm(observed) in {
-            self._norm(w) for w in want
-        }
+            want = cfg.get("type_list")
+        if want is None:
+            # type_=None / type_list=None is the reference's "placeholder
+            # expectation" — vacuously true
+            # (expect_column_values_to_be_in_type_list.py:278-283)
+            success = True
+        else:
+            success = observed is not None and self._norm(observed) in {
+                self._norm(w) for w in want
+            }
         ret: dict[str, Any] = {"success": success}
         if rf["result_format"] != "BOOLEAN_ONLY":
             ret["result"] = {"observed_value": observed}
@@ -830,7 +848,12 @@ class RowCountEqualOtherTableExpectation(Expectation):
         from .referential import get_table
 
         observed = int(resolver[self._metric_cfg(cfg)] or 0)
-        other = get_table(cfg.get("other_table")).count()
+        # reference kwarg is other_table_name
+        # (expect_table_row_count_to_equal_other_table.py:69); other_table
+        # kept as the fluent alias
+        other = get_table(
+            cfg.get("other_table_name") or cfg.get("other_table")
+        ).count()
         ret: dict[str, Any] = {"success": observed == other}
         if rf["result_format"] != "BOOLEAN_ONLY":
             ret["result"] = {

@@ -255,9 +255,20 @@ class MetricResolver:
     def __init__(self, df: DataFrame):
         self.df = df
         self.cache: dict[tuple, Any] = {}
+        # metric id -> original exception; __getitem__ re-raises so the
+        # expectation's EVR carries the REAL failure (e.g. a type-guard
+        # ValueError), not a downstream KeyError (reference keeps the
+        # original exception in exception_info, validator.py:1159-1213)
+        self.failed: dict[tuple, Exception] = {}
         self._domain_df_cache: dict[str, DataFrame] = {}
         # float/double columns get NaN==NULL semantics (see domain_col)
         self.float_cols = float_columns(df)
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        if not hasattr(self, "_dtypes"):
+            self._dtypes = dict(self.df.dtypes)
+        return self._dtypes
 
     def domain_df(self, domain: Domain) -> DataFrame:
         key = domain.compute_id
@@ -265,9 +276,18 @@ class MetricResolver:
             self._domain_df_cache[key] = domain.apply(self.df)
         return self._domain_df_cache[key]
 
-    def resolve(self, requests: list[MetricConfiguration]) -> dict[tuple, Any]:
+    def resolve(
+        self,
+        requests: list[MetricConfiguration],
+        raise_errors: bool = True,
+    ) -> dict[tuple, Any]:
         """Resolve all requested metrics (+ transitive deps). Returns the
-        full id -> value cache."""
+        full id -> value cache.
+
+        raise_errors=False (the validator's suite mode) records each
+        metric's failure in ``self.failed`` and keeps resolving the rest of
+        the suite; accessing a failed metric re-raises its original
+        exception."""
         pending: dict[tuple, MetricConfiguration] = {}
 
         def add(cfg: MetricConfiguration) -> None:
@@ -282,18 +302,32 @@ class MetricResolver:
         for r in requests:
             add(r)
 
+        def fail(cfg: MetricConfiguration, e: Exception) -> None:
+            if raise_errors:
+                raise e
+            self.failed[cfg.id] = e
+            pending.pop(cfg.id, None)
+
         # iterate: compute everything whose deps are satisfied, bundling aggs
         while pending:
             ready_aggs: dict[str, list[MetricConfiguration]] = {}
             ready_other: list[MetricConfiguration] = []
-            for cfg in pending.values():
+            for cfg in list(pending.values()):
                 spec = get_metric_spec(cfg.name)
                 deps = spec.deps_fn(cfg) if spec.deps_fn else {}
+                bad = next(
+                    (d for d in deps.values() if d.id in self.failed), None
+                )
+                if bad is not None:  # propagate the dep's original failure
+                    fail(cfg, self.failed[bad.id])
+                    continue
                 if all(d.id in self.cache for d in deps.values()):
                     if spec.kind == "agg":
                         ready_aggs.setdefault(cfg.domain.compute_id, []).append(cfg)
                     else:
                         ready_other.append(cfg)
+            if not pending:
+                break
             if not ready_aggs and not ready_other:
                 raise RuntimeError(
                     f"metric resolution stalled; unresolved: "
@@ -303,12 +337,29 @@ class MetricResolver:
             # --- bundled aggregate pass: ONE Spark job per compute domain ---
             for compute_id, cfgs in ready_aggs.items():
                 ddf = self.domain_df(cfgs[0].domain)
-                aliased = []
-                for i, cfg in enumerate(cfgs):
-                    col = get_metric_spec(cfg.name).agg_fn(cfg.domain, cfg, self)
-                    aliased.append(col.alias(f"m_{i}"))
-                row = ddf.agg(*aliased).collect()[0]
-                for i, cfg in enumerate(cfgs):
+                aliased, good = [], []
+                for cfg in cfgs:
+                    try:
+                        col = get_metric_spec(cfg.name).agg_fn(cfg.domain, cfg, self)
+                    except Exception as e:  # noqa: BLE001 — e.g. type guards
+                        fail(cfg, e)
+                        continue
+                    aliased.append(col.alias(f"m_{len(good)}"))
+                    good.append(cfg)
+                if not good:
+                    continue
+                try:
+                    row = ddf.agg(*aliased).collect()[0]
+                except Exception:  # noqa: BLE001 — isolate the bad aggregate
+                    for i, cfg in enumerate(good):
+                        try:
+                            row1 = ddf.agg(aliased[i]).collect()[0]
+                            self.cache[cfg.id] = row1[f"m_{i}"]
+                            pending.pop(cfg.id, None)
+                        except Exception as e:  # noqa: BLE001
+                            fail(cfg, e)
+                    continue
+                for i, cfg in enumerate(good):
                     self.cache[cfg.id] = row[f"m_{i}"]
                     pending.pop(cfg.id, None)
 
@@ -336,13 +387,16 @@ class MetricResolver:
                             # of burning MAX_RETRIES-1 useless cluster jobs
                             break
                 if last_err is not None:
-                    raise last_err
+                    fail(cfg, last_err)
+                    continue
                 self.cache[cfg.id] = value
                 pending.pop(cfg.id, None)
 
         return self.cache
 
     def __getitem__(self, cfg: MetricConfiguration) -> Any:
+        if cfg.id in self.failed:
+            raise self.failed[cfg.id]
         return self.cache[cfg.id]
 
 

@@ -86,6 +86,8 @@ def _gammp(a: float, x: float) -> float:
 
 def chi2_sf(x: float, df: int) -> float:
     """Chi-square survival function (p-value) = 1 - P(df/2, x/2)."""
+    if math.isinf(x):
+        return 0.0  # an expected-zero cell with observed mass: certain reject
     return max(0.0, min(1.0, 1.0 - _gammp(df / 2.0, x / 2.0)))
 
 
@@ -107,6 +109,102 @@ def norm_cdf(x: float, mean: float = 0.0, std: float = 1.0) -> float:
     return 0.5 * (1.0 + math.erf((x - mean) / (std * math.sqrt(2.0))))
 
 
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (Lentz's algorithm)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    d = tiny if abs(d) < tiny else d
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = tiny if abs(d) < tiny else d
+        c = 1.0 + aa / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = tiny if abs(d) < tiny else d
+        c = 1.0 + aa / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    front = math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+# scipy-convention CDFs for the parameterized KS test (reference maps dict
+# params to scipy positional args in dataset/util.py:365-401; we evaluate
+# the same CDFs driver-side without scipy)
+def distribution_cdf(distribution: str, params: Any):
+    """Returns cdf(x) for the distribution with GE/scipy parameters.
+
+    ``params`` may be a dict of named parameters or the scipy positional
+    tuple (dataset/util.py _scipy_distribution_positional_args_from_dict)."""
+
+    def pick(names: list[str], defaults: dict[str, float]) -> list[float]:
+        if isinstance(params, dict):
+            out = []
+            for nm in names:
+                if nm in ("loc", "scale"):
+                    out.append(float(params.get(nm, defaults.get(nm, 0.0))))
+                else:
+                    out.append(float(params[nm]))
+            return out
+        vals = list(params)
+        out = []
+        for i, nm in enumerate(names):
+            out.append(float(vals[i]) if i < len(vals) else defaults.get(nm, 0.0))
+        return out
+
+    if distribution == "norm":
+        if isinstance(params, dict) and "std_dev" not in params and "std" in params:
+            params = dict(params, std_dev=params["std"])
+        mean, std = pick(["mean", "std_dev"], {"mean": 0.0, "std_dev": 1.0})
+        return lambda x: norm_cdf(x, mean, std)
+    if distribution == "uniform":
+        # scipy uniform(loc=min, scale=max): support [min, min+max]
+        lo, width = pick(["min", "max"], {"max": 1.0})
+        return lambda x: min(1.0, max(0.0, (x - lo) / width))
+    if distribution == "expon":
+        loc, scale = pick(["loc", "scale"], {"loc": 0.0, "scale": 1.0})
+        return lambda x: 0.0 if x < loc else 1.0 - math.exp(-(x - loc) / scale)
+    if distribution == "gamma":
+        a, loc, scale = pick(["alpha", "loc", "scale"], {"loc": 0.0, "scale": 1.0})
+        return lambda x: 0.0 if x <= loc else _gammp(a, (x - loc) / scale)
+    if distribution == "chi2":
+        df, loc, scale = pick(["df", "loc", "scale"], {"loc": 0.0, "scale": 1.0})
+        return lambda x: 0.0 if x <= loc else _gammp(df / 2.0, (x - loc) / (2.0 * scale))
+    if distribution == "beta":
+        a, b, loc, scale = pick(
+            ["alpha", "beta", "loc", "scale"], {"loc": 0.0, "scale": 1.0}
+        )
+        return lambda x: betainc_reg(a, b, min(1.0, max(0.0, (x - loc) / scale)))
+    raise AttributeError(f"Unsupported  distribution provided: {distribution}")
+
+
 # ---------------------------------------------------------------------------
 # Distributed sufficient statistics
 # ---------------------------------------------------------------------------
@@ -114,20 +212,21 @@ def norm_cdf(x: float, mean: float = 0.0, std: float = 1.0) -> float:
 
 @eager_metric("column_pair.crosstab")
 def _crosstab(resolver, ddf, cfg: MetricConfiguration, _):
-    """Contingency counts [(a, b, n)] — one groupBy with map-side combine;
-    collected because tests assume low cardinality (as the reference does)."""
+    """Contingency counts [(a, b, n)] INCLUDING null keys — one groupBy with
+    map-side combine; collected because tests assume low cardinality (as the
+    reference does; nulls survive so Cramér's φ can bin them as
+    "(missing)", pandas_dataset.py get_binned_values)."""
     a, b = cfg.domain.column_a, cfg.domain.column_b
-    rows = (
-        ddf.where(F.col(a).isNotNull() & F.col(b).isNotNull())
-        .groupBy(a, b)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    rows = ddf.groupBy(a, b).agg(F.count(F.lit(1)).alias("n")).collect()
     return [(r[a], r[b], r["n"]) for r in rows]
 
 
 def _chi2_from_crosstab(cells: list[tuple]) -> tuple[float, int, float]:
-    """(chi2, dof, n) from contingency cells via numpy on the small table."""
+    """(chi2, dof, n) from contingency cells via numpy on the small table.
+
+    2x2 tables take scipy chi2_contingency's default Yates continuity
+    correction (observed nudged 0.5 toward expected), since the reference
+    calls chi2_contingency with correction=True (dataset.py:4417)."""
     avals = sorted({c[0] for c in cells}, key=str)
     bvals = sorted({c[1] for c in cells}, key=str)
     obs = np.zeros((len(avals), len(bvals)))
@@ -137,11 +236,85 @@ def _chi2_from_crosstab(cells: list[tuple]) -> tuple[float, int, float]:
         obs[ai[a], bi[b]] = n
     n = obs.sum()
     exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    if obs.shape == (2, 2):
+        obs = obs + 0.5 * np.sign(exp - obs)
     with np.errstate(divide="ignore", invalid="ignore"):
         terms = np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0)
     chi2 = float(terms.sum())
     dof = (len(avals) - 1) * (len(bvals) - 1)
     return chi2, dof, float(n)
+
+
+_NUMERIC_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _binned_value_map(
+    values_counts: list[tuple[Any, int]],
+    bins: Any,
+    n_bins: int | None,
+    numeric: bool,
+) -> dict[Any, str | Any]:
+    """Per-distinct-value binning map replicating the reference's
+    get_binned_values (pandas_dataset.py:573-620) without materializing the
+    column: numeric columns bin into equal-width histogram_bin_edges (or the
+    provided edges extended to min/max), string columns keep the top-n_bins
+    values (ties broken by value) and fold the rest into "(other)";
+    nulls become "(missing)"."""
+    if n_bins is None:
+        n_bins = 10
+    def _isnull(v: Any) -> bool:
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    nonnull = [(v, c) for v, c in values_counts if not _isnull(v)]
+    has_null = any(_isnull(v) for v, _ in values_counts)
+    if numeric:
+        vals = np.asarray([float(v) for v, _ in nonnull])
+        if bins is not None:
+            edges = sorted(np.unique([float(b) for b in bins]))
+            if vals.min() < edges[0]:
+                edges = [float(vals.min())] + edges
+            if vals.max() > edges[-1]:
+                edges = edges + [float(vals.max())]
+            edges = np.asarray(edges)
+        else:
+            edges = np.histogram_bin_edges(vals, bins=n_bins)
+        edges = edges.astype(float)
+        edges[-1] = np.nextafter(edges[-1], edges[-1] + 1)
+        precision = int(np.log10(min(edges[1:] - edges[:-1]))) + 2
+        labels = [
+            f"[{round(lo, precision)}, {round(hi, precision)})"
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+        codes = np.digitize(vals, bins=edges) - 1
+        out: dict[Any, Any] = {
+            v: labels[min(max(int(c), 0), len(labels) - 1)]
+            for (v, _), c in zip(nonnull, codes)
+        }
+    elif bins is not None:
+        out = {}
+        for group in bins:
+            label = ", ".join(group)
+            for v in group:
+                out[v] = label
+        for v, _ in nonnull:
+            out.setdefault(v, v)
+    elif len(nonnull) < n_bins + 1:
+        out = {v: v for v, _ in nonnull}
+    else:
+        ranked = sorted(nonnull, key=lambda vc: (-vc[1], str(vc[0])))
+        keep = {v for v, _ in ranked[:n_bins]}
+        out = {v: (v if v in keep else "(other)") for v, _ in nonnull}
+    if has_null:
+        out["__missing__"] = "(missing)"
+    return out
+
+
+def _bin_lookup(mapping: dict[Any, Any], v: Any) -> Any:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return mapping["__missing__"]
+    return mapping[v]
 
 
 # ---------------------------------------------------------------------------
@@ -156,25 +329,64 @@ class CramersPhiExpectation(Expectation):
     name = "expect_column_pair_cramers_phi_value_to_be_less_than"
 
     def _metric_cfg(self, cfg) -> MetricConfiguration:
-        return MetricConfiguration("column_pair.crosstab", build_domain(cfg))
+        # NO ignore_row_if pair default here: the reference crosstabs the
+        # raw columns and bins nulls as "(missing)" (dataset.py:4415)
+        d = build_domain(cfg)
+        return MetricConfiguration(
+            "column_pair.crosstab",
+            Domain(row_condition=d.row_condition,
+                   column_a=d.column_a, column_b=d.column_b),
+        )
+
+    def _rc_cfg(self, cfg) -> MetricConfiguration:
+        return MetricConfiguration("table.row_count", Domain())
 
     def metric_requests(self, cfg, rf):
-        return {"crosstab": self._metric_cfg(cfg)}
+        return {"crosstab": self._metric_cfg(cfg), "rc": self._rc_cfg(cfg)}
 
     def validate(self, cfg, rf, resolver):
         cells = resolver[self._metric_cfg(cfg)]
+        row_count = int(resolver[self._rc_cfg(cfg)] or 0)
         if not cells:
             return {"success": True, "result": {"observed_value": None}}
-        chi2, dof, n = _chi2_from_crosstab(cells)
-        r = len({c[0] for c in cells})
-        c = len({c[1] for c in cells})
-        denom = n * (min(r, c) - 1)
-        phi = math.sqrt(chi2 / denom) if denom > 0 else 0.0
+        # bin each side per the reference's get_binned_values
+        # (pandas_dataset.py:558-620), driver-side over the DISTINCT values
+        # only — counts aggregate through the binning map, so the raw column
+        # never leaves the cluster
+        dt = resolver.dtypes
+        num_a = dt.get(cfg.get("column_A")) in _NUMERIC_DTYPES
+        num_b = dt.get(cfg.get("column_B")) in _NUMERIC_DTYPES
+        a_counts: dict[Any, int] = {}
+        b_counts: dict[Any, int] = {}
+        for a, b, n in cells:
+            a_counts[a] = a_counts.get(a, 0) + n
+            b_counts[b] = b_counts.get(b, 0) + n
+        amap = _binned_value_map(
+            list(a_counts.items()), cfg.get("bins_A"), cfg.get("n_bins_A"), num_a
+        )
+        bmap = _binned_value_map(
+            list(b_counts.items()), cfg.get("bins_B"), cfg.get("n_bins_B"), num_b
+        )
+        binned: dict[tuple, int] = {}
+        for a, b, n in cells:
+            key = (_bin_lookup(amap, a), _bin_lookup(bmap, b))
+            binned[key] = binned.get(key, 0) + n
+        bcells = [(a, b, n) for (a, b), n in binned.items()]
+        chi2, dof, n = _chi2_from_crosstab(bcells)
+        r = len({c[0] for c in bcells})
+        c = len({c[1] for c in bcells})
+        # reference dataset.py:4417-4424: V = sqrt(chi2 / table_row_count /
+        # (min(shape)-1)) clipped to [0, 1]; success is <= threshold
+        denom = row_count * (min(r, c) - 1)
+        phi = min(max(math.sqrt(chi2 / denom), 0.0), 1.0) if denom > 0 else 0.0
         threshold = float(cfg.get("threshold", 0.1))
-        ret: dict[str, Any] = {"success": phi < threshold}
+        ret: dict[str, Any] = {"success": phi <= threshold}
         if rf["result_format"] != "BOOLEAN_ONLY":
-            ret["result"] = {"observed_value": phi,
-                             "details": {"chi2": chi2, "dof": dof, "n": n}}
+            ret["result"] = {
+                "observed_value": phi,
+                "details": {"chi2": chi2, "dof": dof, "n": n,
+                            "crosstab": sorted(bcells, key=str)},
+            }
         return ret
 
 
@@ -191,31 +403,61 @@ class ChisquareTestExpectation(Expectation):
             "column.value_counts", build_domain(cfg), freeze_kwargs(sort="value")
         )
 
+    def _nn_cfg(self, cfg) -> MetricConfiguration:
+        return MetricConfiguration("column.nonnull_count", build_domain(cfg))
+
     def metric_requests(self, cfg, rf):
-        return {"vc": self._vc_cfg(cfg)}
+        return {"vc": self._vc_cfg(cfg), "nn": self._nn_cfg(cfg)}
 
     def validate(self, cfg, rf, resolver):
-        vc = dict(resolver[self._vc_cfg(cfg)])
+        # reference dataset.py:3778-3830: union-align observed counts with
+        # the partition, expected = weights * nonnull_count; observed-only
+        # values take the tail_weight_holdout (default 0 -> expected 0 ->
+        # chi2 = inf -> p = 0); raises on a non-categorical partition.
         po = cfg.get("partition_object") or {}
-        values = list(po.get("values", ()))
-        weights = np.asarray(po.get("weights", ()), dtype=float)
-        observed = np.asarray([vc.get(v, 0) for v in values], dtype=float)
-        n = observed.sum()
-        expected = weights / weights.sum() * n
+        if "values" not in po or "weights" not in po \
+                or len(po["values"]) != len(po["weights"]) \
+                or abs(sum(po["weights"]) - 1.0) > 1e-6:
+            raise ValueError("Invalid partition object.")
+        vc = dict(resolver[self._vc_cfg(cfg)])
+        element_count = int(resolver[self._nn_cfg(cfg)] or 0)
+        holdout = float(cfg.get("tail_weight_holdout", 0) or 0)
+        expected = {v: w * element_count for v, w in zip(po["values"], po["weights"])}
+        union = sorted(set(expected) | set(vc), key=str)
+        novel = [v for v in union if v not in expected]
+        if novel:
+            expected = {v: e * (1 - holdout) for v, e in expected.items()}
+            for v in novel:
+                expected[v] = element_count * holdout / len(novel)
+        obs = np.asarray([float(vc.get(v, 0)) for v in union])
+        exp = np.asarray([expected[v] for v in union])
         with np.errstate(divide="ignore", invalid="ignore"):
-            chi2 = float(
-                np.where(expected > 0, (observed - expected) ** 2 / expected, 0.0).sum()
+            terms = np.where(
+                exp > 0, (obs - exp) ** 2 / exp,
+                np.where(obs > 0, np.inf, 0.0),
             )
-        dof = max(len(values) - 1, 1)
+        chi2 = float(terms.sum())
+        dof = max(len(union) - 1, 1)
         p_value = chi2_sf(chi2, dof)
         threshold = float(cfg.get("p", 0.05))
         ret: dict[str, Any] = {"success": p_value > threshold}
         if rf["result_format"] != "BOOLEAN_ONLY":
+            exp_sum, obs_sum = float(exp.sum()), float(obs.sum())
             ret["result"] = {
                 "observed_value": p_value,
-                "details": {"chi2": chi2, "dof": dof,
-                            "observed_counts": observed.tolist(),
-                            "expected_counts": expected.tolist()},
+                "element_count": element_count,
+                "missing_count": None,
+                "missing_percent": None,
+                "details": {
+                    "observed_partition": {
+                        "values": union,
+                        "weights": (obs / obs_sum).tolist() if obs_sum else obs.tolist(),
+                    },
+                    "expected_partition": {
+                        "values": union,
+                        "weights": (exp / exp_sum).tolist() if exp_sum else exp.tolist(),
+                    },
+                },
             }
         return ret
 
@@ -255,24 +497,16 @@ class KsTestExpectation(Expectation):
         grid = list(resolver[reqs["quantiles"]] or [])
         n = int(resolver[reqs["nonnull"]] or 0)
         dist = cfg.get("distribution", "norm")
-        params = cfg.get("params") or {}
-        if dist == "norm":
-            mean = float(params.get("mean", 0.0))
-            std = float(params.get("std", 1.0))
-            cdf = lambda x: norm_cdf(x, mean, std)  # noqa: E731
-        elif dist == "uniform":
-            lo = float(params.get("min", 0.0))
-            hi = float(params.get("max", 1.0))
-            cdf = lambda x: min(1.0, max(0.0, (x - lo) / (hi - lo)))  # noqa: E731
-        else:
-            raise ValueError(f"unsupported distribution {dist!r}")
+        cdf = distribution_cdf(dist, cfg.get("params") or {})
         g = len(grid)
         d = max(
             (abs((i + 0.5) / g - cdf(q)) for i, q in enumerate(grid) if q is not None),
             default=0.0,
         )
         p_value = ks_p_value(d, n) if n else 1.0
-        threshold = float(cfg.get("p", 0.05))
+        # reference signature names the threshold p_value
+        # (expect_column_parameterized_distribution_ks...py kwarg)
+        threshold = float(cfg.get("p_value", cfg.get("p", 0.05)))
         ret: dict[str, Any] = {"success": p_value > threshold}
         if rf["result_format"] != "BOOLEAN_ONLY":
             ret["result"] = {"observed_value": p_value,
@@ -300,7 +534,34 @@ class BootstrappedKsTestExpectation(Expectation):
 
     name = "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than"
 
+    @staticmethod
+    def _partition(cfg) -> tuple[list[float], list[float]]:
+        """Validate the continuous partition with the reference's checks and
+        messages (pandas_dataset.py expect_column_bootstrapped_ks...:
+        is_valid_continuous_partition_object + finite-endpoint +
+        tail-weight guards)."""
+        po = cfg.get("partition_object") or {}
+        bins = list(po.get("bins", ()))
+        weights = list(po.get("weights", ()))
+        comb = list(po.get("tail_weights", ())) + weights
+        if (
+            not bins
+            or not weights
+            or len(bins) != len(weights) + 1
+            or ("tail_weights" in po and len(po["tail_weights"]) != 2)
+            or abs(sum(comb) - 1.0) > 1e-6
+        ):
+            raise ValueError("Invalid continuous partition object.")
+        if math.isinf(bins[0]) or math.isinf(bins[-1]):
+            raise ValueError("Partition endpoints must be finite.")
+        if sum(po.get("tail_weights", ())) > 0:
+            raise ValueError(
+                "Partition cannot have tail weights -- endpoints must be finite."
+            )
+        return [float(b) for b in bins], [float(w) for w in weights]
+
     def _reqs(self, cfg) -> dict[str, MetricConfiguration]:
+        bins, _weights = self._partition(cfg)
         g = int(cfg.get("grid_points", 200))
         qs = tuple((i + 0.5) / g for i in range(g))
         domain = build_domain(cfg)
@@ -311,21 +572,19 @@ class BootstrappedKsTestExpectation(Expectation):
                               accuracy=int(cfg.get("accuracy", 10000))),
             ),
             "nonnull": MetricConfiguration("column.nonnull_count", domain),
+            "hist": MetricConfiguration(
+                "column.histogram", domain, freeze_kwargs(bins=tuple(bins))
+            ),
+            "min": MetricConfiguration("column.min", domain),
+            "max": MetricConfiguration("column.max", domain),
         }
 
     def metric_requests(self, cfg, rf):
         return self._reqs(cfg)
 
     def validate(self, cfg, rf, resolver):
-        po = cfg.get("partition_object") or {}
-        bins = np.asarray(po.get("bins", ()), dtype=float)
-        weights = np.asarray(po.get("weights", ()), dtype=float)
-        if len(bins) != len(weights) + 1 or len(weights) == 0:
-            raise ValueError("invalid continuous partition object")
-        if not np.isfinite(bins).all():
-            # reference raises the same constraint (:38-42)
-            raise ValueError("Partition endpoints must be finite.")
-        test_cdf = np.append([0.0], np.cumsum(weights / weights.sum()))
+        bins, weights = self._partition(cfg)
+        test_cdf = np.append([0.0], np.cumsum(np.asarray(weights)))
 
         reqs = self._reqs(cfg)
         grid = np.asarray(
@@ -334,8 +593,8 @@ class BootstrappedKsTestExpectation(Expectation):
         )
         n = int(resolver[reqs["nonnull"]] or 0)
         p = float(cfg.get("p", 0.05))
-        n_samples = int(cfg.get("bootstrap_samples", 1000))
-        size = int(cfg.get("bootstrap_sample_size", 2 * len(weights)))
+        n_samples = int(cfg.get("bootstrap_samples") or 1000)
+        size = int(cfg.get("bootstrap_sample_size") or 2 * len(weights))
         if n == 0 or grid.size == 0:
             observed = 1.0
         else:
@@ -356,10 +615,36 @@ class BootstrappedKsTestExpectation(Expectation):
             observed = (1 + hits) / (n_samples + 1)
         ret: dict[str, Any] = {"success": observed > p}
         if rf["result_format"] != "BOOLEAN_ONLY":
+            # observed-partition detail block, reference-shaped
+            # (pandas_dataset.py:1260-1310): provided bins extended to
+            # min/max when data falls outside, weights = counts / n
+            hist_arr = [int(x or 0) for x in (resolver[reqs["hist"]] or [])]
+            below, hist, above = hist_arr[0], hist_arr[1:-1], hist_arr[-1]
+            cmin, cmax = resolver[reqs["min"]], resolver[reqs["max"]]
+            obs_bins, obs_counts = list(bins), list(hist)
+            if below > 0:
+                obs_bins = [float(cmin)] + obs_bins
+                obs_counts = [below] + obs_counts
+            if above > 0:
+                obs_bins = obs_bins + [float(cmax)]
+                obs_counts = obs_counts + [above]
+            obs_weights = [c / n for c in obs_counts] if n else obs_counts
+            obs_cdf = np.cumsum(obs_weights)
             ret["result"] = {
                 "observed_value": observed,
-                "details": {"bootstrap_samples": n_samples,
-                            "bootstrap_sample_size": size},
+                "details": {
+                    "bootstrap_samples": n_samples,
+                    "bootstrap_sample_size": size,
+                    "observed_partition": {
+                        "bins": obs_bins, "weights": obs_weights,
+                    },
+                    "expected_partition": {"bins": bins, "weights": weights},
+                    "observed_cdf": {
+                        "x": obs_bins,
+                        "cdf_values": [0] + obs_cdf.tolist(),
+                    },
+                    "expected_cdf": {"x": bins, "cdf_values": test_cdf.tolist()},
+                },
             }
         return ret
 

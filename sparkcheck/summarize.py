@@ -58,17 +58,20 @@ def condition_kwargs(cfg: MetricConfiguration) -> tuple[str, dict[str, Any]]:
 
 
 def unexpected_mask(
-    cfg: MetricConfiguration, float_cols: frozenset[str] = frozenset()
+    cfg: MetricConfiguration,
+    float_cols: frozenset[str] = frozenset(),
+    dtypes: dict[str, str] | None = None,
 ) -> Column:
     name, kw = condition_kwargs(cfg)
-    return get_condition(name).unexpected(cfg.domain, kw, float_cols)
+    return get_condition(name).unexpected(cfg.domain, kw, float_cols, dtypes)
 
 
 @agg_metric("map.unexpected_count")
 def _unexpected_count_agg(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     # joins the fused df.agg pass — reference :625-640
     fc = ctx.float_cols if ctx is not None else frozenset()
-    return F.sum(F.when(unexpected_mask(cfg, fc), 1).otherwise(0))
+    dt = ctx.dtypes if ctx is not None else None
+    return F.sum(F.when(unexpected_mask(cfg, fc, dt), 1).otherwise(0))
 
 
 @eager_metric("map.unexpected_count.window")
@@ -104,7 +107,7 @@ def _unexpected_count_window(resolver, ddf: DataFrame, cfg: MetricConfiguration,
         )
         return int(dup or 0)
     return ddf.withColumn(
-        "__unexpected", unexpected_mask(cfg, resolver.float_cols)
+        "__unexpected", unexpected_mask(cfg, resolver.float_cols, resolver.dtypes)
     ).filter(F.col("__unexpected")).count()
 
 
@@ -135,6 +138,7 @@ def filter_unexpected_rows(
     domain: Domain,
     kwargs: dict[str, Any],
     float_cols: frozenset[str] = frozenset(),
+    dtypes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Rows violating a condition, with skew-safe routing for uniqueness.
 
@@ -174,7 +178,7 @@ def filter_unexpected_rows(
         return ddf.join(dups, on=on, how="left_semi")
     if condition_name in ("column_values.increasing", "column_values.decreasing"):
         _guard_global_window(ddf, condition_name, kwargs)
-    mask = get_condition(condition_name).unexpected(domain, kwargs, float_cols)
+    mask = get_condition(condition_name).unexpected(domain, kwargs, float_cols, dtypes)
     # materialize the mask with withColumn before filtering — window
     # expressions are not allowed directly in WHERE (Spark restriction)
     return (
@@ -188,16 +192,17 @@ def _filter_unexpected(
     ddf: DataFrame,
     cfg: MetricConfiguration,
     float_cols: frozenset[str] = frozenset(),
+    dtypes: dict[str, str] | None = None,
 ) -> DataFrame:
     name, kw = condition_kwargs(cfg)
-    return filter_unexpected_rows(ddf, name, cfg.domain, kw, float_cols)
+    return filter_unexpected_rows(ddf, name, cfg.domain, kw, float_cols, dtypes)
 
 
 @eager_metric("map.unexpected_values")
 def _unexpected_values(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     # reference: column_map_condition_auxilliary_methods.py:337-384
     limit = cfg.kw("limit")
-    out = _filter_unexpected(ddf, cfg, resolver.float_cols)
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols, resolver.dtypes)
     dom = cfg.domain
     if dom.column is not None:
         out = out.select(F.col(dom.column).alias("v"))
@@ -230,7 +235,7 @@ def _unexpected_index_list(resolver, ddf: DataFrame, cfg: MetricConfiguration, _
         else [dom.column_a, dom.column_b]
     )
     sel = list(dict.fromkeys(index_cols + value_cols))
-    out = _filter_unexpected(ddf, cfg, resolver.float_cols).select(*sel)
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols, resolver.dtypes).select(*sel)
     rows = (out.limit(int(limit)) if limit else out).collect()
     return [r.asDict() for r in rows]
 
@@ -242,7 +247,7 @@ def _unexpected_rows(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
     — COMPLETE collects all, otherwise limit(partial_unexpected_count);
     surfaced in the EVR by expectation.py:3543-3548)."""
     limit = cfg.kw("limit")
-    out = _filter_unexpected(ddf, cfg, resolver.float_cols)
+    out = _filter_unexpected(ddf, cfg, resolver.float_cols, resolver.dtypes)
     rows = (out.limit(int(limit)) if limit else out).collect()
     return [r.asDict(recursive=True) for r in rows]
 
@@ -252,7 +257,7 @@ def _unexpected_value_counts(resolver, ddf: DataFrame, cfg: MetricConfiguration,
     # reference: column_map_condition_auxilliary_methods.py:387-428
     dom = cfg.domain
     out = (
-        _filter_unexpected(ddf, cfg, resolver.float_cols)
+        _filter_unexpected(ddf, cfg, resolver.float_cols, resolver.dtypes)
         .groupBy(F.col(dom.column).alias("v"))
         .count()
         .orderBy(F.desc("count"), F.col("v"))

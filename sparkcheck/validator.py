@@ -73,10 +73,11 @@ class Validator:
         for i, cfg in enumerate(suite.expectations):
             rf = parse_result_format(cfg.get("result_format", rf_default))
             try:
-                if evaluation_parameters:
-                    # per-expectation so an unknown $PARAMETER fails only
-                    # its own EVR (reference validator.py:1583-1607 binding)
-                    cfg = _bind_config(cfg, evaluation_parameters)
+                # always bind (even with no params) so self-contained
+                # $PARAMETER expressions like now()-timedelta(...) resolve;
+                # per-expectation so an unknown $PARAMETER fails only its
+                # own EVR (reference validator.py:1583-1607 binding)
+                cfg = _bind_config(cfg, evaluation_parameters or {})
                 exp = get_expectation(cfg.expectation_type)
                 reqs = exp.metric_requests(cfg, rf)
                 stage1.extend(reqs.values())
@@ -145,16 +146,18 @@ class Validator:
         }
 
     def _resolve_safely(self, requests, plans, errors, catch_exceptions) -> None:
+        # per-metric failures are recorded in resolver.failed and re-raised
+        # with their ORIGINAL exception when the expectation reads them at
+        # finalize — so exception_info carries the real error message
+        # (reference validator.py:1159-1213 keeps the metric exception)
         try:
-            self.resolver.resolve(requests)
-        except Exception:  # noqa: BLE001
+            self.resolver.resolve(requests, raise_errors=not catch_exceptions)
+        except Exception:  # noqa: BLE001 — e.g. dependency-graph stalls
             if not catch_exceptions:
                 raise
-            # fall back to per-request resolution so one bad metric doesn't
-            # sink the suite; expectations touching it fail at finalize.
-            for r in requests:
+            for r in requests:  # expectations touching it fail at finalize
                 try:
-                    self.resolver.resolve([r])
+                    self.resolver.resolve([r], raise_errors=False)
                 except Exception:  # noqa: BLE001
                     pass
 

@@ -39,7 +39,16 @@ def _cases():
     out = []
     for path in sorted(FIXTURE_DIR.glob("*.json")):
         spec = json.loads(path.read_text())
+        # multi-table files (row_count_to_equal_other_table): sibling
+        # datasets in the same file are registered as named tables
+        needs_siblings = any(
+            "other_table_name" in (t.get("in") or {})
+            for d in spec["datasets"] for t in d.get("tests", ())
+            if isinstance(t.get("in"), dict)
+        )
         for ds in spec["datasets"]:
+            if needs_siblings:
+                ds = dict(ds, __siblings=spec["datasets"])
             for test in ds["tests"]:
                 if "spark" in test.get("suppress_test_for", ()):
                     continue
@@ -76,6 +85,24 @@ def _build_df(spark, ds):
     n = len(data[cols[0]])
     rows = [tuple(data[c][i] for c in cols) for i in range(n)]
     schema_spec = (ds.get("schemas") or {}).get("spark")
+    if not schema_spec and (
+        not rows or any(all(v is None for v in data[c]) for c in cols)
+    ):
+        # schema inference fails on empty data / all-null columns; build a
+        # DDL from the first non-null value per column (string if none)
+        def infer(c):
+            v = next((x for x in data[c] if x is not None), None)
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            return "string"
+
+        return spark.createDataFrame(
+            rows, ", ".join(f"`{c}` {infer(c)}" for c in cols)
+        )
     if schema_spec:
         # backtick-quote: reference fixtures include column names with
         # spaces, numeric names ("0"), and headerless names ("_c0")
@@ -92,6 +119,16 @@ def _sorted(v):
 
 
 def _close(a, b, tol=None) -> bool:
+    import datetime as _dt
+
+    # reference self_check harness compares datetime observed values against
+    # the fixtures' ISO strings after parsing (util.py check_json_test_result)
+    if isinstance(a, _dt.datetime) and isinstance(b, str):
+        from dateutil.parser import parse as _p
+        return a == _p(b)
+    if isinstance(b, _dt.datetime) and isinstance(a, str):
+        from dateutil.parser import parse as _p
+        return _p(a) == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
             and not isinstance(a, bool) and not isinstance(b, bool):
         if tol is not None:
@@ -107,6 +144,10 @@ def _close(a, b, tol=None) -> bool:
 @pytest.mark.parametrize("expectation_type,ds,test", _cases())
 def test_fixture(spark, expectation_type, ds, test):
     df = _build_df(spark, ds)
+    for sib in ds.get("__siblings", ()):
+        from sparkcheck.referential import register_table
+
+        register_table(sib["dataset_name"], _build_df(spark, sib))
     suite = ExpectationSuite(
         "fixture", [ExpectationConfiguration(expectation_type, dict(test["in"]))]
     )
@@ -116,7 +157,32 @@ def test_fixture(spark, expectation_type, ds, test):
     tol = test.get("tolerance", out.pop("tolerance", None))
 
     for key, expected in out.items():
-        if key == "success":
+        if key == "traceback_substring":
+            exc = evr.get("exception_info") or {}
+            assert exc.get("raised_exception"), (
+                f"expected an exception containing {expected!r}; evr={evr}"
+            )
+            assert expected in (exc.get("exception_traceback") or ""), (
+                expected, exc.get("exception_traceback"),
+            )
+        elif key.startswith("observed_cdf"):
+            # reference self_check/util.py:2646-2668: assertions on the
+            # first/last x value of details.observed_cdf
+            xs = result["details"]["observed_cdf"]["x"]
+            got = xs[-1] if "x_-1" in key else xs[0]
+            if key.endswith("_lt"):
+                assert got < expected, (key, got, expected)
+            elif key.endswith("_gt"):
+                assert got > expected, (key, got, expected)
+            else:
+                assert _close(got, expected, tol), (key, got, expected)
+        elif key == "result":
+            # nested full-result compare: only the keys the fixture names
+            # (reference exact_match_out=False semantics)
+            for rk, rv in expected.items():
+                got = result.get(rk)
+                assert _close(got, rv, tol), (rk, got, rv)
+        elif key == "success":
             assert evr["success"] == expected, (
                 f"success={evr['success']} expected={expected}; "
                 f"result={result}; exc={evr.get('exception_info')}"
