@@ -155,34 +155,54 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     return F.filter(acc, lambda x: x.isNotNull())
 
 
-def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document text-analysis profile — one narrow scan, no shuffle.
+def _word_hits(joined: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in ``words`` inside a single-space-joined token
+    string — zero-width lookarounds so adjacent hits ("of the") both count.
+    A flat JVM regexp (whole-stage codegen) replacing the interpreted
+    ``size(filter(toks, isin))`` HOF pass."""
+    pat = "(?<=^| )(?:" + "|".join(words) + ")(?= |$)"
+    return F.regexp_count(joined, F.lit(pat))
 
-    The token array is materialized ONCE in an inner projection and every
-    metric references that column. Composing the helpers directly would
-    re-expand ``filter(split(lower(text)))`` per metric (~8x); codegen's
-    subexpression elimination recovers the flat copies but NOT the ones
-    inside higher-order functions, which are interpreted (the BENCH finding
-    behind the 4.4s text_profile row in round 1). Catalyst keeps the inner
-    projection because the alias is non-cheap and multiply referenced."""
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis profile — one narrow scan, no shuffle,
+    ZERO higher-order functions.
+
+    Round-2 materialized the token array once (4.4s -> 1.7s at sf0.1); the
+    residual cost was seven interpreted HOF passes over that array (filter
+    per language profile + length fold). This version never builds an array:
+    the normalized token stream is ONE string column ``__joined``
+    (lowercase, whitespace runs collapsed to single spaces, trimmed —
+    exactly ``array_join(tokens(text), ' ')``), and every token statistic
+    is a flat regexp/length expression over it, all inside whole-stage
+    codegen:
+      - n_tokens        = spaces + 1 (0 for empty)
+      - sum(token len)  = length - spaces
+      - stopword hits   = regexp_count with zero-width space lookarounds
+      - fingerprint     = md5(__joined)  (same value as the array_join form)
+    Value-identical to the HOF formulation — the DuckDB oracle is unchanged
+    and stays hash-exact."""
+    low = F.lower(F.col(text_col))
     base = docs.select(
         F.col(id_col),
-        F.col(text_col).alias("__txt"),
-        tokens(text_col).alias("__toks"),
+        F.length(F.col(text_col)).alias("__nchars"),
+        F.btrim(F.regexp_replace(low, r"\s+", " "), F.lit(" ")).alias("__joined"),
+        # punctuation density comes off the raw lowered text, not __joined
+        (
+            F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+        ).alias("__nonalnum"),
+        F.length(low).alias("__nlow"),
     )
-    toks, txt = F.col("__toks"), F.col("__txt")
-    n = F.size(toks)
+    joined = F.col("__joined")
+    spaces = F.length(joined) - F.length(F.replace(joined, F.lit(" "), F.lit("")))
+    n = F.when(F.length(joined) > 0, spaces + 1).otherwise(F.lit(0))
     nd = n.cast("double")
-    total_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    mean_tok = F.when(n > 0, (F.length(joined) - spaces).cast("double") / nd)
+    sw_ratio = F.when(
+        n > 0, _word_hits(joined, DEFAULT_QUALITY_STOPWORDS).cast("double") / nd
     )
-    mean_tok = F.when(n > 0, total_len.cast("double") / nd)
-    sw_hits = F.size(F.filter(toks, _member_of(DEFAULT_QUALITY_STOPWORDS)))
-    sw_ratio = F.when(n > 0, sw_hits.cast("double") / nd)
-    low = F.lower(txt)
-    kept = F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
     na_ratio = F.when(
-        F.length(low) > 0, (F.length(low) - kept).cast("double") / F.length(low)
+        F.col("__nlow") > 0, F.col("__nonalnum").cast("double") / F.col("__nlow")
     )
     quality = (
         F.least(nd / F.lit(20.0), F.lit(1.0)) * F.lit(0.5)
@@ -196,19 +216,20 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
     scored = []
     for code, words in sorted(STOPWORDS.items()):
-        hits = F.size(F.filter(toks, _member_of(words)))
-        score = F.when(n > 0, hits.cast("double") / nd).otherwise(F.lit(0.0))
+        score = F.when(
+            n > 0, _word_hits(joined, words).cast("double") / nd
+        ).otherwise(F.lit(0.0))
         scored.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
     best = F.array_max(F.array(*scored))
     pred_lang = F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
     return base.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.length(txt).alias("n_chars"),
+        F.col("__nchars").alias("n_chars"),
         F.round(F.coalesce(mean_tok, F.lit(0.0)), 4).alias("mean_token_len"),
         F.round(F.coalesce(sw_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
         F.round(F.coalesce(na_ratio, F.lit(0.0)), 4).alias("non_alnum_ratio"),
         F.round(quality, 4).alias("quality"),
         pred_lang.alias("pred_lang"),
-        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.md5(joined).alias("fingerprint"),
     )
