@@ -406,10 +406,10 @@ def q_windowed_validation(spark, sf):
     return out.select(
         F.to_date(F.col("window.start")).alias("window_start"),
         "element_count",
-        F.col("unexpected__expect_column_values_to_be_between__value").alias(
+        F.col("unexpected__0__expect_column_values_to_be_between__value").alias(
             "n_out_of_range"
         ),
-        F.col("unexpected__expect_column_values_to_not_be_null__value").alias(
+        F.col("unexpected__1__expect_column_values_to_not_be_null__value").alias(
             "n_null"
         ),
     )

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 _CHECK_SCHEMA = T.StructType([
     T.StructField("row_kind", T.StringType()),   # 'violation' | 'bound'
+    T.StructField("pid", T.IntegerType()),       # partition id (bound rows)
     T.StructField("order_key", T.DoubleType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("prev_value", T.DoubleType()),
@@ -40,6 +41,13 @@ _CHECK_SCHEMA = T.StructType([
 
 def _checker(strictly: bool, decreasing: bool):
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        # partition identity travels WITH the bound rows: the driver pairs
+        # first/last per pid instead of re-deriving pairs from a global sort
+        # of (order, value) tuples, which could mis-pair when partitions
+        # start and end on duplicate order keys
+        pid = TaskContext.get().partitionId()
         prev_val = None
         first = None  # (order, value) of the partition's first row
         last = None
@@ -61,6 +69,7 @@ def _checker(strictly: bool, decreasing: bool):
             if bad.any():
                 out = pd.DataFrame({
                     "row_kind": "violation",
+                    "pid": pid,
                     "order_key": ords[bad],
                     "value": vals[bad],
                     "prev_value": prev[bad],
@@ -71,6 +80,7 @@ def _checker(strictly: bool, decreasing: bool):
         if first is not None:
             yield pd.DataFrame({
                 "row_kind": ["bound", "bound"],
+                "pid": [pid, pid],
                 "order_key": [first[0], last[0]],
                 "value": [first[1], last[1]],
                 "prev_value": [float("nan"), float("nan")],
@@ -113,18 +123,19 @@ def monotonicity_violations(
         for r in rows
         if r["row_kind"] == "violation"
     ]
-    # boundary pairs: partitions sorted by their first order key; compare
-    # partition i's last value with partition i+1's first value
-    bounds = sorted(
-        (r["order_key"], r["value"])
-        for r in rows
-        if r["row_kind"] == "bound"
-    )
-    # bounds come in (first, last) pairs per partition, globally ordered by
-    # range partitioning; walk them pairwise
-    for i in range(1, len(bounds) - 1, 2):
-        last_ord, last_val = bounds[i]
-        next_ord, next_val = bounds[i + 1]
+    # boundary stitch: each non-empty partition contributed exactly two
+    # bound rows (its first and last sorted row — identical for single-row
+    # partitions); repartitionByRange assigns ascending key ranges to
+    # ascending partition ids, so adjacency is pid order. Empty partitions
+    # emitted nothing and drop out naturally.
+    per_pid: dict[int, list[tuple[float, float]]] = {}
+    for r in rows:
+        if r["row_kind"] == "bound":
+            per_pid.setdefault(r["pid"], []).append((r["order_key"], r["value"]))
+    ordered = [per_pid[pid] for pid in sorted(per_pid)]
+    for prev_part, next_part in zip(ordered, ordered[1:]):
+        _last_ord, last_val = prev_part[1]   # (first, last) emit order
+        next_ord, next_val = next_part[0]
         if decreasing:
             bad = next_val > last_val if not strictly else next_val >= last_val
         else:

@@ -28,17 +28,26 @@ import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Default scorer for the pairwise cosine hot loop.
+# Default scorer for the cosine hot loops (BENCH/scorer_bench.py findings):
 #   "hof"   — higher-order-function fold (zip_with + aggregate): JVM-side but
-#             INTERPRETED and allocation-bound (measured in BENCH/BASELINE.md);
-#             its sequential left-fold is bit-reproducible against the DuckDB
-#             oracle, so it stays the oracle-parity mode.
-#   "numpy" — Arrow-batched pandas_udf: one np.einsum over the whole Arrow
-#             batch in float64. ~3-10x faster at >=1M scored pairs; summation
-#             order differs from the sequential fold by O(1e-16) relative —
-#             identical after the 6-dp rounding every consumer applies (A/B
-#             value-hash-verified at sf0.01/sf0.1 before switching defaults).
-DEFAULT_SCORER = "numpy"
+#             INTERPRETED and allocation-bound; its sequential left-fold is
+#             bit-reproducible against the DuckDB oracle (oracle-parity mode).
+#   "numpy" — Arrow-batched pandas_udf in float64. Two variants:
+#             * query-matrix scoring (top-k paths): the tiny query side is a
+#               driver-side closure matrix; Arrow moves ONE corpus vector per
+#               scored pair and numpy row-gathers the query — measured faster
+#               than the fold at >=1M pairs (see BENCH/BASELINE.md).
+#             * generic two-array pair scoring: Arrow must move BOTH vectors
+#               per pair; the transfer dominates and the fold WINS (measured
+#               0.73x at 8M pairs) — so symmetric pair paths (near-dup
+#               verify) default to "hof".
+#             numpy's pairwise summation differs from the sequential fold by
+#             O(1e-16) relative — identical after the 6-dp rounding every
+#             consumer applies (A/B value-hash-verified vs the oracles).
+DEFAULT_TOPK_SCORER = "numpy"
+DEFAULT_PAIR_SCORER = "hof"
+# max queries collected to the driver for the closure-matrix path
+MAX_CLOSURE_QUERIES = 10_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -82,11 +91,129 @@ def _cosine_batch_udf():
 
 def cosine(a: Column, b: Column, scorer: str | None = None) -> Column:
     """Pairwise cosine similarity; scorer picks the hot-loop implementation
-    (see DEFAULT_SCORER — "numpy" Arrow batches by default, "hof" for the
-    bit-reproducible fold)."""
-    if (scorer or DEFAULT_SCORER) == "numpy":
+    (see the scorer notes above — generic two-array pairs default to the
+    "hof" fold because Arrow transfer of both vectors dominates)."""
+    if (scorer or DEFAULT_PAIR_SCORER) == "numpy":
         return _cosine_batch_udf()(a, b)
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_matrix_udf(qmap: dict):
+    """cos(c_vec, Q[q_id]) with the query matrix as a driver-side closure:
+    Arrow moves only the corpus vector + the query id per scored pair, and
+    each batch is two float64 einsums + a row gather (no per-row Python).
+    Float math matches cosine(): dot / (|q| * |c|)."""
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    ids = list(qmap)
+    qmat = np.asarray([qmap[i] for i in ids], dtype=np.float64)
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    index = {i: j for j, i in enumerate(ids)}
+
+    @pandas_udf("double")
+    def score(c_vec: pd.Series, q_id: pd.Series) -> pd.Series:
+        cv = np.stack(c_vec.to_numpy()).astype(np.float64, copy=False)
+        rows = q_id.map(index).to_numpy()
+        num = np.einsum("ij,ij->i", qmat[rows], cv)
+        den = qnorm[rows] * np.sqrt(np.einsum("ij,ij->i", cv, cv))
+        return pd.Series(num / den)
+
+    return score
+
+
+def _gemm_topk_scores(
+    corpus: DataFrame,
+    qmap: dict,
+    id_col: str,
+    vec_col: str,
+    k: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos): every corpus vector scored against ALL
+    queries in one zero-copy Arrow pass.
+
+    mapInArrow reads each batch's list column as its flat contiguous buffer
+    (no per-row object loop), computes the whole batch x queries cosine
+    block as a single float64 matmul, and — when ``k`` is given — emits only
+    each query's batch-local top candidates. The corpus vector crosses the
+    JVM/Python boundary ONCE regardless of |queries| (the pair-join
+    formulation moves it |queries| times and re-stacks per pair — measured
+    0.7x of the plain fold; this gemm form wins 2.6x on scoring, see
+    BENCH/BASELINE.md), and the downstream global top-k window ranks
+    thousands of candidates instead of |corpus| x |queries| rows.
+
+    Pruning is a guaranteed superset of the final top-k: the batch keeps
+    every row with cos >= (k+1-th batch score - 1e-6). The +1 covers the
+    query's own row (filtered later); the 1e-6 slack covers any half-up /
+    half-even disagreement between numpy and Spark's F.round at the 6-dp
+    boundary, and all rounding-induced ties at the cut survive because the
+    threshold sits a full rounding step below the cut value. Final scores
+    are re-rounded and re-ranked by Spark, so emitted values and order are
+    identical to the unpruned plan."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    ids = list(qmap)
+    qmat = np.asarray([qmap[i] for i in ids], dtype=np.float64)
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    dim = qmat.shape[1]
+    id_dtype = dict(corpus.dtypes)[id_col]
+
+    def score_batches(batches):
+        nq = len(ids)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nid = batch.column(0)
+            flat = batch.column(1).flatten()
+            cv = np.asarray(flat, dtype=np.float64).reshape(n, dim)
+            num = cv @ qmat.T  # (n, nq) float64 gemm
+            cn = np.sqrt(np.einsum("ij,ij->i", cv, cv))
+            cos = num / (cn[:, None] * qnorm[None, :])
+            if k is not None and n > k + 1:
+                kth = np.partition(cos, n - (k + 1), axis=0)[n - (k + 1)]
+                keep = cos >= (kth - 1e-6)[None, :]
+                rows, cols = np.nonzero(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        nid.take(pa.array(rows)),
+                        pa.array(cols.astype(np.int32)),
+                        pa.array(cos[rows, cols]),
+                    ],
+                    names=["neighbor_id", "q_idx", "cos"],
+                )
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    nid.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), nq))),
+                    pa.array(np.tile(np.arange(nq, dtype=np.int32), n)),
+                    pa.array(cos.reshape(-1)),
+                ],
+                names=["neighbor_id", "q_idx", "cos"],
+            )
+
+    narrow = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = narrow.mapInArrow(
+        score_batches, f"neighbor_id {id_dtype}, q_idx int, cos double"
+    )
+    qid_arr = F.array(*[F.lit(i) for i in ids])
+    return scored.select(
+        F.element_at(qid_arr, F.col("q_idx") + 1).alias("query_id"),
+        "neighbor_id",
+        F.round(F.col("cos"), 6).alias("cos"),
+    )
+
+
+def _collect_query_map(queries: DataFrame, id_col: str, vec_col: str) -> dict:
+    rows = queries.select(id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"scorer='numpy' collects the query side to the driver and is "
+            f"capped at {MAX_CLOSURE_QUERIES} queries; partition the query "
+            "set or use scorer='hof'"
+        )
+    return {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
 
 
 def brute_force_topk(
@@ -101,17 +228,25 @@ def brute_force_topk(
     side is broadcast so the corpus scan is shuffle-free; ranking uses the
     cosine rounded to 6 dp with neighbor-id tie-break, making the result set
     deterministic across engines and partitionings."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec"), scorer), 6).alias("cos"),
-    )
+    if (scorer or DEFAULT_TOPK_SCORER) == "numpy":
+        qmap = _collect_query_map(queries, id_col, vec_col)
+        scored = _gemm_topk_scores(corpus, qmap, id_col, vec_col, k=k).where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        scored = c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), "hof"), 6).alias("cos"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
@@ -220,18 +355,33 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
-    )
-    scored = c.join(F.broadcast(q), on="sig").where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec"), scorer), 6).alias("cos"),
-    )
+    if (scorer or DEFAULT_TOPK_SCORER) == "numpy":
+        qmap = _collect_query_map(queries, id_col, vec_col)
+        score_udf = _query_matrix_udf(qmap)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+        )
+        scored = c.join(F.broadcast(q), on="sig").where(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(score_udf(F.col("c_vec"), F.col("query_id")), 6).alias("cos"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+        )
+        scored = c.join(F.broadcast(q), on="sig").where(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), "hof"), 6).alias("cos"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -393,13 +543,23 @@ def ivf_topk(
         )
         .select("query_id", "q_vec", (-F.col("probe.neg_cid")).cast("int").alias("centroid_id"))
     )
-    scored = assigned.join(F.broadcast(probes), on="centroid_id").where(
-        F.col("query_id") != F.col(id_col)
-    ).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col), scorer), 6).alias("cos"),
-    )
+    if (scorer or DEFAULT_TOPK_SCORER) == "numpy":
+        score_udf = _query_matrix_udf(_collect_query_map(queries, id_col, vec_col))
+        scored = assigned.join(
+            F.broadcast(probes.drop("q_vec")), on="centroid_id"
+        ).where(F.col("query_id") != F.col(id_col)).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score_udf(F.col(vec_col), F.col("query_id")), 6).alias("cos"),
+        )
+    else:
+        scored = assigned.join(F.broadcast(probes), on="centroid_id").where(
+            F.col("query_id") != F.col(id_col)
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col), "hof"), 6).alias("cos"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

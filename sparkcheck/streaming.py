@@ -127,11 +127,20 @@ def windowed_violation_counts(
         spec = get_condition(cond_name)
         if spec.is_window:
             continue  # window/order conditions have no per-row mask
-        kwargs = exp._condition_kwargs(cfg)  # noqa: SLF001 — same package
-        mask = spec.unexpected(build_domain(cfg), kwargs, fc)
+        try:
+            kwargs = exp._condition_kwargs(cfg)  # noqa: SLF001 — same package
+            mask = spec.unexpected(build_domain(cfg), kwargs, fc)
+        except Exception:  # noqa: BLE001 — e.g. two-stage (z-score) masks
+            # need batch-resolved stats (mean/stddev) that a streaming agg
+            # cannot supply; skip rather than sink the whole aggregation
+            continue
         col = cfg.get("column") or "_"
+        # the index keeps aliases unique when two expectations share
+        # (type, column), e.g. two between-checks with different bounds
         aggs.append(
-            F.sum(mask.cast("long")).alias(f"unexpected__{cfg.expectation_type}__{col}")
+            F.sum(mask.cast("long")).alias(
+                f"unexpected__{i}__{cfg.expectation_type}__{col}"
+            )
         )
     src = df
     if df.isStreaming:

@@ -61,3 +61,28 @@ def test_decreasing_mode(spark):
     # 300 jumps up (violation); 301 resumes below 999, which is fine for a
     # decreasing sequence — so only 300 violates
     assert [v[0] for v in viol] == [300.0]
+
+
+def test_more_partitions_than_rows(spark):
+    # n_partitions >> rows: most partitions are empty, several hold a single
+    # row (single-row partitions emit first==last bound rows); the pid-keyed
+    # boundary stitch must still pair adjacent non-empty partitions
+    df = spark.range(7).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 4, 0.0).otherwise(F.col("id").cast("double")).alias("v"),
+    )
+    viol = monotonicity_violations(df, "v", "k", n_partitions=64)
+    assert [v[0] for v in viol] == [4.0]
+    clean = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    assert monotonicity_violations(clean, "v", "k", n_partitions=64) == []
+
+
+def test_duplicate_order_keys_across_boundaries(spark):
+    # duplicate order_by values at partition edges: the old global-sort
+    # re-pairing could swap a partition's first/last rows; pid-keyed pairing
+    # must not invent or miss boundary violations
+    rows = [(float(i // 2), float(i // 2)) for i in range(200)]  # k 0,0,1,1,...
+    df = spark.createDataFrame(rows, "k double, v double")
+    assert monotonicity_violations(df, "v", "k", n_partitions=16) == []

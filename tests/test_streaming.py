@@ -73,8 +73,8 @@ def test_windowed_violation_counts_batch_parity(spark):
             r.asDict() for r in out.collect()}
     w0, w1 = rows[0], rows[60]
     assert w0["element_count"] == 2 and w1["element_count"] == 3
-    k = "unexpected__expect_column_values_to_be_between__value"
-    kn = "unexpected__expect_column_values_to_not_be_null__value"
+    k = "unexpected__0__expect_column_values_to_be_between__value"
+    kn = "unexpected__1__expect_column_values_to_not_be_null__value"
     assert w0[k] == 1       # -1 out of range
     assert w1[k] == 1       # 200 out of range; null is missing, not unexpected
     assert w0[kn] == 0 and w1[kn] == 1
