@@ -588,7 +588,9 @@ def q_simhash_neardup_count(spark, sf):
 
 def q_lsh_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
-    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, n_planes=8).select(
+    return similarity.lsh_topk(
+        e, e.where(F.col("vec_id") < 5), k=5, n_planes=8, n_probe=2
+    ).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rnk")
     )
 
@@ -1191,16 +1193,25 @@ def _lsh_neardup_oracle() -> str:
 
 
 def _lsh_oracle() -> str:
+    # multi-probe (n_probe=2): the second probe flips the signature bit with
+    # the smallest |projection| — list_position(.., list_min(..)) picks the
+    # first (lowest-plane) minimum, matching the engine's stable sort
     proj_defs, sig_expr = _lsh_sig_sql(8)
+    aproj = "[" + ", ".join(f"abs(proj{p})" for p in range(8)) + "]"
     return (
         f"WITH pr AS (SELECT vec_id, embedding, {proj_defs} FROM embeddings), "
-        f"sig AS (SELECT vec_id, embedding, {sig_expr} AS sig FROM pr), "
-        "q AS (SELECT vec_id AS query_id, embedding AS q_vec, sig FROM sig "
+        f"sig AS (SELECT vec_id, embedding, {sig_expr} AS sig, "
+        f"{aproj} AS aproj FROM pr), "
+        "q AS (SELECT vec_id AS query_id, embedding AS q_vec, sig, "
+        "(list_position(aproj, list_min(aproj)) - 1) AS flip_p FROM sig "
         "WHERE vec_id < 5), "
+        "probes AS (SELECT query_id, q_vec, sig FROM q "
+        "UNION ALL SELECT query_id, q_vec, "
+        "xor(sig::BIGINT, (1::BIGINT << flip_p)) AS sig FROM q), "
         "c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, sig FROM sig), "
         "scored AS (SELECT query_id, neighbor_id, "
         f"{_cos_sql('q_vec', 'c_vec')} AS cos "
-        "FROM c JOIN q USING(sig) WHERE query_id <> neighbor_id), "
+        "FROM c JOIN probes USING(sig) WHERE query_id <> neighbor_id), "
         "ranked AS (SELECT *, row_number() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk "
         "FROM scored) "

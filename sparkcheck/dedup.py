@@ -109,7 +109,17 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold:
     (doc_a, doc_b, jaccard). O(n^2) verification operator — the oracle and
-    the LSH-candidate verifier, not the 10^12-doc discovery path."""
+    the LSH-candidate verifier, not the 10^12-doc discovery path.
+
+    EAGER: the pipeline executes at call time (the result is
+    localCheckpoint(eager=True)-materialized so the shingle cache can be
+    released deterministically before returning). Checkpointed blocks are
+    not replicated — on a real cluster an executor loss invalidates the
+    returned DataFrame (it cannot recompute; re-call the function). For a
+    fault-tolerant handle, write the result to a table instead of holding
+    it: ``jaccard_pairs(...).write.saveAsTable(...)`` right after the call,
+    which is also the 10^12-doc shape (the verify stage persists its output
+    once; nothing re-reads executor memory)."""
     # The shingle table feeds the self-join twice plus the size aggregate;
     # without caching, the scan + shingle + md5 pipeline re-runs three
     # times. The table is compact ((doc_id, shingle) pairs — a fraction of

@@ -9,9 +9,13 @@ Python's ``ast`` over a whitelist of node types (no pyparsing dependency,
 nothing outside the whitelist can execute); ``^`` is rewritten to ``**``
 first, which matches the reference's tightest-binding expop.
 
-``urn:great_expectations:`` cross-suite references (reference :273-332)
-are out of scope — there is no multi-suite store in this engine; they
-raise with a clear message.
+``urn:great_expectations:validations:<suite>:<metric>[:<kwargs>]``
+cross-suite references (reference :273-332, core/urn.py ge_validations_urn)
+resolve through an ``urn_resolver`` callable — normally
+``runner.ParquetStore``-backed (see runner.store_validation_result /
+resolve_validation_urn): each URN in the expression is substituted with a
+bound parameter holding the looked-up value, then the arithmetic
+evaluates as usual. Without a resolver they raise with a clear message.
 """
 
 from __future__ import annotations
@@ -20,7 +24,8 @@ import ast
 import datetime
 import math
 import operator
-from typing import Any
+import re
+from typing import Any, Callable
 
 _epsilon = 1e-12
 
@@ -53,24 +58,50 @@ class EvaluationParameterError(ValueError):
     pass
 
 
+# chars a URN may contain, per the reference grammar (core/urn.py urn_word:
+# alphanums + "_$?=%.&," joined by ':')
+_URN_RE = re.compile(r"urn:great_expectations:[A-Za-z0-9_$?=%.&,:]+")
+
+
 def parse_evaluation_parameter(
-    expression: str, parameters: dict[str, Any] | None = None
+    expression: str,
+    parameters: dict[str, Any] | None = None,
+    urn_resolver: Callable[[str], Any] | None = None,
 ) -> Any:
     """Evaluate an evaluation-parameter expression against bound parameters.
 
     A bare parameter name returns its value unchanged (any type); anything
     else is evaluated as arithmetic. Unknown names raise, which the
     validator's catch_exceptions turns into a failed EVR for just that
-    expectation."""
+    expectation. ``urn:great_expectations:`` references hit ``parameters``
+    first (the reference binds URN-keyed runtime parameters the same way,
+    core/evaluation_parameters.py:340-366), then ``urn_resolver``."""
     parameters = parameters or {}
     if expression in parameters:
         return parameters[expression]
     if "urn:great_expectations:" in expression:
-        raise EvaluationParameterError(
-            "urn:great_expectations: cross-suite references are not "
-            "supported by this engine (no multi-suite validation store); "
-            "resolve the upstream metric and pass it as a plain parameter"
-        )
+        if urn_resolver is None:
+            raise EvaluationParameterError(
+                "urn:great_expectations: cross-suite references need a "
+                "results-store-backed resolver: validate with "
+                "parameter_store=<ParquetStore> (or pass the resolved value "
+                "as a plain parameter)"
+            )
+        bound: dict[str, Any] = {}
+
+        def _sub(m: re.Match) -> str:
+            if m.group(0) in parameters:  # URN bound directly as a parameter
+                value = parameters[m.group(0)]
+            else:
+                value = urn_resolver(m.group(0))
+            name = f"__urn_{len(bound)}"
+            bound[name] = value
+            return name
+
+        expression = _URN_RE.sub(_sub, expression)
+        parameters = {**parameters, **bound}
+        if expression in parameters:  # bare-URN expression
+            return parameters[expression]
     try:
         tree = ast.parse(expression.replace("^", "**"), mode="eval")
     except SyntaxError as e:

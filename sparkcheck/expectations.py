@@ -481,6 +481,10 @@ class TableColumnsExpectation(Expectation):
             observed = cols
         elif self.mode == "exist":
             idx = cfg.get("column_index")
+            # DELIBERATE truthiness (not `is not None`): the reference's own
+            # `if expected_column_index:` (expect_column_to_exist.py
+            # _validate) treats column_index=0 as unset and degrades to a
+            # membership check — we mirror that quirk for fixture parity
             if idx:
                 # zero-indexed positional check (ref expect_column_to_exist
                 # _validate: actual_columns[column_index] == column)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -33,7 +34,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schema import LINEAGE_SCHEMA, RESULT_SCHEMA, VIOLATION_SCHEMA
+from .schema import EVAL_PARAM_SCHEMA, LINEAGE_SCHEMA, RESULT_SCHEMA, VIOLATION_SCHEMA
 from .suite import ExpectationSuite
 from .validator import Validator
 
@@ -79,21 +80,142 @@ class ParquetStore:
         return spark.read.parquet(os.path.join(self.root, table))
 
 
-try:  # pragma: no cover — needs iceberg-spark-runtime on the classpath
-    class IcebergStore(ParquetStore):
-        """Iceberg-backed store: appends become table commits and the
-        manifest becomes a `run_manifest` Iceberg table; snapshot isolation
-        replaces the POSIX-rename commit point."""
+class IcebergStore:
+    """Iceberg-backed store: appends become atomic table commits and the
+    manifest becomes a ``run_manifest`` Iceberg table, so per-partition
+    commit points are snapshot-isolated table appends instead of POSIX
+    renames (the north rule's "checkpointed to an Iceberg results table").
 
-        def __init__(self, spark: SparkSession, namespace: str):
-            self.spark = spark
-            self.namespace = namespace
-            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+    Construction requires an Iceberg-enabled SparkSession (the
+    iceberg-spark-runtime jar on the classpath + a configured catalog);
+    exercised end-to-end by scripts/iceberg_e2e.py and
+    tests/test_iceberg.py, both gated on the jar being available — the
+    build sandbox has no network to fetch it (documented in README)."""
 
-        def append(self, table: str, df: DataFrame) -> None:
-            df.writeTo(f"{self.namespace}.{table}").append()
-except Exception:  # noqa: BLE001
-    IcebergStore = None  # type: ignore[assignment]
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {namespace}.run_manifest "
+            "(run_id STRING, partition_id STRING, stats STRING, ts TIMESTAMP) "
+            "USING iceberg"
+        )
+
+    # -- commit protocol: Iceberg snapshot commits --------------------------
+
+    def committed_partitions(self, run_id: str) -> set[str]:
+        rows = (
+            self.spark.table(f"{self.namespace}.run_manifest")
+            .where(F.col("run_id") == run_id)
+            .select("partition_id")
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def commit_partition(
+        self, run_id: str, partition_id: str, stats: dict[str, Any]
+    ) -> None:
+        # one-row append = one Iceberg snapshot commit — atomic; a crash
+        # before this leaves no manifest row, so the partition re-runs
+        row = [(run_id, partition_id, json.dumps(stats), _utcnow())]
+        self.spark.createDataFrame(
+            row, "run_id string, partition_id string, stats string, ts timestamp"
+        ).writeTo(f"{self.namespace}.run_manifest").append()
+
+    # -- appends -------------------------------------------------------------
+
+    def append(self, table: str, df: DataFrame) -> None:
+        full = f"{self.namespace}.{table}"
+        try:
+            df.writeTo(full).append()
+        except Exception:  # noqa: BLE001 — first append creates the table
+            df.writeTo(full).create()
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(f"{self.namespace}.{table}")
+
+
+def store_validation_result(
+    store: "ParquetStore",
+    spark: SparkSession,
+    report: dict[str, Any],
+    suite_name: str | None = None,
+    run_id: str = "adhoc",
+) -> None:
+    """Persist a validation report's EVRs into the evaluation-parameter
+    store so later suites can reference them through
+    ``urn:great_expectations:validations:<suite>:<metric>`` (reference:
+    EvaluationParameterStore writes in validator.py:1258-1290)."""
+    suite = suite_name or report.get("meta", {}).get("expectation_suite_name", "?")
+    now = _utcnow()
+    rows = [
+        (
+            suite,
+            r.get("expectation_config", {}).get("expectation_type", "?"),
+            json.dumps(r, default=str),
+            run_id,
+            now,
+        )
+        for r in report.get("results", [])
+    ]
+    if rows:
+        store.append(
+            "evaluation_parameters",
+            spark.createDataFrame(rows, schema=EVAL_PARAM_SCHEMA),
+        )
+
+
+def resolve_validation_urn(store: "ParquetStore", spark: SparkSession, urn: str):
+    """Resolve urn:great_expectations:validations:<suite>:<metric>[:<kwargs>]
+    against the evaluation-parameter store.
+
+    ``<metric>`` is ``<expectation_type>.<path...>`` (e.g.
+    ``expect_table_row_count_to_be_between.result.observed_value``);
+    ``<kwargs>`` filters on expectation kwargs (``column=x_0``), matching
+    the reference grammar (core/urn.py ge_validations_urn). The newest
+    matching EVR wins."""
+    from .evaluation_parameters import EvaluationParameterError
+
+    m = re.match(
+        r"^urn:great_expectations:validations:([^:]+):([^:]+)(?::(.+))?$", urn
+    )
+    if not m:
+        raise EvaluationParameterError(f"unparseable validations urn {urn!r}")
+    suite, metric, kwargs_s = m.group(1), m.group(2), m.group(3)
+    parts = metric.split(".")
+    expectation, path = parts[0], parts[1:]
+    want_kwargs = dict(
+        kv.split("=", 1) for kv in kwargs_s.split("&") if "=" in kv
+    ) if kwargs_s else {}
+    try:
+        df = store.read(spark, "evaluation_parameters")
+    except Exception as e:  # noqa: BLE001 — empty store
+        raise EvaluationParameterError(
+            f"no stored validation results to resolve {urn!r}"
+        ) from e
+    rows = (
+        df.where((F.col("suite_name") == suite) & (F.col("expectation") == expectation))
+        .orderBy(F.desc("ts"))
+        .limit(100)
+        .collect()
+    )
+    for r in rows:
+        evr = json.loads(r["evr"])
+        cfg_kwargs = evr.get("expectation_config", {}).get("kwargs", {})
+        if any(str(cfg_kwargs.get(k)) != v for k, v in want_kwargs.items()):
+            continue
+        node: Any = evr
+        try:
+            for p in path:
+                node = node[p]
+        except (KeyError, TypeError):
+            continue
+        return node
+    raise EvaluationParameterError(
+        f"no stored EVR matches {urn!r} (suite={suite!r}, "
+        f"expectation={expectation!r}, kwargs={want_kwargs})"
+    )
 
 
 @dataclass
@@ -227,6 +349,9 @@ class CheckpointRunner:
                     violations.append(sv)
             with self._write_lock:
                 self._write_results(run_id, pid, result)
+                store_validation_result(
+                    self.store, self.spark, result, run_id=run_id
+                )
                 for v in violations:
                     self.store.append("violations", v)
                 self._write_lineage(run_id, pid, result, n_docs)

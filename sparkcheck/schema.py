@@ -60,6 +60,20 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# One row per (suite, expectation) EVR — the evaluation-parameter store
+# backing urn:great_expectations:validations:<suite>:<metric> cross-suite
+# references (reference: EvaluationParameterStore + ge_validations_urn,
+# core/urn.py:16-25, core/evaluation_parameters.py:340-430)
+EVAL_PARAM_SCHEMA = T.StructType(
+    [
+        T.StructField("suite_name", T.StringType(), False),
+        T.StructField("expectation", T.StringType(), False),
+        T.StructField("evr", T.StringType(), False),  # full EVR dict as JSON
+        T.StructField("run_id", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
 VIOLATION_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),

@@ -337,6 +337,39 @@ def sign_lsh_signature(
     return sig
 
 
+def lsh_probe_signatures(
+    qmap: dict,
+    n_planes: int,
+    n_probe: int = 1,
+    dim: int = DEFAULT_EMBEDDING_DIM,
+) -> dict:
+    """qid -> [signature, neighbor signatures...] (n_probe total) for
+    multi-probe LSH. The extra probes flip the signature bits whose
+    projections have the SMALLEST magnitude — the planes the query sits
+    closest to, i.e. the buckets its near neighbors most likely fell into
+    (classic multi-probe LSH). Projections use the same sequential float64
+    fold as sign_lsh_signature, so driver- and executor-computed signatures
+    agree bit-for-bit."""
+    coeffs = plane_coeffs(n_planes, dim)
+    out = {}
+    for qid, vec in qmap.items():
+        projs = []
+        for p in range(n_planes):
+            acc = 0.0
+            cp = coeffs[p]
+            for d in range(min(len(vec), dim)):
+                acc += float(vec[d]) * cp[d]
+            projs.append(acc)
+        sig = 0
+        for p, pr in enumerate(projs):
+            if pr > 0:
+                sig |= 1 << p
+        flip_order = sorted(range(n_planes), key=lambda p: abs(projs[p]))
+        sigs = [sig] + [sig ^ (1 << p) for p in flip_order[: max(0, n_probe - 1)]]
+        out[qid] = sigs
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -345,24 +378,41 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose LSH signature
-    matches the query's. Recall < 1 by design; multiply recall by probing
-    neighboring buckets (not implemented — single-probe keeps the plan to
-    one bucket-hash join)."""
+    matches one of the query's n_probe bucket signatures. Single-probe is
+    one bucket-hash join; multi-probe multiplies recall by also probing the
+    buckets across the query's lowest-margin hyperplanes (the probe list is
+    computed driver-side per query and broadcast — still ONE join, the
+    corpus is never re-signed or rescanned)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
     )
-    if (scorer or DEFAULT_TOPK_SCORER) == "numpy":
+    use_numpy = (scorer or DEFAULT_TOPK_SCORER) == "numpy"
+    qmap = None
+    if use_numpy or n_probe > 1:
         qmap = _collect_query_map(queries, id_col, vec_col)
-        score_udf = _query_matrix_udf(qmap)
-        q = queries.select(
+    if n_probe > 1:
+        id_dtype = dict(corpus.dtypes)[id_col]
+        pairs = [
+            (qid, int(s))
+            for qid, sigs in lsh_probe_signatures(qmap, n_planes, n_probe).items()
+            for s in sigs
+        ]
+        q_sig = corpus.sparkSession.createDataFrame(
+            pairs, f"query_id {id_dtype}, sig long"
+        )
+    else:
+        q_sig = queries.select(
             F.col(id_col).alias("query_id"),
             sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
         )
-        scored = c.join(F.broadcast(q), on="sig").where(
+    if use_numpy:
+        score_udf = _query_matrix_udf(qmap)
+        scored = c.join(F.broadcast(q_sig), on="sig").where(
             F.col("query_id") != F.col("neighbor_id")
         ).select(
             "query_id",
@@ -370,12 +420,13 @@ def lsh_topk(
             F.round(score_udf(F.col("c_vec"), F.col("query_id")), 6).alias("cos"),
         )
     else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+        q_full = q_sig.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            on="query_id",
         )
-        scored = c.join(F.broadcast(q), on="sig").where(
+        scored = c.join(F.broadcast(q_full), on="sig").where(
             F.col("query_id") != F.col("neighbor_id")
         ).select(
             "query_id",

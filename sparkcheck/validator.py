@@ -64,8 +64,20 @@ class Validator:
         result_format: str | dict[str, Any] | None = None,
         catch_exceptions: bool = True,
         evaluation_parameters: dict[str, Any] | None = None,
+        parameter_store: Any = None,
     ) -> dict[str, Any]:
         rf_default = result_format
+        urn_resolver = None
+        if parameter_store is not None:
+            # urn:great_expectations:validations:... kwargs resolve against
+            # a runner store's evaluation_parameters table (reference:
+            # EvaluationParameterStore, core/evaluation_parameters.py:340-430)
+            from .runner import resolve_validation_urn
+
+            spark = self.df.sparkSession
+
+            def urn_resolver(urn: str):
+                return resolve_validation_urn(parameter_store, spark, urn)
 
         plans: list[tuple[ExpectationConfiguration, Any, dict[str, Any]]] = []
         stage1: list = []
@@ -77,7 +89,7 @@ class Validator:
                 # $PARAMETER expressions like now()-timedelta(...) resolve;
                 # per-expectation so an unknown $PARAMETER fails only its
                 # own EVR (reference validator.py:1583-1607 binding)
-                cfg = _bind_config(cfg, evaluation_parameters or {})
+                cfg = _bind_config(cfg, evaluation_parameters or {}, urn_resolver)
                 exp = get_expectation(cfg.expectation_type)
                 reqs = exp.metric_requests(cfg, rf)
                 stage1.extend(reqs.values())
@@ -163,7 +175,9 @@ class Validator:
 
 
 def _bind_config(
-    cfg: ExpectationConfiguration, params: dict[str, Any]
+    cfg: ExpectationConfiguration,
+    params: dict[str, Any],
+    urn_resolver: Any = None,
 ) -> ExpectationConfiguration:
     """Substitute ``{"$PARAMETER": <name-or-expression>}`` kwarg values from
     the bound evaluation parameters (reference
@@ -178,7 +192,7 @@ def _bind_config(
 
     def sub(v: Any) -> Any:
         if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
-            return parse_evaluation_parameter(v["$PARAMETER"], params)
+            return parse_evaluation_parameter(v["$PARAMETER"], params, urn_resolver)
         if isinstance(v, dict):
             return {k: sub(x) for k, x in v.items()}
         if isinstance(v, list):
@@ -193,9 +207,11 @@ def validate_df(
     suite: ExpectationSuite,
     result_format: str | dict[str, Any] | None = None,
     evaluation_parameters: dict[str, Any] | None = None,
+    parameter_store: Any = None,
 ) -> dict[str, Any]:
     return Validator(df).validate(
         suite,
         result_format=result_format,
         evaluation_parameters=evaluation_parameters,
+        parameter_store=parameter_store,
     )

@@ -1,0 +1,91 @@
+"""Cross-suite evaluation parameters: urn:great_expectations:validations:...
+resolved against the runner's results store (reference:
+core/evaluation_parameters.py:273-430 + core/urn.py ge_validations_urn)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationConfiguration, ExpectationSuite, validate_df
+from sparkcheck.evaluation_parameters import EvaluationParameterError
+from sparkcheck.runner import ParquetStore, resolve_validation_urn, store_validation_result
+
+
+def _suite(name, dicts):
+    return ExpectationSuite(
+        name, [ExpectationConfiguration.from_dict(d) for d in dicts]
+    )
+
+
+def test_two_suite_chained_validation(spark, tmp_path):
+    store = ParquetStore(str(tmp_path / "store"))
+    upstream_df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    upstream = _suite("suite_a", [
+        {"expectation_type": "expect_column_max_to_be_between",
+         "kwargs": {"column": "v", "min_value": 0}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1}},
+    ])
+    report = validate_df(upstream_df, upstream)
+    assert report["success"]
+    store_validation_result(store, spark, report, run_id="run1")
+
+    # downstream suite: bounds chained on suite_a's observed values
+    urn_max = ("urn:great_expectations:validations:suite_a:"
+               "expect_column_max_to_be_between.result.observed_value:column=v")
+    urn_rows = ("urn:great_expectations:validations:suite_a:"
+                "expect_table_row_count_to_be_between.result.observed_value")
+    downstream_df = spark.range(80).select(F.col("id").cast("double").alias("v"))
+    downstream = _suite("suite_b", [
+        {"expectation_type": "expect_column_max_to_be_between",
+         "kwargs": {"column": "v", "max_value": {"$PARAMETER": urn_max}}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"max_value": {"$PARAMETER": urn_rows}}},
+        # arithmetic AROUND a urn
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": {"$PARAMETER": f"trunc({urn_rows} * 0.5)"}}},
+    ])
+    rep = validate_df(downstream_df, downstream, parameter_store=store)
+    assert rep["success"], rep["results"]
+    # bound values actually resolved (max 99.0, rows 100, min 50)
+    ks = [r["expectation_config"]["kwargs"] for r in rep["results"]]
+    assert ks[0]["max_value"] == 99.0
+    assert ks[1]["max_value"] == 100
+    assert ks[2]["min_value"] == 50
+
+
+def test_urn_errors(spark, tmp_path):
+    store = ParquetStore(str(tmp_path / "store2"))
+    with pytest.raises(EvaluationParameterError, match="no stored"):
+        resolve_validation_urn(
+            store, spark,
+            "urn:great_expectations:validations:nope:expect_x.result.observed_value",
+        )
+    # without a store the validator fails only that expectation
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    suite = _suite("s", [
+        {"expectation_type": "expect_column_max_to_be_between",
+         "kwargs": {"column": "v", "max_value": {"$PARAMETER":
+             "urn:great_expectations:validations:a:expect_x.result.observed_value"}}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "v"}},
+    ])
+    rep = validate_df(df, suite)
+    assert not rep["results"][0]["success"]
+    assert "results-store-backed resolver" in (
+        rep["results"][0]["exception_info"]["exception_traceback"] or ""
+    )
+    assert rep["results"][1]["success"]
+
+
+def test_urn_bound_as_plain_parameter(spark):
+    # reference behavior: a URN present in the runtime parameter dict wins
+    urn = "urn:great_expectations:validations:a:expect_x.result.observed_value"
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    suite = _suite("s", [
+        {"expectation_type": "expect_column_max_to_be_between",
+         "kwargs": {"column": "v", "max_value": {"$PARAMETER": urn}}},
+    ])
+    rep = validate_df(df, suite, evaluation_parameters={urn: 9.0})
+    assert rep["success"], rep["results"][0]
