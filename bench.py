@@ -106,7 +106,7 @@ def main() -> None:
     for warm in ("agg_profile_lineitem", "value_counts_returnflag", "span_profile"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for warm in ("minhash_candidate_count", "simhash_neardup_count",
-                 "text_profile", "ann_topk"):
+                 "text_profile", "ann_topk", "lsh_ann_topk"):
         qs[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

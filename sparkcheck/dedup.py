@@ -86,6 +86,9 @@ def doc_shingles(
 ) -> DataFrame:
     """(doc_id, shingle) distinct pairs; optionally drop shingles whose
     document frequency exceeds max_df (the quadratic-hot-key guard)."""
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # shingling is pre-shuffle map work
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
@@ -309,6 +312,9 @@ def simhash_chunks(
     values per chunk — the 8-bit-chunk variant had only 256, which makes
     every bucket hold n_docs/256 docs and the self-join quadratic at
     corpus scale."""
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # shingle+hash is pre-shuffle map work
     sh = (
         docs.select(
             F.col(id_col).alias("doc_id"),

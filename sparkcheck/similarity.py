@@ -193,7 +193,11 @@ def _gemm_topk_scores(
                 names=["neighbor_id", "q_idx", "cos"],
             )
 
-    narrow = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    from .sources import ensure_parallelism
+
+    narrow = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    )
     scored = narrow.mapInArrow(
         score_batches, f"neighbor_id {id_dtype}, q_idx int, cos double"
     )
@@ -385,13 +389,23 @@ def lsh_topk(
     one bucket-hash join; multi-probe multiplies recall by also probing the
     buckets across the query's lowest-margin hyperplanes (the probe list is
     computed driver-side per query and broadcast — still ONE join, the
-    corpus is never re-signed or rescanned)."""
-    c = corpus.select(
+    corpus is never re-signed or rescanned).
+
+    Scoring default is the JVM fold, NOT the Arrow path: bucketing exists
+    precisely to make the scored-candidate set small (|corpus| x nq /
+    2^n_planes), and at that volume a pandas-UDF stage pays more in Python
+    worker startup than the fold costs in compute (measured: a 32-task
+    warm pandas-UDF stage ~5s vs ~1.3s all-JVM on this box). Pass
+    scorer="numpy" when probing wide (few planes, many probes) where the
+    candidate volume approaches a brute-force scan."""
+    from .sources import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
     )
-    use_numpy = (scorer or DEFAULT_TOPK_SCORER) == "numpy"
+    use_numpy = scorer == "numpy"
     qmap = None
     if use_numpy or n_probe > 1:
         qmap = _collect_query_map(queries, id_col, vec_col)
@@ -460,6 +474,9 @@ def lsh_near_duplicates(
     single-probe; raise recall with fewer planes or multi-probe.
     ``max_bucket`` drops degenerate buckets (e.g. all-zero vectors) before
     the self-join — the quadratic-hot-key guard, same as dedup's max_df."""
+    from .sources import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)  # signature folds are map work
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

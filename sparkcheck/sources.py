@@ -276,3 +276,20 @@ def sample_using_hash(
     sampling this is stable across runs/partitionings, which matters for
     reproducible validation baselines."""
     return df.filter(F.pmod(F.xxhash64(F.col(column)), F.lit(n_buckets)) == bucket)
+
+
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Fan a small-file input out to the cluster's parallelism.
+
+    A narrow expression-heavy stage (shingling, signature folds, regex
+    profiling, Arrow scoring) inherits the INPUT's partitioning; a tiny
+    single-file table therefore runs its whole pre-shuffle compute on one
+    core. When the input has fewer partitions than min_fraction x
+    defaultParallelism, repartition up — the shuffle moves only the small
+    input's bytes. At production scale (file inputs already carrying >=
+    cores partitions) this is a no-op, so no extra shuffle appears in the
+    10^12-row plan."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2.0, parallelism * min_fraction):
+        return df.repartition(parallelism)
+    return df

@@ -182,6 +182,12 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
       - fingerprint     = md5(__joined)  (same value as the array_join form)
     Value-identical to the HOF formulation — the DuckDB oracle is unchanged
     and stays hash-exact."""
+    # small-file fan-out: a profile over a one-file input otherwise runs
+    # its whole regex scan on ONE core (sources.ensure_parallelism; no-op
+    # at scale)
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     low = F.lower(F.col(text_col))
     base = docs.select(
         F.col(id_col),
