@@ -545,6 +545,27 @@ def q_jaccard_pairs(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected-component duplicate clusters over the Jaccard pair graph:
+    (doc_id, cluster_id = smallest reachable doc_id). Iterative min-label
+    propagation (dedup.duplicate_clusters) vs a DuckDB recursive CTE."""
+    pairs = dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.1, max_df=50
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+def q_bpe_token_stats(spark, sf):
+    """BPE-ish pre-token counts per doc (text.bpe_token_count) next to the
+    whitespace token count — the standard token-budget proxy."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.bpe_token_count("text").alias("bpe_tokens"),
+        text.token_count("text").alias("ws_tokens"),
+    )
+
+
 def q_minhash_candidate_count(spark, sf):
     cands = dedup.lsh_candidate_pairs(
         _t(spark, sf, "documents"), n_hashes=12, band_size=3, n=3, max_df=None
@@ -721,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_count": q_exact_dup_count,
         "prefix_dups": q_prefix_dups,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "bpe_token_stats": q_bpe_token_stats,
         "minhash_candidate_count": q_minhash_candidate_count,
         "ann_topk": q_ann_topk,
         "lsh_neardup_pairs": q_lsh_neardup_pairs,
@@ -979,6 +1002,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard "
             "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
             "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1"
+        ),
+
+        "dedup_clusters": (
+            toks_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ', sh0 AS (SELECT doc_id, unnest(list_distinct({SH})) AS shingle FROM t), dfq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1), sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq USING(shingle) WHERE dfq.c <= 50), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, lab) AS (SELECT a, a FROM edges UNION SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a) SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node'.replace("{SH}", _SHINGLES3)
+        ),
+
+        "bpe_token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+            "))::INT AS bpe_tokens, "
+            "len(list_filter(str_split_regex(lower(text), '\\s+'), "
+            "x -> x <> ''))::INT AS ws_tokens "
+            "FROM documents"
         ),
 
         "minhash_candidate_count": (

@@ -420,3 +420,90 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph:
+    (doc_id, cluster_id) where cluster_id = the smallest doc_id reachable
+    through the pairs — the canonical representative a training pipeline
+    keeps while dropping the rest of the cluster.
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    min(own label, neighbors' labels); converges in O(component diameter)
+    rounds — near-dup clusters are shallow (dense blobs around a template),
+    so a handful of rounds suffice at any corpus size. Each round is one
+    key-only shuffle join + groupBy over the PAIR graph (orders of
+    magnitude smaller than the corpus); lineage is cut per round with
+    localCheckpoint so the plan does not grow exponentially. Raises if not
+    converged within max_iterations (pathological chain-shaped graphs —
+    raise the cap or use the alternating small-star/large-star scheme).
+
+    No GraphFrames/GraphX dependency — pure DataFrame ops, AQE-friendly.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pairs are often eager/expensive plans
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds; "
+        "the pair graph has a component with a larger diameter — raise "
+        "max_iterations"
+    )
+
+
+def cluster_summary(clusters: DataFrame) -> DataFrame:
+    """(cluster_id, n_docs, doc_ids) per multi-doc cluster — the 'keep
+    canonical, drop the rest' worklist."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -239,3 +239,18 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         pred_lang.alias("pred_lang"),
         F.md5(joined).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenization pattern (GPT-2-style contractions / letter runs /
+# digit runs / punctuation runs / whitespace), restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB oracle) support — i.e. no lookahead, so
+# the trailing-space nicety of the original GPT-2 pattern is simplified to a
+# plain \s+ branch. This measures *pre-token* counts, the standard proxy for
+# BPE token budgets in training-data pipelines.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """Count of BPE-ish pre-tokens — regexp_extract_all length, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))

@@ -288,3 +288,39 @@ def test_multi_probe_lsh_recall_lift(spark):
     }
     assert driver_sigs == spark_sigs
     emb.unpersist()
+
+
+def test_duplicate_clusters(spark):
+    # two chains + an isolated pair: {a,b,c} via a-b, b-c; {x,y}
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("c", "d")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+    summary = {r["cluster_id"]: (r["n_docs"], r["doc_ids"]) for r in
+               dedup.cluster_summary(dedup.duplicate_clusters(pairs)).collect()}
+    assert summary == {"a": (4, ["a", "b", "c", "d"]), "x": (2, ["x", "y"])}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a path graph 0-1-2-...-19: diameter 19, min-label needs several
+    # rounds (label halves the distance-to-min each round via neighbors'
+    # neighbors being one hop)
+    pairs = spark.createDataFrame(
+        [(f"{i:02d}", f"{i+1:02d}") for i in range(19)],
+        "doc_a string, doc_b string",
+    )
+    got = dedup.duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {"00"}
+    assert len(got) == 20
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("Hello world, it's 2024!",), ("",), ("  ",)], "text string"
+    )
+    got = [r["n"] for r in df.select(text.bpe_token_count("text").alias("n")).collect()]
+    # Hello| world|,| it|'s| 2024|! -> 7 pre-tokens
+    assert got == [7, 0, 1]
