@@ -34,7 +34,7 @@ from sparkcheck.conditions import get_condition
 from sparkcheck.metrics import Domain
 from sparkcheck.summarize import unexpected_df
 from sparkcheck.referential import anti_join_violations
-from sparkcheck import dedup, media, similarity, spans, synth, text
+from sparkcheck import dedup, media, similarity, spans, synth, temporal, text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -387,6 +387,38 @@ def q_events_hourly_profile(spark, sf):
     )
 
 
+def q_event_sessions(spark, sf):
+    """Gap sessionization (30-min inactivity splits) over the events table:
+    one row per (user, session) with event count, span, and value total —
+    temporal.session_summary, a single-shuffle lag+running-sum window."""
+    e = _t(spark, sf, "events")
+    return temporal.session_summary(
+        e, key_col="user_id", ts_col="ts", gap_seconds=1800,
+        value_col="value", order_cols=("event_id",),
+    )
+
+
+def q_event_asof_purchase(spark, sf):
+    """As-of join: every click event picks up the most recent prior (or
+    simultaneous) purchase by the same user — temporal.asof_join's
+    union+window plan (one shuffle, no range-join blowup) vs DuckDB's
+    native ASOF LEFT JOIN."""
+    e = _t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = temporal.asof_join(
+        clicks, purchases, "user_id", "ts",
+        ("event_id", "value"), right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "asof_ts_us",
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
 def q_windowed_validation(spark, sf):
     """Per-event-time-window validation metrics via the streaming-shared
     windowed aggregation (streaming.windowed_violation_counts — identical
@@ -727,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift_quantity": q_kl_drift_quantity,
         "psi_drift_totalprice": q_psi_drift_totalprice,
         "events_hourly_profile": q_events_hourly_profile,
+        "event_sessions": q_event_sessions,
+        "event_asof_purchase": q_event_asof_purchase,
         "windowed_validation": q_windowed_validation,
         "zscore_outlier_count": q_zscore_outlier_count,
         "referential_violations": q_referential_violations,
@@ -880,6 +914,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
             "count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value, "
             "round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2"
+        ),
+
+        "event_sessions": (
+            "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, "
+            "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT user_id, ts_us, value, "
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT "
+            "AS session_index FROM s) "
+            "SELECT user_id, session_index, count(*)::BIGINT AS n_events, "
+            "min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us, "
+            "(max(ts_us) - min(ts_us))::BIGINT AS duration_us, "
+            "round(sum(value), 4) AS total_value "
+            "FROM s2 GROUP BY user_id, session_index"
+        ),
+
+        "event_asof_purchase": (
+            "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS ts_us, "
+            "epoch_us(p.ts)::BIGINT AS asof_ts_us, "
+            "p.event_id AS purchase_event_id, p.value AS purchase_value "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
 
         # Spark's window("1 day") aligns tumbling windows to the epoch, so
