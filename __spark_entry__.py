@@ -34,7 +34,9 @@ from sparkcheck.conditions import get_condition
 from sparkcheck.metrics import Domain
 from sparkcheck.summarize import unexpected_df
 from sparkcheck.referential import anti_join_violations
-from sparkcheck import dedup, media, similarity, spans, synth, temporal, text
+from sparkcheck import (
+    dedup, media, sampling, similarity, spans, synth, temporal, text,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -108,6 +110,10 @@ _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 _SHINGLES3 = (
     "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
     "i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END"
+)
+_SHINGLES2 = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+    "i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END"
 )
 
 
@@ -598,6 +604,60 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_repetition_profile(spark, sf):
+    """Gopher-style repetition metrics per doc (repeated token / bigram /
+    trigram fractions) — doc-local array ops, zero shuffle."""
+    return text.repetition_profile(_t(spark, sf, "documents"))
+
+
+def q_pii_scrub(spark, sf):
+    """PII detection + redaction over documents with deterministically
+    injected synthetic PII (emails / IPs / phones / SSNs derived from
+    doc_id so both engines build the identical input). Emits per-class
+    match counts and the md5 of the scrubbed text."""
+    did = F.col("doc_id")
+    inj = (
+        F.when(did % 20 == 0, F.format_string(
+            " contact user%d@example.com or x%d@test.org", did, did))
+        .when(did % 20 == 7, F.format_string(
+            " from 10.0.%d.%d port 80", did % 256, (did * 7) % 250))
+        .when(did % 20 == 13, F.format_string(
+            " call +1 555 01%02d 23 45 and ssn %03d-45-6789",
+            did % 100, did % 1000))
+        .otherwise(F.lit(""))
+    )
+    aug = F.concat(F.col("text"), inj)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        *text.pii_counts(aug),
+        F.md5(text.scrub_pii(aug)).alias("scrubbed_fp"),
+    )
+
+
+def q_contamination(spark, sf):
+    """Train/test decontamination: corpus docs sharing >=1 distinct word
+    trigram with the benchmark holdout (doc_id % 97 == 0) — broadcast
+    n-gram join, zero corpus shuffle before the doc_id count."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(corpus, bench, n=3, min_overlap=1)
+
+
+def q_token_budget_sample(spark, sf):
+    """Domain-balanced token-budget sampling: deterministically hash-sample
+    documents so each source lands near an equal share of a 10k-token
+    budget; emits per-source kept-doc and kept-token totals."""
+    d = _t(spark, sf, "documents").withColumn(
+        "__ntok", text.token_count("text"))
+    kept = sampling.sample_to_token_budget(
+        d, 10000.0, "source", "__ntok", "doc_id", salt="budget")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("tokens_kept"),
+    )
+
+
 def q_minhash_candidate_count(spark, sf):
     cands = dedup.lsh_candidate_pairs(
         _t(spark, sf, "documents"), n_hashes=12, band_size=3, n=3, max_df=None
@@ -778,6 +838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "bpe_token_stats": q_bpe_token_stats,
+        "repetition_profile": q_repetition_profile,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "token_budget_sample": q_token_budget_sample,
         "minhash_candidate_count": q_minhash_candidate_count,
         "ann_topk": q_ann_topk,
         "lsh_neardup_pairs": q_lsh_neardup_pairs,
@@ -800,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+    budget_hash = _hex32("md5('budget' || doc_id::VARCHAR)")
     return {
         "row_count": "SELECT count(*)::BIGINT AS row_count FROM lineitem",
 
@@ -1081,6 +1146,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
 
+        "repetition_profile": (
+            f"{toks_cte}, g AS (SELECT doc_id, toks, {_SHINGLES2} AS g2, "
+            f"{_SHINGLES3} AS g3 FROM t) "
+            "SELECT doc_id, len(toks)::INT AS n_tokens, "
+            "CASE WHEN len(toks) > 0 THEN round(1.0 - "
+            "len(list_distinct(toks))::DOUBLE / len(toks), 4) END "
+            "AS dup_token_frac, "
+            "CASE WHEN len(g2) > 0 THEN round(1.0 - "
+            "len(list_distinct(g2))::DOUBLE / len(g2), 4) END "
+            "AS dup_2gram_frac, "
+            "CASE WHEN len(g3) > 0 THEN round(1.0 - "
+            "len(list_distinct(g3))::DOUBLE / len(g3), 4) END "
+            "AS dup_3gram_frac FROM g"
+        ),
+
+        "pii_scrub": (lambda counts_scrub: (
+            "WITH a AS (SELECT doc_id, text || CASE "
+            "WHEN doc_id % 20 = 0 THEN printf("
+            "' contact user%d@example.com or x%d@test.org', doc_id, doc_id) "
+            "WHEN doc_id % 20 = 7 THEN printf("
+            "' from 10.0.%d.%d port 80', doc_id % 256, (doc_id * 7) % 250) "
+            "WHEN doc_id % 20 = 13 THEN printf("
+            "' call +1 555 01%02d 23 45 and ssn %03d-45-6789', "
+            "doc_id % 100, doc_id % 1000) "
+            "ELSE '' END AS t2 FROM documents) "
+            f"SELECT doc_id, {counts_scrub[0]}, "
+            f"md5({counts_scrub[1]}) AS scrubbed_fp FROM a"
+        ))(_pii_sql_exprs("t2")),
+
+        "contamination": (
+            f"{toks_cte}, bsh AS (SELECT DISTINCT "
+            f"unnest(list_distinct({_SHINGLES3})) AS shingle FROM t "
+            "WHERE doc_id % 97 = 0), "
+            f"csh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
+            "AS shingle FROM t WHERE doc_id % 97 <> 0) "
+            "SELECT doc_id, count(*)::BIGINT AS n_overlap "
+            "FROM csh JOIN bsh USING(shingle) GROUP BY 1 "
+            "HAVING count(*) >= 1"
+        ),
+
+        "token_budget_sample": (
+            f"WITH t AS (SELECT doc_id, source, len({_TOKS}) AS ntok "
+            "FROM documents), "
+            "tot AS (SELECT source, sum(ntok) AS st FROM t GROUP BY 1), "
+            "ns AS (SELECT count(*) AS n FROM tot), "
+            "r AS (SELECT source, least(1.0::DOUBLE, "
+            "(10000.0::DOUBLE / ns.n) / st) AS rate FROM tot, ns), "
+            "kept AS (SELECT t.doc_id, t.source, t.ntok FROM t "
+            "JOIN r USING(source) WHERE "
+            f"({budget_hash}::DOUBLE / 4294967296.0) < r.rate) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(ntok)::BIGINT AS tokens_kept FROM kept GROUP BY 1"
+        ),
+
         "minhash_candidate_count": (
             f"{toks_cte}, sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
             "AS shingle FROM t), "
@@ -1167,6 +1286,29 @@ def oracle_sql() -> dict[str, str]:
 def _nib(h: str, k: int) -> str:
     """Value of hex nibble k (1-based) of expression h."""
     return f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+
+
+def _hex32(h: str) -> str:
+    """First 8 hex digits of expression h as a 32-bit integer — the DuckDB
+    replay of Spark's conv(substring(md5, 1, 8), 16, 10)."""
+    return (
+        "("
+        + " + ".join(f"{_nib(h, k)} * {16 ** (8 - k)}" for k in range(1, 9))
+        + ")"
+    )
+
+
+def _pii_sql_exprs(target: str) -> tuple[str, str]:
+    """(count-select-list, scrub-expression) replaying text.PII_PATTERNS
+    verbatim — the patterns are written in the Java-regex ∩ RE2 subset."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({target}, '{pat}'))::INT AS pii_{name}"
+        for name, pat in text.PII_PATTERNS.items()
+    )
+    scrub = target
+    for pat in text.PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '[PII]', 'g')"
+    return counts, scrub
 
 
 def _media_oracle(which: str) -> str:

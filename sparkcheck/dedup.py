@@ -507,3 +507,48 @@ def cluster_summary(clusters: DataFrame) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a holdout set)
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: (id, n_overlap) for every corpus doc
+    sharing >= min_overlap DISTINCT word n-grams with the benchmark set —
+    the GPT-3-style n-gram-collision contamination check.
+
+    Scale shape: the benchmark n-gram set is tiny next to a 100 TB corpus,
+    so it is collected into a broadcast hash join — the corpus side
+    explodes its distinct per-doc shingles map-side, joins with ZERO corpus
+    shuffle, and only the matched (doc, shingle) rows reach the one
+    doc_id-keyed aggregation. No cartesian anything; hot shingles cannot
+    skew the join (broadcast), only the final count shuffle, which is keyed
+    by doc_id (near-unique).
+    """
+    from . import text as _text
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(_text.shingles(text_col, n))).alias("shingle")
+        )
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_text.shingles(text_col, n))).alias("shingle"),
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )

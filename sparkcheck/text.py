@@ -254,3 +254,78 @@ def bpe_token_count(col: str | Column = "text") -> Column:
     """Count of BPE-ish pre-tokens — regexp_extract_all length, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style repeated n-gram fractions)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_frac(col: str | Column = "text", n: int = 1) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document: 1 - distinct/total, NULL when the doc has no
+    n-grams. n=1 is the repeated-token fraction; n=2/3 are the repeated
+    bigram/trigram fractions used as boilerplate/spam signals in
+    training-data quality filters (cf. the Gopher repetition rules).
+
+    Doc-local by construction — array_distinct over the shingle array, no
+    explode, no shuffle; scales embarrassingly with executors."""
+    g = tokens(col) if n == 1 else shingles(col, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
+    )
+
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics: (id, n_tokens, dup_token_frac,
+    dup_2gram_frac, dup_3gram_frac), fractions rounded to 4 dp. One narrow
+    scan, zero shuffle."""
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(dup_ngram_frac(text_col, 1), 4).alias("dup_token_frac"),
+        F.round(dup_ngram_frac(text_col, 2), 4).alias("dup_2gram_frac"),
+        F.round(dup_ngram_frac(text_col, 3), 4).alias("dup_3gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (C4-style regex redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to the Java-regex ∩ RE2 subset (no
+# lookbehind) so the DuckDB oracle runs them verbatim. Order matters for
+# scrubbing: emails first (so their digits never feed the phone pattern),
+# then IPs, then phones, then SSNs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d() -]{6,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col: str | Column = "text") -> list[Column]:
+    """One match-count Column per PII class, aliased pii_<class> — flat
+    JVM regexp_count expressions, whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"pii_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def scrub_pii(col: str | Column = "text", replacement: str = "[PII]") -> Column:
+    """Redact every PII match with ``replacement`` — chained
+    regexp_replace in the fixed PII_PATTERNS order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c
