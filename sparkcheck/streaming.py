@@ -212,3 +212,59 @@ def validate_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def streaming_dedup(
+    stream_df: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """Streaming exact deduplication with unbounded-lookback state — the
+    streaming twin of dedup.exact duplicates: one state row per distinct
+    fingerprint, so a document seen in ANY earlier micro-batch is flagged
+    as a duplicate forever (Spark's built-in ``dropDuplicates`` on a
+    stream needs a watermark and forgets keys past it).
+
+    Emits one row per (key, batch) it saw: the canonical first-seen id,
+    whether this batch was the key's first appearance (``is_first`` —
+    downstream keeps exactly the rows of first-appearance batches), and
+    batch/running duplicate counts. State is one (id, count) tuple per
+    key: bounded by distinct keys, not by stream length; at 10^12-doc
+    scale the key should be a 16-byte content fingerprint (text.fingerprint)
+    so state stays compact and uniformly hash-partitioned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "key string, first_id string, is_first boolean, "
+        "batch_count long, total_count long"
+    )
+    state_schema = "first_id string, total long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        cnt = 0
+        first_in_batch = None
+        for pdf in pdfs:
+            if len(pdf) and first_in_batch is None:
+                first_in_batch = str(pdf["__sd_id"].iloc[0])
+            cnt += len(pdf)
+        if state.exists:
+            first_id, total = state.get
+            is_first = False
+        else:
+            first_id, total = first_in_batch, 0
+            is_first = True
+        total += cnt
+        state.update((first_id, total))
+        yield pd.DataFrame({
+            "key": [key[0]], "first_id": [first_id], "is_first": [is_first],
+            "batch_count": [cnt], "total_count": [total],
+        })
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("__sd_key"),
+        F.col(id_col).cast("string").alias("__sd_id"),
+    )
+    return keyed.groupBy("__sd_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -159,3 +159,43 @@ def test_stateful_key_counts(spark, tmp_path):
         seq.sort()
         totals = [t for _, t in seq]
         assert totals == sorted(totals)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from sparkcheck.streaming import streaming_dedup
+
+    # rate stream where value % 5 is the content fingerprint: every key
+    # recurs in later batches, so only its first batch may set is_first
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "400").load()
+        .select((F.col("value") % 5).alias("fp"), "value")
+    )
+    out = streaming_dedup(stream, "fp", "value")
+    q = (out.writeStream.format("memory").queryName("sdd")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT count(*) AS n FROM sdd WHERE NOT is_first"
+            ).collect()
+            if rows and rows[0]["n"] >= 5:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sdd").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["key"], []).append(r)
+    assert set(per_key) <= {"0", "1", "2", "3", "4"}
+    for key, rs in per_key.items():
+        # exactly one first-appearance batch per key
+        assert sum(1 for r in rs if r["is_first"]) == 1
+        # first_id is sticky: every batch reports the same canonical id
+        assert len({r["first_id"] for r in rs}) == 1
+        # running totals strictly increase across batches
+        totals = sorted(r["total_count"] for r in rs)
+        assert totals == sorted(set(totals))
