@@ -35,7 +35,7 @@ from sparkcheck.metrics import Domain
 from sparkcheck.summarize import unexpected_df
 from sparkcheck.referential import anti_join_violations
 from sparkcheck import (
-    dedup, media, sampling, similarity, spans, synth, temporal, text,
+    dedup, media, sampling, similarity, spans, stats, synth, temporal, text,
 )
 
 
@@ -800,6 +800,24 @@ def q_media_frame_samples(spark, sf):
     )
 
 
+def q_corr_profile_lineitem(spark, sf):
+    """All-pairs Pearson correlation over lineitem's numeric measures —
+    stats.correlation_profile: every F.corr lands in ONE fused HashAggregate
+    (map-side partial merge), then the single row is reshaped long."""
+    li = _t(spark, sf, "lineitem")
+    return stats.correlation_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_spearman_quantity_price(spark, sf):
+    """Spearman rank correlation of (l_quantity, l_extendedprice) —
+    stats.spearman_correlation: exact midranks from the distinct-value spine
+    (no global data sort), Pearson over ranks in one fused agg."""
+    li = _t(spark, sf, "lineitem")
+    return stats.spearman_correlation(li, "l_quantity", "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -854,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_fingerprints": q_span_fingerprints,
         "media_image_features": q_media_image_features,
         "media_frame_samples": q_media_frame_samples,
+        "corr_profile_lineitem": q_corr_profile_lineitem,
+        "spearman_quantity_price": q_spearman_quantity_price,
     }
 
 
@@ -1280,7 +1300,34 @@ def oracle_sql() -> dict[str, str]:
         "span_fingerprints": _span_fingerprints_oracle(),
         "media_image_features": _media_oracle("image"),
         "media_frame_samples": _media_oracle("frames"),
+        "corr_profile_lineitem": _corr_profile_oracle(),
+        "spearman_quantity_price": (
+            # midranks: rank() (min rank of the tie group) + (ties-1)/2,
+            # same construction spearman_correlation builds from the
+            # distinct-value spine
+            "WITH r AS (SELECT "
+            "rank() OVER (ORDER BY l_quantity) "
+            "+ (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra, "
+            "rank() OVER (ORDER BY l_extendedprice) "
+            "+ (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb "
+            "FROM lineitem) "
+            "SELECT count(*)::BIGINT AS n_pairs, "
+            "round(corr(ra, rb), 6) AS spearman_r FROM r"
+        ),
     }
+
+
+def _corr_profile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)"
+        f"::BIGINT AS n_pairs, "
+        f"round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(selects)
 
 
 def _nib(h: str, k: int) -> str:

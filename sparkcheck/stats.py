@@ -33,7 +33,12 @@ from typing import Any
 import numpy as np
 from pyspark.sql import functions as F
 
-from .expectations import Expectation, build_domain, register_expectation
+from .expectations import (
+    Expectation,
+    build_domain,
+    register_expectation,
+    validate_value_between,
+)
 from .metrics import (
     Domain,
     MetricConfiguration,
@@ -653,3 +658,132 @@ register_expectation(CramersPhiExpectation())
 register_expectation(ChisquareTestExpectation())
 register_expectation(KsTestExpectation())
 register_expectation(BootstrappedKsTestExpectation())
+
+
+# ---------------------------------------------------------------------------
+# Correlation profiling (extension — the reference has no correlation
+# expectation; this is profiler surface a training-data pipeline needs)
+# ---------------------------------------------------------------------------
+
+
+def correlation_profile(df, cols: list[str]):
+    """All-pairs Pearson correlation over ``cols`` in ONE fused aggregation
+    pass: every ``F.corr(a, b)`` (plus the pairwise-complete counts) lands in
+    a single ``df.agg`` so Catalyst plans exactly one HashAggregate with
+    map-side partial merge — k(k-1)/2 co-moment accumulators stream over the
+    data once, no matter how many pairs.
+
+    Returns a long-format DataFrame (col_a, col_b, n_pairs, pearson_r) with
+    one row per unordered pair, r rounded to 6 dp for cross-engine
+    comparability. ``n_pairs`` counts rows where BOTH sides are non-null —
+    the same pairwise-complete semantics ``corr`` itself uses.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for j, (a, b) in enumerate(pairs):
+        aggs.append(F.corr(a, b).alias(f"__r_{j}"))
+        aggs.append(
+            F.count(F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1))
+            .alias(f"__n_{j}")
+        )
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{j}").alias("n_pairs"),
+            F.round(F.col(f"__r_{j}"), 6).alias("pearson_r"),
+        )
+        for j, (a, b) in enumerate(pairs)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.col_a", "s.col_b", "s.n_pairs", "s.pearson_r")
+    )
+
+
+def _avg_rank(df, col: str, out: str):
+    """Attach the average (midrank) of ``col`` as ``out`` WITHOUT a global
+    sort of the full data: ranks are computed over the per-value counts
+    (groupBy value → cumulative count over the distinct-value spine, which is
+    orders of magnitude smaller than the data) and joined back on the value.
+    avg_rank(v) = #smaller + (#equal + 1)/2 — exact midranks, ties included.
+    Null values get a NULL rank (excluded from Spearman, matching
+    pairwise-complete Pearson-over-ranks semantics)."""
+    from pyspark.sql import Window
+
+    vc = df.where(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = vc.select(
+        F.col(col).alias("__v"),
+        (F.sum("__c").over(w) - F.col("__c") + (F.col("__c") + 1) / 2.0)
+        .alias(out),
+    )
+    return df.join(ranked, df[col] == ranked["__v"], "left").drop("__v")
+
+
+def spearman_correlation(df, col_a: str, col_b: str):
+    """Spearman rank correlation as a one-row DataFrame (n_pairs,
+    spearman_r): exact midranks per column via the distinct-value spine
+    (no global data sort — see _avg_rank), then Pearson over the rank
+    columns in one fused agg. Complete-case: rows where either side is null
+    are dropped BEFORE ranking (the pandas/scipy `spearmanr` convention).
+
+    Scale: the only global ordering is the window over DISTINCT values of
+    each column; the data itself only shuffles for the two value-keyed
+    joins, which AQE plans as broadcasts when the spine is small."""
+    # complete-case first (pandas/scipy convention): ranks are taken over the
+    # rows where BOTH sides are present, not per-column over all rows
+    cc = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    ranked = _avg_rank(_avg_rank(cc, col_a, "__ra"), col_b, "__rb")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("__ra", "__rb"), 6).alias("spearman_r"),
+    )
+
+
+def _pearson_metric_cfgs(cfg):
+    d = build_domain(cfg)
+    dom = Domain(row_condition=d.row_condition,
+                 column_a=d.column_a, column_b=d.column_b)
+    return MetricConfiguration("column_pair.pearson", dom)
+
+
+@eager_metric("column_pair.pearson")
+def _pearson(resolver, ddf, cfg: MetricConfiguration, _):
+    """Pearson r of the pair domain — F.corr is pairwise-complete (null on
+    either side drops the row), a single JVM-side co-moment aggregate."""
+    a, b = cfg.domain.column_a, cfg.domain.column_b
+    r = ddf.agg(F.corr(a, b).alias("r")).collect()[0]["r"]
+    return None if r is None else float(r)
+
+
+class ColumnPairCorrelationExpectation(Expectation):
+    """expect_column_pair_correlation_to_be_between(column_A, column_B,
+    min_value, max_value, strict_min, strict_max) — engine extension (no
+    reference counterpart; registry-compatible with the aggregate
+    between-family). observed_value is the Pearson r."""
+
+    name = "expect_column_pair_correlation_to_be_between"
+
+    def metric_requests(self, cfg, rf):
+        return {"r": _pearson_metric_cfgs(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        observed = resolver[_pearson_metric_cfgs(cfg)]
+        success = validate_value_between(
+            observed,
+            min_value=cfg.get("min_value"),
+            max_value=cfg.get("max_value"),
+            strict_min=bool(cfg.get("strict_min", False)),
+            strict_max=bool(cfg.get("strict_max", False)),
+        )
+        ret: dict[str, Any] = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {"observed_value": observed}
+        return ret
+
+
+register_expectation(ColumnPairCorrelationExpectation())
