@@ -1,0 +1,68 @@
+"""data_docs.build_data_docs: static site from the results store."""
+
+import os
+
+from sparkcheck import data_docs
+from sparkcheck.runner import ParquetStore, store_validation_result
+from sparkcheck.suite import ExpectationConfiguration, ExpectationSuite
+from sparkcheck.validator import validate_df
+
+
+def _suite(name, max_value):
+    return ExpectationSuite(
+        name=name,
+        expectations=[
+            ExpectationConfiguration.from_dict({
+                "expectation_type": "expect_table_row_count_to_be_between",
+                "kwargs": {"min_value": 1, "max_value": max_value},
+            }),
+            ExpectationConfiguration.from_dict({
+                "expectation_type": "expect_column_values_to_not_be_null",
+                "kwargs": {"column": "a"},
+            }),
+        ],
+    )
+
+
+def test_build_data_docs_site(spark, tmp_path):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "a double")
+    store = ParquetStore(str(tmp_path / "store"))
+
+    rep_pass = validate_df(df, _suite("good_suite", 10))
+    rep_fail = validate_df(df, _suite("bad_suite", 2))  # row count 3 > 2
+    store_validation_result(store, spark, rep_pass,
+                            suite_name="good_suite", run_id="run1")
+    store_validation_result(store, spark, rep_fail,
+                            suite_name="bad_suite", run_id="run2")
+
+    out = str(tmp_path / "site")
+    index = data_docs.build_data_docs(store, spark, out)
+    assert os.path.exists(index)
+    idx = open(index).read()
+    assert "good_suite" in idx and "bad_suite" in idx
+    assert "PASSED" in idx and "FAILED" in idx
+
+    pages = [p for p in os.listdir(out) if p != "index.html"]
+    assert len(pages) == 2
+    # per-run page carries the expectation rows
+    for p in pages:
+        body = open(os.path.join(out, p)).read()
+        assert "expect_column_values_to_not_be_null" in body
+    # the failing suite's page shows the failed row-count expectation
+    bad = [p for p in pages if "bad_suite" in p][0]
+    body = open(os.path.join(out, bad)).read()
+    assert "expect_table_row_count_to_be_between" in body
+    assert "FAILED" in body
+
+
+def test_build_data_docs_max_runs(spark, tmp_path):
+    df = spark.createDataFrame([(1.0,)], "a double")
+    store = ParquetStore(str(tmp_path / "store"))
+    for i in range(5):
+        rep = validate_df(df, _suite(f"s{i}", 10))
+        store_validation_result(store, spark, rep,
+                                suite_name=f"s{i}", run_id=f"r{i}")
+    out = str(tmp_path / "site")
+    data_docs.build_data_docs(store, spark, out, max_runs=3)
+    pages = [p for p in os.listdir(out) if p != "index.html"]
+    assert len(pages) == 3  # only newest max_runs rendered
