@@ -35,7 +35,8 @@ from sparkcheck.metrics import Domain
 from sparkcheck.summarize import unexpected_df
 from sparkcheck.referential import anti_join_violations
 from sparkcheck import (
-    dedup, media, sampling, similarity, spans, stats, synth, temporal, text,
+    dedup, diffing, media, sampling, segments, similarity, spans, stats,
+    synth, temporal, text,
 )
 
 
@@ -800,6 +801,45 @@ def q_media_frame_samples(spark, sf):
     )
 
 
+def q_dataset_diff_orders(spark, sf):
+    """Version diff of the orders table against a deterministically
+    perturbed rebuild (keys%101 added, keys%97 removed, keys%89 repriced) —
+    diffing.diff_summary: both sides reduce to (key, xxhash64(row)) before
+    one full-outer sort-merge join, so the exchange moves ~16 bytes/row."""
+    o = _t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 101 != 0)
+    new = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    return diffing.diff_summary(old, new, ["o_orderkey"])
+
+
+def q_segment_validation_returnflag(spark, sf):
+    """Per-segment aggregate validation over lineitem grouped by
+    (l_returnflag, l_linestatus): every check's aggregate + bounds flag in
+    ONE groupBy pass (segments.segment_validation) — the N-segments ×
+    M-checks matrix costs a single shuffle."""
+    li = _t(spark, sf, "lineitem")
+    out = segments.segment_validation(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("n_rows", F.count(F.lit(1)), 1.0, None),
+            ("avg_disc", F.round(F.avg("l_discount"), 4), 0.0, 0.06),
+            ("max_qty", F.round(F.max("l_quantity"), 4), None, 50.0),
+            ("sum_price", F.round(F.sum("l_extendedprice"), 2), 0.0, None),
+        ],
+    )
+    # int-cast the flags for cross-engine value hashing
+    flag_cols = [c for c in out.columns if c.endswith("_ok")] + ["segment_success"]
+    return out.select(
+        *[F.col(c).cast("int").alias(c) if c in flag_cols else F.col(c)
+          for c in out.columns]
+    )
+
+
 def q_corr_profile_lineitem(spark, sf):
     """All-pairs Pearson correlation over lineitem's numeric measures —
     stats.correlation_profile: every F.corr lands in ONE fused HashAggregate
@@ -874,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": q_media_frame_samples,
         "corr_profile_lineitem": q_corr_profile_lineitem,
         "spearman_quantity_price": q_spearman_quantity_price,
+        "dataset_diff_orders": q_dataset_diff_orders,
+        "segment_validation_returnflag": q_segment_validation_returnflag,
     }
 
 
@@ -1300,6 +1342,47 @@ def oracle_sql() -> dict[str, str]:
         "span_fingerprints": _span_fingerprints_oracle(),
         "media_image_features": _media_oracle("image"),
         "media_frame_samples": _media_oracle("frames"),
+        "dataset_diff_orders": (
+            # direct column comparison (IS DISTINCT FROM) replays the
+            # hash-equality classification exactly, no collision caveat
+            "WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0), "
+            "newv AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 "
+            "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+            "o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0), "
+            "j AS (SELECT CASE WHEN oldv.o_orderkey IS NULL THEN 'added' "
+            "WHEN newv.o_orderkey IS NULL THEN 'removed' "
+            "WHEN (oldv.o_custkey IS DISTINCT FROM newv.o_custkey) "
+            "OR (oldv.o_orderstatus IS DISTINCT FROM newv.o_orderstatus) "
+            "OR (oldv.o_totalprice IS DISTINCT FROM newv.o_totalprice) "
+            "OR (oldv.o_orderdate IS DISTINCT FROM newv.o_orderdate) "
+            "OR (oldv.o_orderpriority IS DISTINCT FROM newv.o_orderpriority) "
+            "THEN 'changed' ELSE 'unchanged' END AS status "
+            "FROM oldv FULL OUTER JOIN newv "
+            "ON oldv.o_orderkey = newv.o_orderkey) "
+            "SELECT "
+            "count(CASE WHEN status='added' THEN 1 END)::BIGINT AS n_added, "
+            "count(CASE WHEN status='removed' THEN 1 END)::BIGINT AS n_removed, "
+            "count(CASE WHEN status='changed' THEN 1 END)::BIGINT AS n_changed, "
+            "count(CASE WHEN status='unchanged' THEN 1 END)::BIGINT "
+            "AS n_unchanged FROM j"
+        ),
+        "segment_validation_returnflag": (
+            "WITH s AS (SELECT l_returnflag, l_linestatus, "
+            "count(*)::BIGINT AS n_rows, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "round(max(l_quantity), 4) AS max_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus) "
+            "SELECT *, "
+            "(n_rows >= 1)::INT AS n_rows_ok, "
+            "(avg_disc >= 0.0 AND avg_disc <= 0.06)::INT AS avg_disc_ok, "
+            "(max_qty <= 50.0)::INT AS max_qty_ok, "
+            "(sum_price >= 0.0)::INT AS sum_price_ok, "
+            "((n_rows >= 1) AND (avg_disc >= 0.0 AND avg_disc <= 0.06) "
+            "AND (max_qty <= 50.0) AND (sum_price >= 0.0))::INT "
+            "AS segment_success FROM s"
+        ),
         "corr_profile_lineitem": _corr_profile_oracle(),
         "spearman_quantity_price": (
             # midranks: rank() (min rank of the tie group) + (ties-1)/2,

@@ -1,0 +1,95 @@
+"""Dataset version diffing — what changed between two batches of a table.
+
+A training-data pipeline republishes tables constantly; the validation
+question "what did this rebuild actually change?" is a key-wise diff:
+added / removed / changed / unchanged. The reference has no counterpart
+(its closest is expect_table_row_count_to_equal_other_table); this is the
+Spark-native operator a 10^12-row corpus needs:
+
+- Each side is first reduced to (key, xxhash64(compare_cols)) — the join
+  then shuffles 8-byte hashes instead of full rows, so a diff of two wide
+  document tables moves ~16 bytes/row through the exchange regardless of
+  row width. Column pruning pushes the projection into the scans.
+- One full-outer shuffle join on the key (sort-merge; AQE handles skew),
+  classification is a pure Column CASE — no UDFs, whole-stage codegen.
+- ``changed`` means the xxhash64 of the compared columns differs; a false
+  "unchanged" needs a same-key 64-bit collision (p ≈ 5e-20 per changed
+  row) — the standard content-hash diff trade, documented here.
+- ``diff_rows`` joins the non-unchanged keys back to the new side
+  (left-semi, so the bulk unchanged mass is never re-read wide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _hashed(df: DataFrame, key_cols: list[str], compare_cols: list[str], alias: str) -> DataFrame:
+    return df.select(
+        *[F.col(k) for k in key_cols],
+        F.xxhash64(*[F.col(c) for c in compare_cols]).alias(alias),
+    )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Key-wise diff of two table versions.
+
+    Returns (key_cols..., status) with status in
+    {'added', 'removed', 'changed'} (+ 'unchanged' when
+    ``include_unchanged``). ``compare_cols`` defaults to every shared
+    non-key column. Keys must be unique per side (the usual primary-key
+    contract; duplicate keys diff per joined pair).
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = _hashed(old, key_cols, compare_cols, "__h_old")
+    n = _hashed(new, key_cols, compare_cols, "__h_new")
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*key_cols, status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row: n_added / n_removed / n_changed / n_unchanged counts."""
+    d = dataset_diff(old, new, key_cols, compare_cols, include_unchanged=True)
+    return d.agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("status") == "unchanged", 1)).alias("n_unchanged"),
+    )
+
+
+def diff_rows(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The new-side rows behind every added/changed key (full width),
+    plus status — the "what do I need to reprocess" set. Left-semi shape:
+    only the delta keys pull wide rows; the unchanged bulk stays pruned."""
+    delta = dataset_diff(old, new, key_cols, compare_cols).where(
+        F.col("status").isin("added", "changed")
+    )
+    return new.join(delta, on=key_cols, how="inner")

@@ -1,0 +1,117 @@
+"""diffing.dataset_diff / diff_summary / diff_rows and
+segments.segment_validation / violating_segments."""
+
+from pyspark.sql import functions as F
+
+from sparkcheck import diffing, segments
+
+
+def _versions(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0),        # unchanged
+         (3, "c", 31.0),        # changed (v)
+         (4, None, 40.0),       # unchanged (null-safe: None == None)
+         (5, "e", 50.0)],       # added
+        "k long, s string, v double",
+    )
+    return old, new
+
+
+def test_dataset_diff_statuses(spark):
+    old, new = _versions(spark)
+    got = {r["k"]: r["status"]
+           for r in diffing.dataset_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    full = {r["k"]: r["status"]
+            for r in diffing.dataset_diff(
+                old, new, ["k"], include_unchanged=True).collect()}
+    assert full[2] == "unchanged" and full[4] == "unchanged"
+
+
+def test_dataset_diff_null_to_value_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "x")], "k long, s string")
+    got = diffing.dataset_diff(old, new, ["k"]).collect()
+    assert [(r["k"], r["status"]) for r in got] == [(1, "changed")]
+
+
+def test_diff_summary_counts(spark):
+    old, new = _versions(spark)
+    row = diffing.diff_summary(old, new, ["k"]).collect()[0]
+    assert (row["n_added"], row["n_removed"], row["n_changed"],
+            row["n_unchanged"]) == (1, 1, 1, 2)
+
+
+def test_diff_rows_returns_new_side_width(spark):
+    old, new = _versions(spark)
+    rows = diffing.diff_rows(old, new, ["k"]).collect()
+    got = {r["k"]: (r["s"], r["v"], r["status"]) for r in rows}
+    assert got == {3: ("c", 31.0, "changed"), 5: ("e", 50.0, "added")}
+
+
+def test_dataset_diff_compare_subset(spark):
+    old, new = _versions(spark)
+    # only compare s: row 3's v-change becomes invisible
+    got = {r["k"]: r["status"]
+           for r in diffing.dataset_diff(old, new, ["k"],
+                                         compare_cols=["s"]).collect()}
+    assert 3 not in got
+    assert got == {1: "removed", 5: "added"}
+
+
+def test_dataset_diff_narrow_shuffle_plan(spark):
+    old, new = _versions(spark)
+    plan = diffing.dataset_diff(old, new, ["k"])._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the wide payload columns must be pruned before the join: hashes join,
+    # not rows
+    assert "xxhash64" in plan
+    assert plan.count("'s") == 0  # no raw payload column past the project
+
+
+def test_segment_validation_flags(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 100.0), ("b", 200.0)],
+        "seg string, v double",
+    )
+    out = segments.segment_validation(
+        df, ["seg"],
+        [("n", F.count(F.lit(1)), 2.0, None),
+         ("avg_v", F.avg("v"), 0.0, 10.0)],
+    )
+    got = {r["seg"]: (r["n"], r["avg_v"], r["n_ok"], r["avg_v_ok"],
+                      r["segment_success"]) for r in out.collect()}
+    assert got["a"] == (2, 1.5, True, True, True)
+    assert got["b"] == (2, 150.0, True, False, False)
+
+
+def test_violating_segments_only_failures(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 100.0)], "seg string, v double")
+    bad = segments.violating_segments(
+        df, ["seg"], [("avg_v", F.avg("v"), 0.0, 10.0)]).collect()
+    assert [r["seg"] for r in bad] == ["b"]
+
+
+def test_segment_validation_null_metric_fails(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "seg string, v double")
+    out = {r["seg"]: r["segment_success"]
+           for r in segments.segment_validation(
+               df, ["seg"], [("avg_v", F.avg("v"), 0.0, 10.0)]).collect()}
+    assert out == {"a": True, "b": False}  # NULL aggregate -> check fails
+
+
+def test_segment_validation_single_shuffle(spark):
+    df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
+    plan = segments.segment_validation(
+        df, ["seg"],
+        [("n", F.count(F.lit(1)), 1.0, None),
+         ("avg_v", F.avg("v"), 0.0, 10.0),
+         ("max_v", F.max("v"), None, 100.0)],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # all checks share one groupBy
