@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_topk",
     "lsh_ann_topk",
     "span_profile",
+    "corr_profile_lineitem",
+    "dataset_diff_orders",
+    "segment_validation_returnflag",
 ]
 
 
