@@ -115,6 +115,25 @@ def main():
         "previous formulation cross-joined the corpus with the centroid "
         "table and ran a row_number window partitioned by vec_id.")
 
+    add("All-pairs correlation profile (corr_profile_lineitem)",
+        qs["corr_profile_lineitem"](spark, SF),
+        "Six F.corr co-moment aggregates + six pairwise-complete counts all "
+        "execute in ONE HashAggregate pass (partial+final) over one scan; "
+        "the long-format reshape is an explode over the single aggregated "
+        "row. k columns -> k(k-1)/2 pairs, still one data pass.")
+    add("Dataset version diff (dataset_diff_orders)",
+        qs["dataset_diff_orders"](spark, SF),
+        "Both versions project to (key, xxhash64(payload)) BEFORE the "
+        "full-outer SortMergeJoin: the exchanges carry two longs per row "
+        "(~16 bytes) regardless of table width, and `ReadSchema` shows the "
+        "payload columns read once for hashing, never joined wide.")
+    add("Segmented validation (segment_validation_returnflag)",
+        qs["segment_validation_returnflag"](spark, SF),
+        "N segments x M aggregate checks in one groupBy: a single "
+        "Exchange keyed by the segment columns, map-side partial "
+        "aggregation, and every bounds flag computed as a Project over the "
+        "aggregated row — adding checks adds zero shuffles.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
