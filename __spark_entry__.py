@@ -38,6 +38,7 @@ from sparkcheck import (
     dedup, diffing, media, sampling, segments, similarity, spans, stats,
     synth, temporal, text,
 )
+from sparkcheck import streaming as streaming_mod
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -801,6 +802,27 @@ def q_media_frame_samples(spark, sf):
     )
 
 
+_DRIFT_BINS = [0.0, 15.0, 35.0, 70.0, 500.0]
+_DRIFT_BASE = [0.25, 0.25, 0.25, 0.25]
+
+
+def q_windowed_drift_events(spark, sf):
+    """Per-day PSI drift of events.value against a uniform-quartile
+    baseline — streaming.windowed_drift's watermark-ready plan run in batch
+    mode (identical aggregation; one stateful operator, zero Python)."""
+    e = _t(spark, sf, "events")
+    out = streaming_mod.windowed_drift(
+        e, "ts", "value", _DRIFT_BINS, _DRIFT_BASE,
+        window_duration="1 day", threshold=0.05,
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+        .alias("window_start_us"),
+        "n_values", "psi",
+        F.col("drift").cast("int").alias("drift"),
+    )
+
+
 def q_dataset_diff_orders(spark, sf):
     """Version diff of the orders table against a deterministically
     perturbed rebuild (keys%101 added, keys%97 removed, keys%89 repriced) —
@@ -916,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_quantity_price": q_spearman_quantity_price,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
+        "windowed_drift_events": q_windowed_drift_events,
     }
 
 
@@ -1383,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             "AND (max_qty <= 50.0) AND (sum_price >= 0.0))::INT "
             "AS segment_success FROM s"
         ),
+        "windowed_drift_events": _windowed_drift_oracle(),
         "corr_profile_lineitem": _corr_profile_oracle(),
         "spearman_quantity_price": (
             # midranks: rank() (min rank of the tie group) + (ties-1)/2,
@@ -1398,6 +1422,45 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(ra, rb), 6) AS spearman_r FROM r"
         ),
     }
+
+
+def _windowed_drift_oracle() -> str:
+    """Replays streaming.windowed_drift's batch plan: per-day bucket counts,
+    eps-clip + renormalize, Σ (p−q)·ln(p/q), round 6, threshold compare —
+    the baseline weights are already normalized so q_i is the literal."""
+    bins, base, eps, thr = _DRIFT_BINS, _DRIFT_BASE, 1e-6, 0.05
+    nb = len(bins) - 1
+    conds = []
+    for i in range(nb):
+        if i == 0:
+            c = f"value IS NOT NULL AND value < {bins[1]!r}"
+        elif i == nb - 1:
+            c = f"value IS NOT NULL AND value >= {bins[i]!r}"
+        else:
+            c = (f"value IS NOT NULL AND value >= {bins[i]!r} "
+                 f"AND value < {bins[i + 1]!r}")
+        conds.append(f"sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS b{i}")
+    total = " + ".join(f"b{i}" for i in range(nb))
+    clip = ", ".join(
+        f"greatest(b{i} / n, {eps!r}) AS p{i}" for i in range(nb)
+    )
+    s = " + ".join(f"p{i}" for i in range(nb))
+    terms = " + ".join(
+        f"((p{i}/s) - {base[i]!r}) * ln((p{i}/s) / {base[i]!r})"
+        for i in range(nb)
+    )
+    return (
+        "WITH b AS (SELECT date_trunc('day', ts) AS w, "
+        + ", ".join(conds)
+        + " FROM events GROUP BY 1), "
+        f"c AS (SELECT w, ({total})::DOUBLE AS n, * FROM b), "
+        f"p AS (SELECT w, n, {clip} FROM c), "
+        f"q AS (SELECT w, n, ({s}) AS s, * FROM p), "
+        f"f AS (SELECT w, n, CASE WHEN n > 0 THEN round({terms}, 6) END "
+        "AS psi FROM q) "
+        "SELECT epoch_us(w)::BIGINT AS window_start_us, n::BIGINT AS n_values, "
+        f"psi, CASE WHEN n > 0 THEN (psi > {thr!r})::INT END AS drift FROM f"
+    )
 
 
 def _corr_profile_oracle() -> str:

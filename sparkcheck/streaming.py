@@ -268,3 +268,93 @@ def streaming_dedup(
     return keyed.groupBy("__sd_key").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bins: list[float],
+    baseline_weights: list[float],
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-event-time-window PSI drift against a baseline snapshot — the
+    streaming form of the PSI expectation (distribution.py psi).
+
+    One watermarked aggregation computes the per-window bin counts as fused
+    ``sum(when(bucket))`` terms; the PSI itself is pure Column arithmetic
+    over that aggregated row (clip observed weights to ``eps``,
+    renormalize, Σ (p−q)·ln(p/q)) with the baseline distribution clipped
+    and renormalized the same way AT PLAN TIME and embedded as literals —
+    so there is exactly one stateful operator and zero Python in the
+    stream. On a batch DataFrame the identical plan computes historical
+    per-window drift (parity testing / backfills / the DuckDB oracle).
+
+    Binning: ``bins`` are n+1 finite edges for n buckets; the first and
+    last buckets absorb out-of-range values (every observation scores
+    against the baseline, the usual PSI convention — unlike the KL
+    expectation's explicit tail handling).
+
+    Output: window_start, n_values, psi (6 dp), drift (psi > threshold).
+    Windows with zero non-null values emit psi NULL, drift NULL.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = len(bins) - 1
+    if n_buckets < 1:
+        raise ValueError("need at least 2 bin edges")
+    if len(baseline_weights) != n_buckets:
+        raise ValueError("baseline_weights must have len(bins)-1 entries")
+
+    import numpy as np
+
+    q = np.clip(np.asarray(baseline_weights, dtype=float), eps, None)
+    q = q / q.sum()
+
+    v = F.col(value_col)
+    conds = []
+    for i in range(n_buckets):
+        if i == 0:
+            c = v < F.lit(float(bins[1])) if n_buckets > 1 else v.isNotNull()
+        elif i == n_buckets - 1:
+            c = v >= F.lit(float(bins[i]))
+        else:
+            c = (v >= F.lit(float(bins[i]))) & (v < F.lit(float(bins[i + 1])))
+        conds.append(c & v.isNotNull())
+
+    aggs = [
+        F.coalesce(F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
+        .alias(f"__b{i}")
+        for i, c in enumerate(conds)
+    ]
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    agg = src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    ).agg(*aggs)
+
+    n = sum((F.col(f"__b{i}") for i in range(n_buckets)), F.lit(0)).cast("double")
+    # clip + renormalize the observed weights, mirroring distribution.psi
+    clipped = [
+        F.greatest(F.col(f"__b{i}") / n, F.lit(float(eps)))
+        for i in range(n_buckets)
+    ]
+    s = clipped[0]
+    for c in clipped[1:]:
+        s = s + c
+    psi_col = None
+    for i in range(n_buckets):
+        p = clipped[i] / s
+        term = (p - F.lit(float(q[i]))) * F.log(p / F.lit(float(q[i])))
+        psi_col = term if psi_col is None else psi_col + term
+    psi_out = F.when(n > 0, F.round(psi_col, 6))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        n.cast("long").alias("n_values"),
+        psi_out.alias("psi"),
+        F.when(n > 0, psi_out > F.lit(float(threshold))).alias("drift"),
+    )

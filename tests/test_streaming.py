@@ -199,3 +199,77 @@ def test_streaming_dedup(spark, tmp_path):
         # running totals strictly increase across batches
         totals = sorted(r["total_count"] for r in rs)
         assert totals == sorted(set(totals))
+
+
+def test_windowed_drift_batch_values(spark):
+    from sparkcheck.streaming import windowed_drift
+    import numpy as np
+    from sparkcheck.distribution import psi as psi_ref
+
+    # window 0: uniform over the 4 buckets -> psi ~ 0, no drift
+    # window 1: all mass in bucket 0 -> large psi, drift
+    rows = []
+    for i, v in enumerate([1.0, 20.0, 40.0, 80.0]):
+        rows.append((f"2026-01-01 00:00:{10 + i:02d}", v))
+    for i in range(4):
+        rows.append((f"2026-01-01 00:01:{10 + i:02d}", 2.0))
+    rows.append(("2026-01-01 00:02:10", None))  # null-only window
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.to_timestamp("ts_s").alias("ts"), "value")
+    out = windowed_drift(
+        df, "ts", "value", [0.0, 15.0, 35.0, 70.0, 500.0],
+        [0.25, 0.25, 0.25, 0.25], window_duration="1 minute", threshold=0.2,
+    )
+    got = {r["window_start"].minute: r.asDict() for r in out.collect()}
+    assert got[0]["n_values"] == 4 and got[0]["psi"] is not None
+    assert abs(got[0]["psi"] - round(psi_ref(
+        np.array([1, 1, 1, 1]), np.array([0.25] * 4)), 6)) < 1e-6
+    assert got[0]["drift"] is False
+    assert got[1]["drift"] is True
+    assert abs(got[1]["psi"] - round(psi_ref(
+        np.array([4, 0, 0, 0]), np.array([0.25] * 4)), 6)) < 1e-6
+    assert got[2]["psi"] is None and got[2]["drift"] is None
+
+
+def test_windowed_drift_out_of_range_folds_into_edge_buckets(spark):
+    from sparkcheck.streaming import windowed_drift
+
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:10", -50.0), ("2026-01-01 00:00:11", 9999.0)],
+        "ts_s string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "value")
+    out = windowed_drift(
+        df, "ts", "value", [0.0, 10.0, 20.0], [0.5, 0.5],
+        window_duration="1 minute",
+    ).collect()
+    assert out[0]["n_values"] == 2  # both counted, neither dropped
+
+
+def test_windowed_drift_live_stream(spark, tmp_path):
+    from sparkcheck.streaming import windowed_drift
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(F.col("timestamp").alias("ts"),
+                (F.col("value") % 10).cast("double").alias("value"))
+    )
+    agg = windowed_drift(
+        stream, "ts", "value", [0.0, 2.0, 5.0, 10.0], [0.2, 0.3, 0.5],
+        window_duration="2 seconds", watermark="4 seconds",
+    )
+    q = (agg.writeStream.format("memory").queryName("wdr")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM wdr WHERE psi IS NOT NULL").count() >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM wdr WHERE psi IS NOT NULL").collect()
+    assert len(rows) >= 2
+    # value%10 is ~uniform over [0,10): observed ≈ [0.2, 0.3, 0.5] -> tiny psi
+    assert all(r["psi"] < 0.05 for r in rows if r["n_values"] > 100)
