@@ -93,3 +93,22 @@ def diff_rows(
         F.col("status").isin("added", "changed")
     )
     return new.join(delta, on=key_cols, how="inner")
+
+
+def schema_diff(old_schema, new_schema) -> dict:
+    """Schema evolution between two StructTypes (or DataFrames):
+    {'added': [(name, type)], 'removed': [(name, type)],
+     'type_changed': [(name, old_type, new_type)]} — types compared by
+    simpleString, so nested struct/array changes register as a type change
+    on the containing column. Driver-side (schemas are metadata)."""
+    old_schema = getattr(old_schema, "schema", old_schema)
+    new_schema = getattr(new_schema, "schema", new_schema)
+    o = {f.name: f.dataType.simpleString() for f in old_schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    return {
+        "added": sorted((c, t) for c, t in n.items() if c not in o),
+        "removed": sorted((c, t) for c, t in o.items() if c not in n),
+        "type_changed": sorted(
+            (c, o[c], n[c]) for c in o.keys() & n.keys() if o[c] != n[c]
+        ),
+    }
