@@ -61,6 +61,7 @@ HEADLINE = [
     "corr_profile_lineitem",
     "dataset_diff_orders",
     "segment_validation_returnflag",
+    "windowed_drift_events",
 ]
 
 
