@@ -52,22 +52,50 @@ def metric_history(
     ).where(F.col("value").isNotNull())
 
 
+def all_metric_history(
+    store,
+    spark: SparkSession,
+    value_path: str = "result.observed_value",
+) -> DataFrame:
+    """Every numeric metric series in the store in one pass:
+    (suite_name, expectation, column, run_id, ts, value). Feed straight
+    into ``anomalous_runs(series_cols=["suite_name", "expectation",
+    "column"])`` to sweep the whole store for drifting metrics."""
+    df = store.read(spark, "evaluation_parameters")
+    return df.select(
+        "suite_name",
+        "expectation",
+        F.get_json_object(
+            F.col("evr"), "$.expectation_config.kwargs.column"
+        ).alias("column"),
+        "run_id",
+        "ts",
+        F.get_json_object(F.col("evr"), f"$.{value_path}")
+        .cast("double")
+        .alias("value"),
+    ).where(F.col("value").isNotNull())
+
+
 def anomalous_runs(
     history: DataFrame,
     k: float = 3.0,
     min_history: int = 5,
+    series_cols: list[str] | None = None,
 ) -> DataFrame:
     """Flag runs whose value deviates more than ``k`` trailing standard
     deviations from the trailing mean (strictly-prior rows only, so an
     anomalous run never masks itself). Runs with fewer than
     ``min_history`` prior points are never flagged.
 
-    The window is intentionally unpartitioned: a metric series is one row
-    per run (driver-scale by construction); flagging across series calls
-    this per series.
+    For a single metric series the window is unpartitioned (one row per
+    run — driver-scale by construction). To scan EVERY series of a wide
+    store in one pass, pass ``series_cols`` (e.g. ``["suite_name",
+    "expectation"]``): the trailing window partitions by series, so
+    thousands of metric series flag in a single shuffle.
     """
     w = (
-        Window.orderBy("ts")
+        (Window.partitionBy(*series_cols) if series_cols else Window)
+        .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = history.select(

@@ -79,3 +79,32 @@ def test_schema_diff(spark):
     # identical schemas -> empty diff
     same = schema_diff(old.schema, old.schema)
     assert same == {"added": [], "removed": [], "type_changed": []}
+
+
+def test_all_metric_history_multi_series_one_pass(spark, tmp_path):
+    from sparkcheck.history import all_metric_history, anomalous_runs
+
+    store = ParquetStore(str(tmp_path / "store"))
+    suite = ExpectationSuite(
+        name="multi",
+        expectations=[
+            ExpectationConfiguration.from_dict({
+                "expectation_type": "expect_column_mean_to_be_between",
+                "kwargs": {"column": c, "min_value": -1e9, "max_value": 1e9},
+            }) for c in ("a", "b")
+        ],
+    )
+    # column a is stable; column b jumps on the last run
+    for i, (ma, mb) in enumerate(
+            [(1.0, 10.0), (1.0, 10.1), (1.0, 9.9), (1.0, 10.0),
+             (1.0, 10.05), (1.0, 9.95), (1.0, 99.0)]):
+        df = spark.createDataFrame([(ma, mb), (ma, mb)], "a double, b double")
+        rep = validate_df(df, suite)
+        store_validation_result(store, spark, rep, suite_name="multi",
+                                run_id=f"r{i}")
+    h = all_metric_history(store, spark)
+    flagged = anomalous_runs(
+        h, k=3.0, min_history=4,
+        series_cols=["suite_name", "expectation", "column"]).collect()
+    anomalies = {(r["column"], r["run_id"]) for r in flagged if r["is_anomaly"]}
+    assert anomalies == {("b", "r6")}  # only b's jump flags; a never does
