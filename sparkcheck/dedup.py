@@ -329,18 +329,46 @@ def simhash_chunks(
             F.conv(F.substring("hh", 9, 8), 16, 10).cast("long").alias("h1"),
         )
     )
-    votes = [
-        F.sum(F.when(_shingle_bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*votes)
+    # Packed majority votes: 3 ones-counters per long, 21 bits each —
+    # counters can't carry into each other below 2^21 shingles/doc (the
+    # distinct-shingle count of a doc is bounded far under that). 64 bits
+    # need ceil(64/3)=22 packed SUM aggregates + one COUNT instead of 64
+    # sum(±1) aggregates: 1/3 the aggregation buffers (less hash-agg memory
+    # traffic at scale) and a much smaller plan (the 64-agg form carried
+    # ~2.5 s of fixed Catalyst+codegen compile, BENCH/BASELINE.md "fixed
+    # plan costs"). Majority: bit j set iff 2*ones_j > n_shingles —
+    # identical to the old sum(±1) > 0 form, ties still round to 0.
+    per = 3
+    width = 21
+    groups = [list(range(g, min(g + per, SIMHASH_BITS)))
+              for g in range(0, SIMHASH_BITS, per)]
+    packed = []
+    for gi, bits in enumerate(groups):
+        expr = None
+        for i, j in enumerate(bits):
+            t = _shingle_bit(j).cast("long")
+            if i:
+                t = F.shiftleft(t, width * i)
+            expr = t if expr is None else expr + t
+        packed.append(F.sum(expr).alias(f"g{gi}"))
+    per_doc = sh.groupBy("doc_id").agg(
+        *packed, F.count(F.lit(1)).alias("__n_sh")
+    )
+    mask = (1 << width) - 1
+
+    def ones(j: int) -> Column:
+        gi, pos = divmod(j, per)
+        return F.shiftright(F.col(f"g{gi}"), width * pos).bitwiseAND(
+            F.lit(mask)
+        )
+
     chunk_cols = []
     for c in range(SIMHASH_CHUNKS):
         chunk = F.lit(0)
         for k in range(16):
             j = c * 16 + k
             chunk = chunk + F.when(
-                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1), k)
+                ones(j) * 2 > F.col("__n_sh"), F.shiftleft(F.lit(1), k)
             ).otherwise(F.lit(0))
         chunk_cols.append(chunk.cast("int").alias(f"c{c}"))
     return per_doc.select("doc_id", *chunk_cols)
