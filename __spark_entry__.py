@@ -880,6 +880,43 @@ def q_spearman_quantity_price(spark, sf):
     return stats.spearman_correlation(li, "l_quantity", "l_extendedprice")
 
 
+def q_quarantine_split(spark, sf):
+    """Row-level quarantine: ONE projection evaluates every row-local
+    expectation in the suite, tagging each row with the labels it violates
+    (quarantine.tag_failures). Returns per-expectation quarantined-row
+    counts plus a `__valid__` row — the clean/parked split a 10^12-doc
+    curation pipeline routes on. Uniqueness rides a key-only groupBy with
+    the tiny dup-key side broadcast back; no full-row shuffle anywhere."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.quarantine import FAILED_COL, tag_failures
+
+    d = _t(spark, sf, "documents")
+    s = ExpectationSuite("quarantine_docs")
+    s.add(
+        "expect_column_values_to_be_in_set",
+        column="lang",
+        value_set=["en", "es", "de", "fr"],
+    )
+    s.add(
+        "expect_column_values_to_be_between",
+        column="n_chars",
+        min_value=50,
+        max_value=500,
+    )
+    s.add("expect_column_values_to_match_regex", column="source", regex="^src[0-4]")
+    s.add("expect_column_values_to_be_unique", column="doc_id")
+    tagged, _skipped = tag_failures(d, s)
+    per_label = (
+        tagged.select(F.explode(FAILED_COL).alias("expectation"))
+        .groupBy("expectation")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    valid = tagged.where(F.size(FAILED_COL) == 0).agg(
+        F.lit("__valid__").alias("expectation"), F.count(F.lit(1)).alias("n")
+    )
+    return per_label.unionAll(valid).orderBy("expectation")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -936,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": q_media_frame_samples,
         "corr_profile_lineitem": q_corr_profile_lineitem,
         "spearman_quantity_price": q_spearman_quantity_price,
+        "quarantine_split": q_quarantine_split,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
         "windowed_drift_events": q_windowed_drift_events,
@@ -1420,6 +1458,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) "
             "SELECT count(*)::BIGINT AS n_pairs, "
             "round(corr(ra, rb), 6) AS spearman_r FROM r"
+        ),
+        "quarantine_split": (
+            # one flag column per suite expectation (null-aware: NULL values
+            # are "missing", never unexpected, matching ConditionSpec
+            # ignore_nulls), then per-label counts + the clean-row count
+            "WITH v AS (SELECT "
+            "(lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')) AS f_set, "
+            "(n_chars IS NOT NULL AND NOT (n_chars BETWEEN 50 AND 500)) AS f_btw, "
+            "(source IS NOT NULL AND NOT regexp_matches(source, '^src[0-4]')) AS f_rx, "
+            "(doc_id IS NOT NULL AND "
+            "count(*) OVER (PARTITION BY doc_id) > 1) AS f_uq "
+            "FROM documents), c AS ("
+            "SELECT 'expect_column_values_to_be_in_set:lang' AS expectation, "
+            "count(*) FILTER (f_set)::BIGINT AS n FROM v "
+            "UNION ALL SELECT 'expect_column_values_to_be_between:n_chars', "
+            "count(*) FILTER (f_btw)::BIGINT FROM v "
+            "UNION ALL SELECT 'expect_column_values_to_match_regex:source', "
+            "count(*) FILTER (f_rx)::BIGINT FROM v "
+            "UNION ALL SELECT 'expect_column_values_to_be_unique:doc_id', "
+            "count(*) FILTER (f_uq)::BIGINT FROM v "
+            "UNION ALL SELECT '__valid__', count(*) FILTER "
+            "(NOT f_set AND NOT f_btw AND NOT f_rx AND NOT f_uq)::BIGINT FROM v) "
+            "SELECT expectation, n FROM c WHERE n > 0 ORDER BY expectation"
         ),
     }
 

@@ -10,6 +10,7 @@ from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_form
 from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
 from .profiler import profile_suite
+from .quarantine import QuarantineResult, quarantine, tag_failures
 
 # import registers distribution/referential/stats expectations & metrics
 from . import distribution as _distribution  # noqa: F401
@@ -26,6 +27,9 @@ __all__ = [
     "list_expectations",
     "register_expectation",
     "profile_suite",
+    "QuarantineResult",
+    "quarantine",
+    "tag_failures",
 ]
 
 __version__ = "0.1.0"

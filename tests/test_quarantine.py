@@ -1,0 +1,126 @@
+"""Row-level quarantine: single-projection valid/invalid suite split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationSuite
+from sparkcheck.quarantine import FAILED_COL, quarantine, tag_failures
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        # id, code, score, a, b
+        (1, "AA", 10.0, 1, 2),
+        (2, "BB", 20.0, 2, 3),
+        (3, None, 30.0, 3, 4),      # null code
+        (4, "ZZ", 40.0, 4, 5),      # code not in set
+        (5, "AA", -1.0, 5, 6),      # score below range
+        (6, "BB", 25.0, 9, 1),      # a > b violation
+        (7, "CC", 5.0, 7, 8),
+        (7, "CC", 6.0, 8, 9),       # duplicate id (both rows quarantined)
+    ]
+    return spark.createDataFrame(rows, "id int, code string, score double, a int, b int")
+
+
+def _suite():
+    s = ExpectationSuite("quar")
+    s.add("expect_column_values_to_not_be_null", column="code")
+    s.add("expect_column_values_to_be_in_set", column="code", value_set=["AA", "BB", "CC"])
+    s.add("expect_column_values_to_be_between", column="score", min_value=0, max_value=100)
+    s.add("expect_column_pair_values_a_to_be_greater_than_b",
+          column_A="b", column_B="a")
+    s.add("expect_column_values_to_be_unique", column="id")
+    # aggregate expectation: no per-row meaning, silently skipped
+    s.add("expect_column_mean_to_be_between", column="score", min_value=-100, max_value=100)
+    return s
+
+
+def test_split_rows_and_labels(toy, spark):
+    res = quarantine(toy, _suite())
+    valid_ids = sorted(r.id for r in res.valid.collect())
+    assert valid_ids == [1, 2]
+    bad = {r.id: sorted(r[FAILED_COL]) for r in res.quarantined.collect()}
+    assert set(bad) == {3, 4, 5, 6, 7}
+    assert bad[3] == ["expect_column_values_to_not_be_null:code"]
+    assert bad[4] == ["expect_column_values_to_be_in_set:code"]
+    assert bad[5] == ["expect_column_values_to_be_between:score"]
+    assert bad[6] == ["expect_column_pair_values_a_to_be_greater_than_b:b,a"]
+    # both duplicate-id rows flagged
+    assert bad[7] == ["expect_column_values_to_be_unique:id"]
+    assert res.quarantined.filter(F.col("id") == 7).count() == 2
+    # valid keeps the input schema exactly
+    assert res.valid.columns == toy.columns
+
+
+def test_valid_plus_quarantined_partition_input(toy):
+    res = quarantine(toy, _suite())
+    assert res.valid.count() + res.quarantined.count() == toy.count()
+
+
+def test_skips_are_reported_not_fatal(toy):
+    s = _suite()
+    s.add("expect_column_values_to_be_increasing", column="score")
+    res = quarantine(toy, s)
+    assert any("increasing" in k for k in res.skipped)
+    # order-dependent check did not change the split
+    assert res.valid.count() == 2
+
+
+def test_row_condition_scopes_the_check(toy):
+    s = ExpectationSuite("scoped")
+    s.add(
+        "expect_column_values_to_be_between",
+        column="score",
+        min_value=0,
+        row_condition="code = 'AA'",
+        condition_parser="spark",
+    )
+    res = quarantine(toy, s)
+    # only id=5 (code AA, score -1) violates; id 3/4 etc. out of scope
+    assert sorted(r.id for r in res.quarantined.collect()) == [5]
+
+
+def test_two_stage_zscore_resolves_stats(toy):
+    s = ExpectationSuite("z")
+    s.add(
+        "expect_column_value_z_scores_to_be_less_than",
+        column="score",
+        threshold=1e9,
+        double_sided=True,
+    )
+    res = quarantine(toy, s)
+    # threshold is huge: nothing quarantined, nothing skipped, no crash
+    assert res.quarantined.count() == 0
+    assert res.skipped == {}
+
+
+def test_tag_failures_single_projection(toy):
+    tagged, skipped = tag_failures(toy, _suite())
+    assert FAILED_COL in tagged.columns
+    clean = tagged.filter(F.size(FAILED_COL) == 0).count()
+    assert clean == 2
+    # plan shape: no Exchange beyond the uniqueness dup-key agg/broadcast
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_compound_unique_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, None), (3, None)],
+        "k int, v string",
+    )
+    s = ExpectationSuite("cu")
+    s.add("expect_compound_columns_to_be_unique", column_list=["k", "v"])
+    res = quarantine(df, s)
+    # (1,x) pair duplicated -> 2 rows; (3,NULL) grouped null-safe -> 2 rows
+    assert res.quarantined.count() == 4
+    assert res.valid.count() == 1
+
+
+def test_empty_suite_all_valid(toy):
+    res = quarantine(toy, ExpectationSuite("empty"))
+    assert res.quarantined.count() == 0
+    assert res.valid.count() == toy.count()
