@@ -230,6 +230,76 @@ def tag_failures(df: DataFrame, suite) -> tuple[DataFrame, dict[str, str]]:
     return out.select(*df.columns, FAILED_COL), skipped
 
 
+def stream_tag_failures(
+    df: DataFrame, suite
+) -> tuple[DataFrame, dict[str, str]]:
+    """`tag_failures` for STREAMING frames: the same single stateless
+    projection, so it composes with any sink/trigger without watermarks.
+
+    Cross-row checks cannot be row-local in a stream and are reported in
+    ``skipped``: uniqueness would need unbounded state (route it through
+    ``streaming.stateful_key_counts`` instead), and two-stage expectations
+    (z-score) would need a batch stats pass — ``suite_masks`` already
+    reports those as unresolvable on a streaming frame.
+    """
+    from .expectations import get_expectation
+
+    masks, skipped = suite_masks(df, suite)
+    for cfg in suite.expectations:
+        try:
+            cond = getattr(
+                get_expectation(cfg.expectation_type), "condition_name", None
+            )
+        except KeyError:
+            continue
+        if cond in ("column_values.unique", "compound_columns.unique"):
+            skipped[_label(cfg)] = (
+                "uniqueness needs unbounded cross-row state in a stream; "
+                "use streaming.stateful_key_counts"
+            )
+    if not masks:
+        out = df.withColumn(FAILED_COL, F.array().cast("array<string>"))
+        return out, skipped
+    arr = F.array_compact(
+        F.array(*[F.when(m, F.lit(lbl)) for lbl, m in masks])
+    )
+    return df.withColumn(FAILED_COL, arr), skipped
+
+
+VALID_PART_COL = "is_valid"
+
+
+def write_quarantine(
+    df: DataFrame,
+    suite,
+    path: str,
+    data_format: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Route every row to ``<path>/is_valid=true|false`` in ONE write pass.
+
+    The naive split (write ``valid``, then write ``quarantined``) scans the
+    input twice — at 10^12 documents that doubles the job. Partitioning the
+    tagged frame by a validity flag writes each row exactly once and still
+    gives downstream readers a clean path (``.../is_valid=true``) that
+    partition-prunes to the good rows; the false side carries
+    ``failed_expectations`` for triage. Returns the skipped-check map.
+
+    Note: Spark's partition-value inference reads the flag back as a
+    STRING (``'true'``/``'false'``) — filter with
+    ``col("is_valid") == "true"`` or read the subdirectory directly.
+    """
+    tagged, skipped = tag_failures(df, suite)
+    out = tagged.withColumn(VALID_PART_COL, F.size(FAILED_COL) == 0)
+    (
+        out.write.partitionBy(VALID_PART_COL)
+        .format(data_format)
+        .mode(mode)
+        .save(path)
+    )
+    return skipped
+
+
 def quarantine(df: DataFrame, suite) -> QuarantineResult:
     """Split ``df`` by ``suite``: rows violating ANY row-local or
     uniqueness expectation go to ``quarantined`` (with the violated labels

@@ -120,6 +120,64 @@ def test_compound_unique_quarantine(spark):
     assert res.valid.count() == 1
 
 
+def test_write_quarantine_single_pass_partitioned(toy, spark, tmp_path):
+    from sparkcheck.quarantine import write_quarantine
+
+    path = str(tmp_path / "routed")
+    skipped = write_quarantine(toy, _suite(), path)
+    assert skipped == {}
+    # partition values read back as strings (Spark only infers
+    # numeric/date partition types)
+    good = spark.read.parquet(path).where(F.col("is_valid") == "true")
+    bad = spark.read.parquet(path).where(F.col("is_valid") == "false")
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 6
+    # partition pruning: reading the valid side scans one partition dir
+    import os
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("is_valid=")
+    ) == ["is_valid=false", "is_valid=true"]
+
+
+def test_stream_tag_failures_rate_source(spark, tmp_path):
+    import time
+
+    from sparkcheck.quarantine import stream_tag_failures
+
+    s = ExpectationSuite("sq")
+    s.add("expect_column_values_to_be_between", column="value",
+          min_value=0, max_value=3)
+    s.add("expect_column_values_to_be_unique", column="value")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select((F.col("value") % 10).alias("value"))
+    )
+    tagged, skipped = stream_tag_failures(stream, s)
+    assert any("unique" in k for k in skipped)
+    q = (tagged.writeStream.format("memory").queryName("quar_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql("select count(*) n from quar_stream").collect()[0].n
+            if n >= 20:
+                break
+            time.sleep(1)
+        rows = spark.sql(
+            f"select value, {FAILED_COL} as f from quar_stream"
+        ).collect()
+        assert len(rows) >= 20
+        for r in rows:
+            if r.value > 3:
+                assert r.f == ["expect_column_values_to_be_between:value"]
+            else:
+                assert r.f == []
+    finally:
+        q.stop()
+
+
 def test_empty_suite_all_valid(toy):
     res = quarantine(toy, ExpectationSuite("empty"))
     assert res.quarantined.count() == 0
