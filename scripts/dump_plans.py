@@ -134,6 +134,28 @@ def main():
         "aggregation, and every bounds flag computed as a Project over the "
         "aggregated row — adding checks adds zero shuffles.")
 
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.quarantine import tag_failures
+    qsuite = ExpectationSuite("quar")
+    qsuite.add("expect_column_values_to_be_in_set", column="lang",
+               value_set=["en", "es", "de", "fr"])
+    qsuite.add("expect_column_values_to_be_between", column="n_chars",
+               min_value=50, max_value=500)
+    qsuite.add("expect_column_values_to_match_regex", column="source",
+               regex="^src[0-4]")
+    qsuite.add("expect_column_values_to_be_unique", column="doc_id")
+    tagged, _ = tag_failures(spark.read.parquet(f"{SF}/documents.parquet"),
+                             qsuite)
+    add("Row-level quarantine tagging (tag_failures)",
+        tagged,
+        "Every row-local expectation in the suite compiles into ONE Project "
+        "(array_compact over per-check CASE WHEN masks) over ONE scan — "
+        "adding row-local checks adds zero operators below the projection. "
+        "The only exchange belongs to the uniqueness flag: a key-only "
+        "groupBy (map-side partial_count) whose tiny dup-key output is "
+        "broadcast back (`BroadcastHashJoin ... BuildRight`); full rows "
+        "never shuffle, so the split stays one-pass at 10^12 documents.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
