@@ -62,6 +62,7 @@ HEADLINE = [
     "dataset_diff_orders",
     "segment_validation_returnflag",
     "windowed_drift_events",
+    "quarantine_split",
 ]
 
 
