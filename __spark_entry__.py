@@ -917,6 +917,25 @@ def q_quarantine_split(spark, sf):
     return per_label.unionAll(valid).orderBy("expectation")
 
 
+def q_fd_check_lineitem(spark, sf):
+    """Functional-dependency audit: does l_orderkey determine l_returnflag?
+    (It doesn't — an order's lineitems can carry different flags; the
+    summary quantifies the blast radius.) keys.fd_summary: two map-side-
+    combinable hash aggregations, no Expand-based countDistinct."""
+    from sparkcheck.keys import fd_summary
+
+    return fd_summary(_t(spark, sf, "lineitem"), "l_orderkey", "l_returnflag")
+
+
+def q_join_key_health_lineitem(spark, sf):
+    """Pre-join key diagnostics for lineitem.l_orderkey: null-key rows,
+    distinct keys, worst-key fanout, salting candidates over a fanout
+    threshold — the profile you read BEFORE shuffling 100 TB on the key."""
+    from sparkcheck.keys import join_key_health
+
+    return join_key_health(_t(spark, sf, "lineitem"), "l_orderkey", fanout_threshold=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -974,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_profile_lineitem": q_corr_profile_lineitem,
         "spearman_quantity_price": q_spearman_quantity_price,
         "quarantine_split": q_quarantine_split,
+        "fd_check_lineitem": q_fd_check_lineitem,
+        "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
         "windowed_drift_events": q_windowed_drift_events,
@@ -1481,6 +1502,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT '__valid__', count(*) FILTER "
             "(NOT f_set AND NOT f_btw AND NOT f_rx AND NOT f_uq)::BIGINT FROM v) "
             "SELECT expectation, n FROM c WHERE n > 0 ORDER BY expectation"
+        ),
+        "fd_check_lineitem": (
+            "WITH p AS (SELECT l_orderkey, l_returnflag, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2), "
+            "g AS (SELECT l_orderkey, count(*) AS n_values, sum(n) AS n_rows "
+            "FROM p GROUP BY 1) "
+            "SELECT count(*)::BIGINT AS total_keys, "
+            "count(*) FILTER (n_values > 1)::BIGINT AS violating_keys, "
+            "coalesce(sum(CASE WHEN n_values > 1 THEN n_rows END), 0)::BIGINT "
+            "AS rows_in_violating_keys FROM g"
+        ),
+        "join_key_health_lineitem": (
+            "WITH g AS (SELECT l_orderkey AS k, count(*) AS n "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT sum(n)::BIGINT AS total_rows, "
+            "coalesce(sum(CASE WHEN k IS NULL THEN n END), 0)::BIGINT "
+            "AS null_key_rows, "
+            "count(k)::BIGINT AS distinct_keys, "
+            "max(CASE WHEN k IS NOT NULL THEN n END)::BIGINT AS max_key_rows, "
+            "round(sum(CASE WHEN k IS NOT NULL THEN n ELSE 0 END)::DOUBLE "
+            "/ count(k), 4) AS mean_key_rows, "
+            "count(*) FILTER (k IS NOT NULL AND n > 5)::BIGINT "
+            "AS keys_over_threshold FROM g"
         ),
     }
 

@@ -12,10 +12,11 @@ from .expectations import get_expectation, list_expectations, register_expectati
 from .profiler import profile_suite
 from .quarantine import QuarantineResult, quarantine, tag_failures
 
-# import registers distribution/referential/stats expectations & metrics
+# import registers distribution/referential/stats/keys expectations & metrics
 from . import distribution as _distribution  # noqa: F401
 from . import referential as _referential  # noqa: F401
 from . import stats as _stats  # noqa: F401
+from . import keys as _keys  # noqa: F401
 
 __all__ = [
     "ExpectationConfiguration",

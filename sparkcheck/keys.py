@@ -1,0 +1,172 @@
+"""Key analytics: functional-dependency checks and join-key health.
+
+Neither exists in the reference (its closest surface is
+expect_compound_columns_to_be_unique, reference
+expectations/core/expect_compound_columns_to_be_unique.py, which asserts
+the *strictest* FD — every key appears once). These are the two questions
+a 100 TB pipeline asks before trusting or joining a table:
+
+  * does column A functionally determine column B (one B value per A key)?
+    A broken FD ruins dimension joins and grouping assumptions silently.
+  * is ``key`` healthy to join on — null fraction, distinct count,
+    worst-key fanout — BEFORE paying for the shuffle? A single hot key is
+    the difference between a 10-minute and a 10-hour join.
+
+Formulation notes (scale):
+
+  * FD does NOT use ``countDistinct(dependent)``: Spark plans grouped
+    count-distinct via an Expand (row multiplication) when mixed with
+    other aggregates. Instead: groupBy(A, B).count -> groupBy(A) — two
+    hash aggregations, BOTH with map-side partial combine, shuffle keyed
+    by (A, B) then A. NULL dependents count as a value (a key mapping to
+    {x, NULL} is not a function); NULL keys are kept by the plain
+    functions and dropped by the expectation (ignore-null-key parity
+    with map expectations' ignore_nulls).
+  * join_key_health is ONE groupBy(key).count pass + one scalar agg over
+    the (already tiny) per-key counts. The per-key frame is at most
+    |distinct keys| rows — the second agg never sees data volume.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_counts(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    return df.groupBy(determinant, dependent).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+
+
+def _key_groups(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """(determinant, n_values, n_rows) per key — distinct dependent values
+    via the two-level groupBy (no Expand, map-side combine at both levels)."""
+    return (
+        _pair_counts(df, determinant, dependent)
+        .groupBy(determinant)
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("__n").alias("n_rows"),
+        )
+    )
+
+
+def fd_violating_keys(
+    df: DataFrame, determinant: str, dependent: str
+) -> DataFrame:
+    """Keys of ``determinant`` mapped to MORE than one ``dependent`` value:
+    (determinant, n_values, n_rows). Empty iff A -> B holds exactly."""
+    g = _key_groups(df, determinant, dependent)
+    return g.where(F.col("n_values") > 1)
+
+
+def fd_summary(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """One row: total_keys, violating_keys, rows_in_violating_keys.
+
+    ``rows_in_violating_keys`` is the blast radius — how many input rows
+    sit under a key whose dependent value is ambiguous."""
+    g = _key_groups(df, determinant, dependent)
+    viol = F.col("n_values") > 1
+    return g.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum(viol.cast("long")).alias("violating_keys"),
+        F.sum(F.when(viol, F.col("n_rows")).otherwise(0)).alias(
+            "rows_in_violating_keys"
+        ),
+    )
+
+
+def join_key_health(
+    df: DataFrame, key: str, fanout_threshold: int = 1000
+) -> DataFrame:
+    """One-row join-readiness profile of ``key``:
+
+    total_rows, null_key_rows (they silently drop from inner joins),
+    distinct_keys (non-null), max_key_rows (the hot-key fanout a shuffle
+    partition must absorb — multiply by the other side's max for the
+    worst joined-partition estimate), mean_key_rows (4 dp), and
+    keys_over_threshold (salting candidates: every key here deserves a
+    salt or an AQE skew split)."""
+    g = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    nn = F.col(key).isNotNull()
+    return g.agg(
+        F.sum("__n").alias("total_rows"),
+        F.sum(F.when(~nn, F.col("__n")).otherwise(0)).alias("null_key_rows"),
+        F.sum(nn.cast("long")).alias("distinct_keys"),
+        F.max(F.when(nn, F.col("__n"))).alias("max_key_rows"),
+        F.round(
+            F.sum(F.when(nn, F.col("__n")).otherwise(0))
+            / F.sum(nn.cast("long")),
+            4,
+        ).alias("mean_key_rows"),
+        F.sum((nn & (F.col("__n") > fanout_threshold)).cast("long")).alias(
+            "keys_over_threshold"
+        ),
+    )
+
+
+def heavy_keys(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """The ``top`` heaviest non-null keys: (key, n_rows), ties broken by
+    key value for determinism. This is the salting worklist."""
+    return (
+        df.where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.col(key))
+        .limit(top)
+    )
+
+
+class FunctionalDependencyExpectation:
+    """expect_column_pair_to_be_functionally_dependent(column_A=...,
+    column_B=..., mostly=...): success iff >= mostly of non-null A keys map
+    to exactly one B value. No reference analog (the reference can only
+    assert the degenerate one-row-per-key form via compound uniqueness);
+    registered as a sparkcheck extension."""
+
+    name = "expect_column_pair_to_be_functionally_dependent"
+    condition_name = None
+
+    def metric_requests(self, cfg, rf):
+        return {}
+
+    def stage2_requests(self, cfg, rf, resolver):
+        return {}
+
+    def validate(self, cfg, rf, resolver) -> dict[str, Any]:
+        det, dep = cfg.get("column_A"), cfg.get("column_B")
+        row = (
+            fd_summary(
+                resolver.df.where(F.col(det).isNotNull()), det, dep
+            )
+            .collect()[0]
+        )
+        total = int(row.total_keys or 0)
+        bad = int(row.violating_keys or 0)
+        ratio = 1.0 if total == 0 else 1.0 - bad / total
+        mostly = cfg.get("mostly", 1.0)
+        ret: dict[str, Any] = {"success": ratio >= mostly}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": round(ratio, 6),
+                "details": {
+                    "total_keys": total,
+                    "violating_keys": bad,
+                    "rows_in_violating_keys": int(
+                        row.rows_in_violating_keys or 0
+                    ),
+                },
+            }
+        return ret
+
+
+def _register() -> None:
+    from .expectations import register_expectation
+
+    register_expectation(FunctionalDependencyExpectation())
+
+
+_register()

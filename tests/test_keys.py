@@ -1,0 +1,87 @@
+"""Functional-dependency and join-key-health operators (sparkcheck.keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationSuite, validate_df
+from sparkcheck.keys import (
+    fd_summary,
+    fd_violating_keys,
+    heavy_keys,
+    join_key_health,
+)
+
+
+@pytest.fixture(scope="module")
+def kdf(spark):
+    rows = [
+        # key, val
+        (1, "a"), (1, "a"),            # clean FD key
+        (2, "b"), (2, "c"),            # violating: two values
+        (3, None), (3, None),          # clean: NULL is one value
+        (4, "d"), (4, None),           # violating: {d, NULL}
+        (None, "e"), (None, "e"),      # null key rows
+        (5, "f"),
+    ]
+    return spark.createDataFrame(rows, "key int, val string")
+
+
+def test_fd_violating_keys(kdf):
+    v = {r.key: (r.n_values, r.n_rows) for r in fd_violating_keys(kdf, "key", "val").collect()}
+    assert v == {2: (2, 2), 4: (2, 2)}
+
+
+def test_fd_summary(kdf):
+    r = fd_summary(kdf, "key", "val").collect()[0]
+    # null key participates in the plain function (6 keys incl. NULL)
+    assert (r.total_keys, r.violating_keys, r.rows_in_violating_keys) == (6, 2, 4)
+
+
+def test_fd_expectation_mostly(kdf):
+    s = ExpectationSuite("fd")
+    s.add(
+        "expect_column_pair_to_be_functionally_dependent",
+        column_A="key", column_B="val", mostly=0.5,
+    )
+    r = validate_df(kdf, s, result_format="SUMMARY")
+    evr = r["results"][0]
+    # expectation drops NULL keys: 5 keys, 2 violating -> 0.6 >= 0.5
+    assert evr["success"] is True
+    assert evr["result"]["observed_value"] == 0.6
+    assert evr["result"]["details"]["rows_in_violating_keys"] == 4
+
+    s2 = ExpectationSuite("fd2")
+    s2.add(
+        "expect_column_pair_to_be_functionally_dependent",
+        column_A="key", column_B="val",
+    )
+    assert validate_df(kdf, s2)["success"] is False
+
+
+def test_join_key_health(kdf):
+    r = join_key_health(kdf, "key", fanout_threshold=1).collect()[0]
+    assert r.total_rows == 11
+    assert r.null_key_rows == 2
+    assert r.distinct_keys == 5
+    assert r.max_key_rows == 2
+    assert r.keys_over_threshold == 4  # keys 1-4 have 2 rows each
+    assert abs(r.mean_key_rows - 9 / 5) < 1e-9
+
+
+def test_heavy_keys_deterministic(kdf):
+    hk = heavy_keys(kdf, "key", top=3).collect()
+    assert [(r.key, r.n_rows) for r in hk] == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_fd_holds_on_clean_table(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "a int, b int")
+    assert fd_violating_keys(df, "a", "b").count() == 0
+    r = fd_summary(df, "a", "b").collect()[0]
+    assert (r.total_keys, r.violating_keys) == (100, 0)
+
+
+def test_no_expand_in_fd_plan(kdf):
+    plan = fd_summary(kdf, "key", "val")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
