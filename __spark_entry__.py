@@ -936,6 +936,32 @@ def q_join_key_health_lineitem(spark, sf):
     return join_key_health(_t(spark, sf, "lineitem"), "l_orderkey", fanout_threshold=5)
 
 
+def q_sampled_violation_estimate(spark, sf):
+    """Deterministic hash-sampled validation: estimate each expectation's
+    violation rate from a 25% md5 sample with Wilson 95% bounds — the
+    bounded-cost answer to "did this 10^12-doc delivery get worse?".
+    The sample is engine-reproducible, so DuckDB replays it exactly."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.sampling import sampled_violation_estimate
+
+    d = _t(spark, sf, "documents")
+    s = ExpectationSuite("sampled")
+    s.add(
+        "expect_column_values_to_be_in_set",
+        column="lang",
+        value_set=["en", "es", "de", "fr"],
+    )
+    s.add(
+        "expect_column_values_to_be_between",
+        column="n_chars",
+        min_value=50,
+        max_value=500,
+    )
+    s.add("expect_column_values_to_match_regex", column="source", regex="^src[0-4]")
+    est, _skipped = sampled_violation_estimate(d, s, "doc_id", 0.25)
+    return est
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -994,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_quantity_price": q_spearman_quantity_price,
         "quarantine_split": q_quarantine_split,
         "fd_check_lineitem": q_fd_check_lineitem,
+        "sampled_violation_estimate": q_sampled_violation_estimate,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1009,6 +1036,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
     budget_hash = _hex32("md5('budget' || doc_id::VARCHAR)")
+    sv_hash = _hex32("md5('sv' || doc_id::VARCHAR)")
+    # Wilson 95% interval pieces, mirroring sampling.sampled_violation_estimate
+    # term-for-term so the 6-dp rounds agree (z and z^2 embedded as the same
+    # Python doubles Spark folds in as literals)
+    _z = 1.959964
+    _z2 = _z * _z
+    _p = "(sample_unexpected::DOUBLE / sample_n)"
+    _den = f"(1.0 + {_z2!r} / sample_n)"
+    _ctr = f"({_p} + {_z2!r} / (2 * sample_n))"
+    _rad = (
+        f"({_z!r} * sqrt({_p} * (1.0 - {_p}) / sample_n "
+        f"+ {_z2!r} / (4 * sample_n * sample_n)))"
+    )
     return {
         "row_count": "SELECT count(*)::BIGINT AS row_count FROM lineitem",
 
@@ -1525,6 +1565,29 @@ def oracle_sql() -> dict[str, str]:
             "/ count(k), 4) AS mean_key_rows, "
             "count(*) FILTER (k IS NOT NULL AND n > 5)::BIGINT "
             "AS keys_over_threshold FROM g"
+        ),
+        "sampled_violation_estimate": (
+            f"WITH s AS (SELECT * FROM documents WHERE "
+            f"({sv_hash}::DOUBLE / 4294967296.0) < 0.25), "
+            "a AS (SELECT count(*)::BIGINT AS sample_n, "
+            "coalesce(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN "
+            "('en','es','de','fr') THEN 1 END), 0)::BIGINT AS u0, "
+            "coalesce(sum(CASE WHEN n_chars IS NOT NULL AND NOT "
+            "(n_chars BETWEEN 50 AND 500) THEN 1 END), 0)::BIGINT AS u1, "
+            "coalesce(sum(CASE WHEN source IS NOT NULL AND NOT "
+            "regexp_matches(source, '^src[0-4]') THEN 1 END), 0)::BIGINT AS u2 "
+            "FROM s), "
+            "l AS (SELECT 'expect_column_values_to_be_in_set:lang' AS "
+            "expectation, sample_n, u0 AS sample_unexpected FROM a "
+            "UNION ALL SELECT 'expect_column_values_to_be_between:n_chars', "
+            "sample_n, u1 FROM a "
+            "UNION ALL SELECT 'expect_column_values_to_match_regex:source', "
+            "sample_n, u2 FROM a) "
+            "SELECT expectation, sample_n, sample_unexpected, "
+            f"round({_p}, 6) AS p_hat, "
+            f"round(greatest(0.0, ({_ctr} - {_rad}) / {_den}), 6) AS ci_low, "
+            f"round(least(1.0, ({_ctr} + {_rad}) / {_den}), 6) AS ci_high "
+            "FROM l ORDER BY expectation"
         ),
     }
 

@@ -92,3 +92,88 @@ def sample_to_token_budget(
     re-embedded as literals), then the narrow deterministic keep-filter."""
     rates = token_budget_rates(docs, budget_tokens, strata_col, token_col)
     return stratified_sample(docs, strata_col, rates, key_col, salt=salt)
+
+
+def sampled_violation_estimate(
+    df: DataFrame,
+    suite,
+    key_col: str,
+    fraction: float,
+    salt: str = "sv",
+    z: float = 1.959964,
+) -> "tuple[DataFrame, dict[str, str]]":
+    """Estimate each row-local expectation's violation rate from a
+    deterministic hash sample, with Wilson score confidence bounds.
+
+    At 10^12 documents a full validation pass is a deliberate spend; the
+    pipeline question "did this delivery get WORSE?" only needs a bounded
+    estimate. This keeps rows where ``hash_fraction(key) < fraction``
+    (reproducible across engines/cluster sizes — re-running quotes the
+    SAME sample, so estimates are comparable run-over-run) and computes
+    every expectation's unexpected count in ONE aggregation pass over the
+    sample (the same fused-mask projection as ``quarantine``). Returns
+    ``(estimates, skipped)`` where estimates has one row per row-local
+    expectation: (expectation, sample_n, sample_unexpected, p_hat,
+    ci_low, ci_high) — Wilson 95% interval by default (z=1.96), which
+    stays honest at p≈0, exactly where violation rates live.
+
+    Cross-row checks (uniqueness/ordering) are reported in ``skipped``:
+    a sampled uniqueness rate is biased (pairs must BOTH survive the
+    sample), so refusing is correct, not lazy.
+    """
+    from .quarantine import suite_masks
+
+    samp = df.where(hash_fraction(key_col, salt) < fraction)
+    masks, skipped = suite_masks(samp, suite)
+    for cfg in suite.expectations:
+        from .expectations import get_expectation
+
+        try:
+            cond = getattr(
+                get_expectation(cfg.expectation_type), "condition_name", None
+            )
+        except KeyError:
+            continue
+        if cond in ("column_values.unique", "compound_columns.unique"):
+            skipped[f"{cfg.expectation_type}:{cfg.get('column') or ''}"] = (
+                "sampled uniqueness is biased (both rows of a dup pair "
+                "must survive the sample); run it exact"
+            )
+    aggs = [F.count(F.lit(1)).alias("sample_n")] + [
+        F.sum(m.cast("long")).alias(f"__u{i}") for i, (_, m) in enumerate(masks)
+    ]
+    wide = samp.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("expectation"),
+                F.col(f"__u{i}").alias("sample_unexpected"),
+            )
+            for i, (lbl, _) in enumerate(masks)
+        ]
+    )
+    long = wide.select("sample_n", F.explode(pairs).alias("e")).select(
+        F.col("e.expectation").alias("expectation"),
+        "sample_n",
+        F.col("e.sample_unexpected").alias("sample_unexpected"),
+    )
+    n = F.col("sample_n").cast("double")
+    x = F.col("sample_unexpected").cast("double")
+    p = x / n
+    z2 = z * z
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = p + F.lit(z2) / (2 * n)
+    rad = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2) / (4 * n * n))
+    est = long.select(
+        "expectation",
+        "sample_n",
+        "sample_unexpected",
+        F.round(p, 6).alias("p_hat"),
+        F.round(
+            F.greatest(F.lit(0.0), (center - rad) / denom), 6
+        ).alias("ci_low"),
+        F.round(F.least(F.lit(1.0), (center + rad) / denom), 6).alias(
+            "ci_high"
+        ),
+    ).orderBy("expectation")
+    return est, skipped
