@@ -936,6 +936,30 @@ def q_join_key_health_lineitem(spark, sf):
     return join_key_health(_t(spark, sf, "lineitem"), "l_orderkey", fanout_threshold=5)
 
 
+def q_salted_join_profile(spark, sf):
+    """Partial-salted equi-join (keys.salted_join): the 10 heaviest
+    l_orderkey values get their fact rows scattered over 8 salts and the
+    matching orders rows replicated 8 ways; every other key joins
+    unsalted. Result must be row-identical to the plain join (the oracle
+    IS the plain join) — salting changes the shuffle layout, never the
+    answer."""
+    from sparkcheck.keys import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, "l_orderkey", n_salts=8, heavy_top=10)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1021,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_split": q_quarantine_split,
         "fd_check_lineitem": q_fd_check_lineitem,
         "sampled_violation_estimate": q_sampled_violation_estimate,
+        "salted_join_profile": q_salted_join_profile,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1588,6 +1613,13 @@ def oracle_sql() -> dict[str, str]:
             f"round(greatest(0.0, ({_ctr} - {_rad}) / {_den}), 6) AS ci_low, "
             f"round(least(1.0, ({_ctr} + {_rad}) / {_den}), 6) AS ci_high "
             "FROM l ORDER BY expectation"
+        ),
+        "salted_join_profile": (
+            # the plain join IS the oracle: salting must not change results
+            "SELECT o_orderstatus, count(*)::BIGINT AS n_rows, "
+            "round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
     }
 

@@ -170,3 +170,56 @@ def _register() -> None:
 
 
 _register()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    heavy: "list | None" = None,
+    heavy_top: int = 20,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join on ``key``: PARTIAL salting — only heavy
+    keys pay for it.
+
+    Full salting (replicate the whole right side n_salts ways, as the
+    referential anti-join does for its key-only dim side) multiplies the
+    small side by n_salts; at 10^12 rows that is only affordable when the
+    replicated side is tiny. Partial salting replicates right-side rows
+    ONLY for the keys in ``heavy`` (default: ``heavy_keys(left, key,
+    heavy_top)`` — one extra key-only pass), and scatters the left rows of
+    those keys across ``n_salts`` sub-keys; every other key joins
+    unsalted. A hot key's rows then spread over n_salts tasks instead of
+    melting one straggler partition, while the replication cost is
+    ``len(heavy) * n_salts`` rows — constant, not proportional to the
+    table.
+
+    Left rows scatter by a hash of the whole row, so duplicate full rows
+    share a salt (documented limit: a key whose skew is millions of
+    IDENTICAL rows stays skewed — dedup first). ``how`` may be ``inner``
+    or ``left``; each left row appears exactly as in the plain join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if heavy is None:
+        heavy = [r[0] for r in heavy_keys(left, key, heavy_top).collect()]
+    if not heavy:
+        return left.join(right, on=key, how=how)
+    heavy_lit = F.array(*[F.lit(v) for v in heavy])
+    is_heavy_l = F.array_contains(heavy_lit, F.col(key)) & F.col(key).isNotNull()
+    lsalt = F.when(
+        is_heavy_l,
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    ).otherwise(F.lit(0))
+    lefts = left.withColumn("__salt", lsalt.cast("int"))
+    is_heavy_r = F.array_contains(heavy_lit, F.col(key)) & F.col(key).isNotNull()
+    rsalt = F.when(
+        is_heavy_r,
+        F.sequence(F.lit(0), F.lit(n_salts - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    rights = right.withColumn("__salt", F.explode(rsalt)).withColumn(
+        "__salt", F.col("__salt").cast("int")
+    )
+    return lefts.join(rights, on=[key, "__salt"], how=how).drop("__salt")

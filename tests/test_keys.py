@@ -85,3 +85,46 @@ def test_fd_holds_on_clean_table(spark):
 def test_no_expand_in_fd_plan(kdf):
     plan = fd_summary(kdf, "key", "val")._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_salted_join_parity_inner_and_left(spark):
+    from sparkcheck.keys import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(200)]      # hot key 1
+        + [(2, "x"), (3, "y"), (None, "z"), (9, "unmatched")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (1, "r2"), (2, "r3"), (4, "r4"), (None, "rn")],
+        "k int, rv string",
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, on="k", how=how)
+        salted = salted_join(left, right, "k", n_salts=8, heavy_top=2, how=how)
+        assert sorted(map(repr, salted.collect())) == sorted(
+            map(repr, plain.collect())
+        ), how
+
+
+def test_salted_join_explicit_heavy_and_plan(spark):
+    from sparkcheck.keys import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 0)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k int, rv string")
+    out = salted_join(left, right, "k", n_salts=4, heavy=[1])
+    assert out.count() == 51
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the salt actually participates in the join keys
+
+
+def test_salted_join_no_heavy_falls_back(spark):
+    from sparkcheck.keys import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "b")], "k int, rv string")
+    out = salted_join(left, right, "k", heavy=[])
+    assert out.count() == 1
+    assert "__salt" not in out.columns
