@@ -105,27 +105,162 @@ def decode_ppm(buf: bytes):
     return arr.reshape(height, width, channels), width, height
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
+
+
+def decode_png(buf: bytes):
+    """REAL decode for 8-bit non-interlaced PNG — stdlib zlib + numpy, no
+    codec library. Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA) and all five scanline filters. Returns
+    (array[h, w, c], width, height); palette images come back expanded to
+    RGB. Raises ValueError on a non-PNG payload or an unsupported profile
+    (16-bit, interlaced).
+
+    Filters 1/3/4 (Sub/Average/Paeth) are defined recursively on the left
+    neighbor, so their unfilter loop is sequential per scanline (pure
+    Python); filters 0/2 vectorize. This is a correctness-first decoder
+    for modest images — at bulk-decode scale swap in PIL/opencv inside the
+    same mapInPandas stage; the Spark-side plumbing is identical.
+    """
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: PLC0415
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = color = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8:
+                raise ValueError(f"only 8-bit PNG supported (got {bitd})")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color}")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up: uint8 addition wraps mod 256, as the spec wants
+            cur += prev
+        elif f in (1, 3, 4):
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                if f == 1:
+                    cur[x] = (int(cur[x]) + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) & 0xFF
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    q = a + b - c
+                    pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    arr = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = plte[arr[:, :, 0]]
+    return arr, w, h
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines, one IDAT) for uint8 arrays
+    shaped [h, w, c] with c in {1, 2, 3, 4} — the synthesis counterpart of
+    ``decode_png`` so tests can round-trip real PNG bytes without PIL."""
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _luma_of(arr) -> float:
+    if arr.shape[2] >= 3:  # RGB / RGBA: alpha ignored
+        return float(
+            (
+                0.299 * arr[:, :, 0]
+                + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2]
+            ).mean()
+            / 255.0
+        )
+    return float(arr[:, :, 0].mean()) / 255.0  # gray / gray+alpha
+
+
 def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
-    """Image features. PPM/PGM decode is REAL (numpy); other formats need
-    PIL/opencv (not in this container) unless fake=True."""
+    """Image features. PPM/PGM and 8-bit PNG decodes are REAL (stdlib
+    zlib + numpy); other formats need PIL/opencv (not in this container)
+    unless fake=True."""
     if not fake:
         try:
             arr, width, height = decode_ppm(buf)
-        except ValueError as e:
-            raise NotImplementedError(
-                "non-PPM decode requires PIL/opencv — not installed; "
-                "pass fake=True for the deterministic stand-in"
-            ) from e
-        if arr.shape[2] == 3:
-            luma = (
-                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            ).mean() / 255.0
-        else:
-            luma = float(arr.mean()) / 255.0
+        except ValueError:
+            try:
+                arr, width, height = decode_png(buf)
+            except ValueError as e:
+                raise NotImplementedError(
+                    "non-PPM/PNG decode requires PIL/opencv — not "
+                    "installed; pass fake=True for the deterministic "
+                    "stand-in"
+                ) from e
         return {
             "width": width,
             "height": height,
-            "mean_luma": float(luma),
+            "mean_luma": _luma_of(arr),
             "digest": hashlib.sha256(buf).hexdigest(),
         }
     return _fake_image_decode(buf)

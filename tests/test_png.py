@@ -1,0 +1,145 @@
+"""Pure-python PNG decode (media.decode_png) — real codec, no PIL."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sparkcheck.media import PNG_SIG, decode_image, decode_png, encode_png
+
+
+def _rng_img(h, w, c, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_roundtrip_all_channel_counts(c):
+    img = _rng_img(13, 17, c)
+    arr, w, h = decode_png(encode_png(img))
+    assert (w, h) == (17, 13)
+    assert np.array_equal(arr, img)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Assemble a PNG whose scanline y uses filters[y], applying the
+    FORWARD filter here so decode must invert it."""
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int16)
+    stride = w * c
+    raw = b""
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        out = np.zeros(stride, np.int16)
+        for x in range(stride):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - cc
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+
+
+def test_all_five_filters_invert():
+    img = _rng_img(10, 9, 3, seed=42)
+    buf = _png_with_filters(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    arr, w, h = decode_png(buf)
+    assert np.array_equal(arr, img)
+
+
+def test_palette_expansion():
+    h, w = 6, 5
+    idx = _rng_img(h, w, 1, seed=3) % 4
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    buf = (
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    arr, _, _ = decode_png(buf)
+    assert np.array_equal(arr, palette[idx[:, :, 0]])
+
+
+def test_rejects_unsupported():
+    img = _rng_img(4, 4, 3)
+    buf = bytearray(encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + bytes(buf))
+    # 16-bit depth
+    bad = bytearray(buf)
+    bad[24] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(buf)
+    bad[28] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad))
+
+
+def test_decode_image_real_png_path():
+    img = _rng_img(8, 8, 3, seed=1)
+    feats = decode_image(encode_png(img), fake=False)
+    assert (feats["width"], feats["height"]) == (8, 8)
+    expect = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    ).mean() / 255.0
+    assert abs(feats["mean_luma"] - expect) < 1e-9
+
+
+def test_image_features_over_real_pngs(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcheck.media import image_features
+
+    rows = [
+        (f"png{i}", "image", bytearray(encode_png(_rng_img(6, 6, 3, seed=i))))
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, media_bytes binary"
+    ).withColumn("content_type", F.lit("image/png")).withColumn(
+        "n_bytes", F.length("media_bytes").cast("long")
+    )
+    out = image_features(media, fake=False)
+    got = {r.media_ref: r for r in out.collect()}
+    assert len(got) == 12
+    for i in range(12):
+        img = _rng_img(6, 6, 3, seed=i)
+        expect = (
+            0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        ).mean() / 255.0
+        assert abs(got[f"png{i}"].mean_luma - expect) < 1e-9
