@@ -960,6 +960,60 @@ def q_salted_join_profile(spark, sf):
     )
 
 
+def q_media_png_roundtrip(spark, sf):
+    """PNG codec proof, oracle-gated: each task builds an 8x8 RGB image
+    whose pixel bytes are md5-derived (byte p of image i = first two hex
+    nibbles of md5('i:p')), encodes it with media.encode_png, decodes it
+    back through media.decode_image (the REAL pure-python PNG path), and
+    emits (media_ref, width, height, mean_luma). The DuckDB oracle never
+    decodes anything — it recomputes the luma straight from the md5
+    formula, so the hash match proves decode(encode(x)) == x distributed."""
+    import pandas as _pd
+
+    from sparkcheck.media import decode_image, encode_png
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                px = _np.array(
+                    [
+                        int(_h.md5(f"{i}:{p}".encode()).hexdigest()[:2], 16)
+                        for p in range(8 * 8 * 3)
+                    ],
+                    dtype=_np.uint8,
+                ).reshape(8, 8, 3)
+                feats = decode_image(encode_png(px), fake=False)
+                out.append(
+                    (
+                        f"img{i}",
+                        feats["width"],
+                        feats["height"],
+                        feats["mean_luma"],
+                    )
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_ref", "width", "height", "mean_luma"]
+            )
+
+    schema = "media_ref string, width long, height long, mean_luma double"
+    return (
+        spark.range(16).repartition(4).mapInPandas(gen, schema)
+        .select(
+            "media_ref",
+            "width",
+            "height",
+            F.round("mean_luma", 6).alias("mean_luma"),
+        )
+        .orderBy("media_ref")
+    )
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1046,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check_lineitem": q_fd_check_lineitem,
         "sampled_violation_estimate": q_sampled_violation_estimate,
         "salted_join_profile": q_salted_join_profile,
+        "media_png_roundtrip": q_media_png_roundtrip,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1620,6 +1675,27 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "media_png_roundtrip": (
+            # luma recomputed straight from the md5 pixel formula — no
+            # decoding: the match proves Spark's decode(encode(px)) == px
+            "WITH imgs AS (SELECT unnest(range(0, 16))::INT AS i), "
+            "px AS (SELECT i, unnest(range(0, 64))::INT AS x FROM imgs), "
+            "v AS (SELECT i, "
+            + ", ".join(
+                f"({_nib(h, 1)} * 16 + {_nib(h, 2)}) AS {ch}"
+                for ch, h in (
+                    ("r", "md5(i || ':' || (3 * x))"),
+                    ("g", "md5(i || ':' || (3 * x + 1))"),
+                    ("b", "md5(i || ':' || (3 * x + 2))"),
+                )
+            )
+            + " FROM px) "
+            "SELECT 'img' || i AS media_ref, 8::BIGINT AS width, "
+            "8::BIGINT AS height, "
+            "round(avg(0.299::DOUBLE * r + 0.587::DOUBLE * g "
+            "+ 0.114::DOUBLE * b) / 255.0, 6) "
+            "AS mean_luma FROM v GROUP BY i ORDER BY media_ref"
         ),
     }
 
