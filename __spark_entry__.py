@@ -1014,6 +1014,60 @@ def q_media_png_roundtrip(spark, sf):
     )
 
 
+def q_media_wav_roundtrip(spark, sf):
+    """WAV codec proof, oracle-gated (the audio analog of
+    media_png_roundtrip): sample p of clip i is the int16 from the first
+    four hex nibbles of md5('i:p') minus 32768; Spark encodes with
+    media.encode_wav, decodes through media.decode_audio (the REAL RIFF
+    PCM path), and emits the decoded rms — the DuckDB oracle recomputes
+    rms straight from the md5 formula without decoding."""
+    import pandas as _pd
+
+    from sparkcheck.media import decode_audio, encode_wav
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                s = _np.array(
+                    [
+                        int(_h.md5(f"{i}:{p}".encode()).hexdigest()[:4], 16)
+                        - 32768
+                        for p in range(256)
+                    ],
+                    dtype="<i2",
+                ).reshape(-1, 1)
+                feats = decode_audio(encode_wav(s, 8000), fake=False)
+                out.append(
+                    (
+                        f"wav{i}",
+                        feats["sample_rate"],
+                        feats["n_samples"],
+                        feats["rms"],
+                    )
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_ref", "sample_rate", "n_samples", "rms"]
+            )
+
+    schema = "media_ref string, sample_rate long, n_samples long, rms double"
+    return (
+        spark.range(16).repartition(4).mapInPandas(gen, schema)
+        .select(
+            "media_ref",
+            "sample_rate",
+            "n_samples",
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("media_ref")
+    )
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1101,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_violation_estimate": q_sampled_violation_estimate,
         "salted_join_profile": q_salted_join_profile,
         "media_png_roundtrip": q_media_png_roundtrip,
+        "media_wav_roundtrip": q_media_wav_roundtrip,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1696,6 +1751,23 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(0.299::DOUBLE * r + 0.587::DOUBLE * g "
             "+ 0.114::DOUBLE * b) / 255.0, 6) "
             "AS mean_luma FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "media_wav_roundtrip": (
+            # rms recomputed straight from the md5 sample formula — no
+            # decoding: proves Spark's WAV decode(encode(s)) == s
+            "WITH clips AS (SELECT unnest(range(0, 16))::INT AS i), "
+            "sm AS (SELECT i, unnest(range(0, 256))::INT AS p FROM clips), "
+            "v AS (SELECT i, "
+            + "(("
+            + " + ".join(
+                f"{_nib('md5(i || :sep || p)', k)} * {16 ** (4 - k)}"
+                for k in range(1, 5)
+            ).replace(":sep", "':'")
+            + ") - 32768) AS s FROM sm) "
+            "SELECT 'wav' || i AS media_ref, 8000::BIGINT AS sample_rate, "
+            "256::BIGINT AS n_samples, "
+            "round(sqrt(avg(pow(s::DOUBLE / 32768.0, 2))), 6) AS rms "
+            "FROM v GROUP BY i ORDER BY media_ref"
         ),
     }
 

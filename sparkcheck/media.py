@@ -6,11 +6,13 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages: bytes
 cross to Python once per Arrow batch (not per row), are processed
 vectorized, and only the (small) features come back.
 
-The actual codec calls are STUBBED in this container (no PIL/ffmpeg):
-``decode_image``/``decode_audio`` raise NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (derived from the
-byte content) stands in so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and testable end-to-end.
+Real pure-python codecs (no PIL/ffmpeg in this container): PPM/PGM and
+8-bit PNG images (``decode_ppm``/``decode_png``), integer-PCM RIFF/WAVE
+audio (``decode_wav``). For every OTHER format ``decode_image``/
+``decode_audio`` raise NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (derived from the byte content) stands
+in so the Spark-side plumbing — schema, batch shape, partitioning — is
+real and testable end-to-end.
 
 Scale notes: media rows are huge (media_bytes dominates); the stages
 therefore (a) select only the columns they need before the Python hop
@@ -408,3 +410,132 @@ def synth_media(docs_or_spark, n_rows: int = 256) -> DataFrame:
         F.concat(F.lit("application/x-fake-"), kind).alias("content_type"),
         F.length(payload).cast("long").alias("n_bytes"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),  # of [-1,1]-normalized signal
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def decode_wav(buf: bytes):
+    """REAL decode for RIFF/WAVE PCM audio (8- and 16-bit integer PCM) —
+    stdlib struct + numpy, no codec library. Returns
+    (samples[n, channels] as float64 in [-1, 1), sample_rate). Raises
+    ValueError on non-WAV payloads or unsupported encodings (float PCM,
+    24-bit, ADPCM...)."""
+    import struct
+
+    import numpy as np  # noqa: PLC0415
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        ln = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only integer PCM WAV supported (format {audio_format})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        norm = raw.astype(np.float64) / 32768.0
+    elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8)
+        norm = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{bits}-bit PCM unsupported")
+    n = (len(norm) // n_ch) * n_ch
+    return norm[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV writer for int16 arrays shaped [n, ch] —
+    the synthesis counterpart of ``decode_wav`` for tests."""
+    import struct
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fake_audio_decode(buf: bytes) -> dict[str, Any]:
+    """Deterministic stand-in (sha256-derived), same schema as the real
+    path — the audio analog of _fake_image_decode."""
+    d = hashlib.sha256(buf).digest()
+    rate = 8000 * (1 + d[0] % 6)
+    n = 1000 + int.from_bytes(d[1:3], "big")
+    return {
+        "sample_rate": rate,
+        "n_channels": 1 + d[3] % 2,
+        "n_samples": n,
+        "duration_s": n / rate,
+        "rms": d[4] / 255.0,
+        "digest": hashlib.sha256(buf).hexdigest(),
+    }
+
+
+def decode_audio(buf: bytes, fake: bool = False) -> dict[str, Any]:
+    """Audio features. RIFF/WAVE integer-PCM decode is REAL (stdlib
+    struct + numpy); other codecs need ffmpeg/soundfile (not in this
+    container) unless fake=True."""
+    import numpy as np  # noqa: PLC0415
+
+    if not fake:
+        try:
+            samples, rate = decode_wav(buf)
+        except ValueError as e:
+            raise NotImplementedError(
+                "non-WAV decode requires ffmpeg/soundfile — not installed; "
+                "pass fake=True for the deterministic stand-in"
+            ) from e
+        n = samples.shape[0]
+        return {
+            "sample_rate": int(rate),
+            "n_channels": int(samples.shape[1]),
+            "n_samples": int(n),
+            "duration_s": n / rate,
+            "rms": float(np.sqrt((samples**2).mean())) if n else 0.0,
+            "digest": hashlib.sha256(buf).hexdigest(),
+        }
+    return _fake_audio_decode(buf)
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio feature extraction via mapInPandas — the audio
+    analog of image_features: input pruned to (media_ref, media_bytes)
+    before the Python hop, only small features come back."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(b, fake=fake) for b in pdf["media_bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_ref", pdf["media_ref"].values)
+            yield out
+
+    pruned = media.where(F.col("kind") == "audio").select("media_ref", "media_bytes")
+    return pruned.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)

@@ -1,0 +1,83 @@
+"""Pure-python WAV decode (media.decode_wav) — real codec, no ffmpeg."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparkcheck.media import decode_audio, decode_wav, encode_wav
+
+
+def _sine(n=4000, rate=16000, ch=2):
+    t = np.arange(n) / rate
+    left = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    chans = [left] + [(np.sin(2 * np.pi * 220 * t) * 10000).astype("<i2")] * (ch - 1)
+    return np.stack(chans, axis=1)
+
+
+def test_roundtrip_16bit_stereo():
+    arr = _sine()
+    samples, rate = decode_wav(encode_wav(arr, 16000))
+    assert rate == 16000
+    assert samples.shape == (4000, 2)
+    assert np.allclose(samples, arr.astype(np.float64) / 32768.0)
+
+
+def test_decode_audio_features():
+    arr = _sine(n=8000, rate=8000, ch=1)
+    feats = decode_audio(encode_wav(arr, 8000), fake=False)
+    assert feats["sample_rate"] == 8000
+    assert feats["n_channels"] == 1
+    assert feats["n_samples"] == 8000
+    assert abs(feats["duration_s"] - 1.0) < 1e-12
+    want_rms = float(np.sqrt(((arr.astype(np.float64) / 32768.0) ** 2).mean()))
+    assert abs(feats["rms"] - want_rms) < 1e-12
+
+
+def test_8bit_wav():
+    # hand-build an 8-bit unsigned mono WAV
+    vals = np.array([0, 64, 128, 192, 255], np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(vals)) + vals.tobytes()
+            + b"\x00")  # odd data chunk is word-padded
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, rate = decode_wav(buf)
+    assert rate == 8000
+    assert np.allclose(samples[:, 0], (vals.astype(np.float64) - 128) / 128)
+
+
+def test_rejects_unsupported():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS....")
+    # float PCM (format 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="integer PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-ish-bytes", fake=False)
+
+
+def test_audio_features_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcheck.media import audio_features
+
+    rows = []
+    for i in range(6):
+        arr = (_sine(n=1000 + 100 * i, rate=8000, ch=1) // (i + 1)).astype("<i2")
+        rows.append((f"wav{i}", "audio", bytearray(encode_wav(arr, 8000))))
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, media_bytes binary"
+    ).withColumn("content_type", F.lit("audio/wav")).withColumn(
+        "n_bytes", F.length("media_bytes").cast("long")
+    )
+    got = {r.media_ref: r for r in audio_features(media, fake=False).collect()}
+    assert len(got) == 6
+    for i in range(6):
+        assert got[f"wav{i}"].n_samples == 1000 + 100 * i
+        assert got[f"wav{i}"].sample_rate == 8000
