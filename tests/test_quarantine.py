@@ -182,3 +182,4 @@ def test_empty_suite_all_valid(toy):
     res = quarantine(toy, ExpectationSuite("empty"))
     assert res.quarantined.count() == 0
     assert res.valid.count() == toy.count()
+

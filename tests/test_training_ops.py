@@ -324,3 +324,17 @@ def test_bpe_token_count(spark):
     got = [r["n"] for r in df.select(text.bpe_token_count("text").alias("n")).collect()]
     # Hello| world|,| it|'s| 2024|! -> 7 pre-tokens
     assert got == [7, 0, 1]
+
+
+def test_simhash_precomputed_signatures_identical(documents):
+    """signatures= path (persisted by the caller) must yield the exact
+    same near-dup pairs as the internal recompute path."""
+    from sparkcheck.dedup import simhash_chunks, simhash_near_duplicates
+
+    base = simhash_near_duplicates(documents).collect()
+    sig = simhash_chunks(documents).persist()
+    try:
+        pre = simhash_near_duplicates(documents, signatures=sig).collect()
+    finally:
+        sig.unpersist()
+    assert sorted(map(repr, base)) == sorted(map(repr, pre))
