@@ -143,3 +143,40 @@ def test_image_features_over_real_pngs(spark):
             0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
         ).mean() / 255.0
         assert abs(got[f"png{i}"].mean_luma - expect) < 1e-9
+
+
+# --- property-based round-trips (no Spark) ---------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), np.uint8)
+    arr, ww, hh = decode_png(encode_png(img))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(arr, img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=2, max_value=12),
+    w=st.integers(min_value=2, max_value=12),
+    c=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_png_arbitrary_filters_property(h, w, c, seed, data):
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), np.uint8)
+    arr, _, _ = decode_png(_png_with_filters(img, filters))
+    assert np.array_equal(arr, img)

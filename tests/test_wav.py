@@ -81,3 +81,24 @@ def test_audio_features_distributed(spark):
     for i in range(6):
         assert got[f"wav{i}"].n_samples == 1000 + 100 * i
         assert got[f"wav{i}"].sample_rate == 8000
+
+
+# --- property-based round-trips (no Spark) ---------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    arr = np.random.RandomState(seed).randint(-32768, 32768, (n, ch)).astype("<i2")
+    samples, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert samples.shape == (n, ch)
+    assert np.allclose(samples, arr.astype(np.float64) / 32768.0)
