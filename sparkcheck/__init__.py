@@ -11,6 +11,7 @@ from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
 from .profiler import profile_suite
 from .quarantine import QuarantineResult, quarantine, tag_failures
+from .checkpoint import run_checkpoint
 
 # import registers distribution/referential/stats/keys expectations & metrics
 from . import distribution as _distribution  # noqa: F401
@@ -31,6 +32,7 @@ __all__ = [
     "QuarantineResult",
     "quarantine",
     "tag_failures",
+    "run_checkpoint",
 ]
 
 __version__ = "0.1.0"

@@ -183,3 +183,65 @@ def test_empty_suite_all_valid(toy):
     assert res.quarantined.count() == 0
     assert res.valid.count() == toy.count()
 
+
+
+def test_run_checkpoint_single_pass(spark, tmp_path, documents):
+    import json
+
+    from sparkcheck.checkpoint import run_checkpoint
+
+    suite_path = str(tmp_path / "suite.json")
+    suite = {
+        "expectation_suite_name": "docs_ck",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "doc_id"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "n_chars", "min_value": 0, "max_value": 10000}},
+        ],
+    }
+    with open(suite_path, "w") as f:
+        json.dump(suite, f)
+    cfg = {
+        "suite": suite_path,
+        "batch": {"path": "/root/testdata/sf0.001/documents.parquet"},
+        "store": str(tmp_path / "store"),
+        "run_id": "ck1",
+        "report": str(tmp_path / "out.md"),
+    }
+    res = run_checkpoint(spark, cfg)
+    assert res["run_id"] == "ck1" and res["success"] is True
+    assert (tmp_path / "out.md").read_text().startswith("#")
+    # stored result is resolvable as an evaluation-parameter source
+    from sparkcheck.runner import ParquetStore, resolve_validation_urn
+    store = ParquetStore(str(tmp_path / "store"))
+    urn = ("urn:great_expectations:validations:docs_ck:"
+           "expect_column_values_to_not_be_null.result.unexpected_count")
+    assert resolve_validation_urn(store, spark, urn) == 0
+
+
+def test_run_checkpoint_partitioned_resume(spark, tmp_path, documents):
+    from sparkcheck.checkpoint import run_checkpoint
+
+    suite = {
+        "expectation_suite_name": "docs_part",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "doc_id"}},
+        ],
+    }
+    cfg = {
+        "suite": suite,
+        "batch": {"path": "/root/testdata/sf0.001/documents.parquet"},
+        "store": str(tmp_path / "store"),
+        "partitioned": True,
+        "n_buckets": 4,
+        "run_id": "ckp",
+    }
+    res = run_checkpoint(spark, cfg)
+    assert res["success"] is True
+    assert res["result"]["partitions"] == 4
+    # re-run same run_id: everything already committed
+    res2 = run_checkpoint(spark, cfg)
+    assert res2["result"]["skipped_committed"] == 4
+    assert res2["result"]["partitions"] == 0
