@@ -156,6 +156,28 @@ def main():
         "broadcast back (`BroadcastHashJoin ... BuildRight`); full rows "
         "never shuffle, so the split stays one-pass at 10^12 documents.")
 
+    from sparkcheck.keys import fd_summary, salted_join
+    add("Functional dependency summary (fd_check_lineitem)",
+        fd_summary(spark.read.parquet(f"{SF}/lineitem.parquet"),
+                   "l_orderkey", "l_returnflag"),
+        "Grouped distinct-count WITHOUT Expand: groupBy(A,B).count then "
+        "groupBy(A) — two HashAggregates, both with map-side "
+        "partial_count before their exchanges. The naive "
+        "countDistinct-with-other-aggs form plans an Expand that "
+        "multiplies every input row; none appears here.")
+    li_s = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    o_s = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderkey as l_orderkey", "o_orderstatus")
+    add("Partial-salted equi-join (salted_join_profile)",
+        salted_join(li_s, o_s, "l_orderkey", n_salts=8, heavy=[1, 2, 3]),
+        "The join keys are (l_orderkey, __salt): heavy keys' fact rows "
+        "scatter across 8 salt values while their dimension rows "
+        "replicate 8 ways (Generate explode on the right side only); "
+        "light keys ride salt 0 unreplicated. A hot key's shuffle "
+        "partition splits 8 ways; replication cost is |heavy| x 8 rows, "
+        "constant in table size.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
