@@ -1108,6 +1108,21 @@ def q_reconcile_lineitem_orders(spark, sf):
     ).orderBy("name")
 
 
+def q_freshness_events(spark, sf):
+    """Freshness probe (temporal.freshness): newest event timestamp and
+    its lag vs a fixed as_of, plus the pass/fail verdict — the
+    'did yesterday's load land?' control, one fused aggregate."""
+    from sparkcheck.temporal import freshness
+
+    ev = _t(spark, sf, "events")
+    f = freshness(ev, "ts", as_of="2024-02-01 00:00:00")
+    return f.select(
+        "max_ts",
+        F.round("lag_seconds", 3).alias("lag_seconds"),
+        (F.col("lag_seconds") <= 172800).alias("ok_2d"),
+    )
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1197,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_roundtrip": q_media_png_roundtrip,
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
+        "freshness_events": q_freshness_events,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1825,6 +1841,13 @@ def oracle_sql() -> dict[str, str]:
             "round(rv, -2) AS right_hundreds, "
             "(abs(lv - rv) <= 0.02 * greatest(abs(lv), abs(rv))) AS ok "
             "FROM c ORDER BY name"
+        ),
+        "freshness_events": (
+            "SELECT max(ts) AS max_ts, "
+            "round(epoch('2024-02-01 00:00:00'::TIMESTAMP) - epoch(max(ts)), 3) "
+            "AS lag_seconds, "
+            "(epoch('2024-02-01 00:00:00'::TIMESTAMP) - epoch(max(ts))) "
+            "<= 172800 AS ok_2d FROM events"
         ),
     }
 

@@ -164,3 +164,88 @@ def asof_join(
     out_cols.append(match["__o_us"].alias(f"{prefix}{order_col}_us"))
     out_cols.extend(match[c].alias(f"{prefix}{c}") for c in value_cols)
     return filled.select(*out_cols)
+
+
+def freshness(df, ts_col: str, as_of=None):
+    """One-row freshness probe: (max_ts, lag_seconds vs ``as_of``).
+    ``as_of`` is an ISO string / datetime; defaults to the current UTC
+    time. One fused aggregate, no shuffle beyond the agg itself."""
+    from pyspark.sql import functions as F
+
+    ref = (
+        F.current_timestamp()
+        if as_of is None
+        else F.to_timestamp(F.lit(str(as_of)))
+    )
+
+    def _epoch(c):
+        # TIMESTAMP_NTZ refuses a direct double cast; route through
+        # TIMESTAMP (session tz = UTC in this engine's sessions)
+        return c.cast("timestamp").cast("double")
+
+    return df.agg(
+        F.max(ts_col).alias("max_ts"),
+        (_epoch(ref) - _epoch(F.max(ts_col))).alias("lag_seconds"),
+    )
+
+
+class FreshnessExpectation:
+    """expect_column_max_to_be_recent(column=..., max_age_seconds=...,
+    as_of=None): success iff the newest value in ``column`` is within
+    ``max_age_seconds`` of ``as_of`` (default: now, UTC) — the "did
+    yesterday's load actually land?" check. The max rides the fused
+    column.max metric, so a suite holding this plus other aggregates
+    still makes ONE pass. No direct reference analog
+    (expect_column_max_to_be_between + evaluation-parameter now()
+    arithmetic approximates it); registered as a sparkcheck extension."""
+
+    name = "expect_column_max_to_be_recent"
+    condition_name = None
+
+    def _metric_cfg(self, cfg):
+        from .expectations import build_domain
+        from .metrics import MetricConfiguration
+
+        return MetricConfiguration("column.max", build_domain(cfg))
+
+    def metric_requests(self, cfg, rf):
+        return {"max": self._metric_cfg(cfg)}
+
+    def stage2_requests(self, cfg, rf, resolver):
+        return {}
+
+    def validate(self, cfg, rf, resolver):
+        from datetime import datetime, timezone
+
+        max_age = float(cfg.get("max_age_seconds"))
+        as_of = cfg.get("as_of")
+        if as_of is None:
+            ref = datetime.now(timezone.utc).replace(tzinfo=None)
+        elif isinstance(as_of, datetime):
+            ref = as_of
+        else:
+            ref = datetime.fromisoformat(str(as_of))
+        observed = resolver[self._metric_cfg(cfg)]
+        if observed is None:
+            ret = {"success": False}
+            if rf["result_format"] != "BOOLEAN_ONLY":
+                ret["result"] = {"observed_value": None,
+                                 "details": {"reason": "no non-null values"}}
+            return ret
+        lag = (ref - observed).total_seconds()
+        ret = {"success": lag <= max_age}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": observed.isoformat(),
+                "details": {"lag_seconds": lag, "as_of": ref.isoformat()},
+            }
+        return ret
+
+
+def _register_freshness():
+    from .expectations import register_expectation
+
+    register_expectation(FreshnessExpectation())
+
+
+_register_freshness()

@@ -100,3 +100,42 @@ def test_asof_join_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_freshness_probe(spark):
+    from sparkcheck.temporal import freshness
+
+    df = spark.createDataFrame(
+        [("2024-01-30 23:00:00",), ("2024-01-29 00:00:00",)], "ts string"
+    ).selectExpr("to_timestamp(ts) as ts")
+    r = freshness(df, "ts", as_of="2024-01-31 00:00:00").collect()[0]
+    assert abs(r.lag_seconds - 3600.0) < 1e-6
+
+
+def test_expect_column_max_to_be_recent(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame(
+        [("2024-01-30 23:00:00",), (None,)], "ts string"
+    ).selectExpr("to_timestamp(ts) as ts")
+    s = ExpectationSuite("fresh")
+    s.add("expect_column_max_to_be_recent", column="ts",
+          max_age_seconds=7200, as_of="2024-01-31T00:00:00")
+    r = validate_df(df, s, result_format="SUMMARY")
+    evr = r["results"][0]
+    assert evr["success"] is True
+    assert abs(evr["result"]["details"]["lag_seconds"] - 3600.0) < 1e-6
+
+    s2 = ExpectationSuite("stale")
+    s2.add("expect_column_max_to_be_recent", column="ts",
+           max_age_seconds=60, as_of="2024-01-31T00:00:00")
+    assert validate_df(df, s2)["success"] is False
+
+    # all-null column: fails cleanly, no crash
+    empty = spark.createDataFrame([(None,)], "x string").selectExpr(
+        "to_timestamp(x) as ts")
+    s3 = ExpectationSuite("nulls")
+    s3.add("expect_column_max_to_be_recent", column="ts",
+           max_age_seconds=60, as_of="2024-01-31T00:00:00")
+    out = validate_df(empty, s3, result_format="SUMMARY")
+    assert out["success"] is False
