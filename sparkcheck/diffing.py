@@ -112,3 +112,52 @@ def schema_diff(old_schema, new_schema) -> dict:
             (c, o[c], n[c]) for c in o.keys() & n.keys() if o[c] != n[c]
         ),
     }
+
+
+def suite_diff(old_suite, new_suite) -> dict:
+    """Suite evolution between two ExpectationSuites — the review artifact
+    for a "who loosened the null check?" audit:
+    {'added': [...], 'removed': [...], 'changed': [(key, old_kwargs,
+    new_kwargs)]}. Expectations are keyed by (type, domain columns +
+    row_condition), so editing a threshold registers as *changed* on the
+    same check rather than a remove+add; kwargs diffs list only the keys
+    that differ. Driver-side (suites are metadata). No reference analog —
+    GX diffs suites by eyeballing JSON."""
+
+    def key(cfg):
+        dom = (
+            cfg.get("column")
+            or (cfg.get("column_A"), cfg.get("column_B"))
+            or tuple(cfg.get("column_list") or ())
+        )
+        return (cfg.expectation_type, repr(dom), cfg.get("row_condition"))
+
+    def kw(cfg):
+        return {k: v for k, v in cfg.kwargs.items()}
+
+    o = {}
+    for cfg in old_suite.expectations:
+        o.setdefault(key(cfg), []).append(cfg)
+    n = {}
+    for cfg in new_suite.expectations:
+        n.setdefault(key(cfg), []).append(cfg)
+    added, removed, changed = [], [], []
+    for k in sorted(set(o) | set(n), key=repr):
+        olds, news = o.get(k, []), n.get(k, [])
+        for cfg in news[len(olds):]:
+            added.append(cfg.to_dict())
+        for cfg in olds[len(news):]:
+            removed.append(cfg.to_dict())
+        for oc, nc in zip(olds, news):
+            ok, nk = kw(oc), kw(nc)
+            if ok != nk:
+                delta_keys = sorted(set(ok) | set(nk))
+                delta = {
+                    dk: {"old": ok.get(dk), "new": nk.get(dk)}
+                    for dk in delta_keys
+                    if ok.get(dk) != nk.get(dk)
+                }
+                changed.append(
+                    {"expectation": k[0], "domain": k[1], "kwargs": delta}
+                )
+    return {"added": added, "removed": removed, "changed": changed}

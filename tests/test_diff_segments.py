@@ -115,3 +115,41 @@ def test_segment_validation_single_shuffle(spark):
          ("max_v", F.max("v"), None, 100.0)],
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # all checks share one groupBy
+
+
+def test_suite_diff():
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.diffing import suite_diff
+
+    old = ExpectationSuite("v1")
+    old.add("expect_column_values_to_not_be_null", column="a")
+    old.add("expect_column_values_to_be_between", column="b",
+            min_value=0, max_value=10)
+    old.add("expect_column_values_to_match_regex", column="c", regex="^x")
+
+    new = ExpectationSuite("v2")
+    new.add("expect_column_values_to_not_be_null", column="a")           # same
+    new.add("expect_column_values_to_be_between", column="b",
+            min_value=0, max_value=20)                                   # loosened
+    new.add("expect_column_values_to_be_unique", column="d")             # added
+    # regex on c removed
+
+    d = suite_diff(old, new)
+    assert [a["expectation_type"] for a in d["added"]] == [
+        "expect_column_values_to_be_unique"]
+    assert [r["expectation_type"] for r in d["removed"]] == [
+        "expect_column_values_to_match_regex"]
+    assert len(d["changed"]) == 1
+    ch = d["changed"][0]
+    assert ch["expectation"] == "expect_column_values_to_be_between"
+    assert ch["kwargs"] == {"max_value": {"old": 10, "new": 20}}
+
+
+def test_suite_diff_identical_is_empty():
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.diffing import suite_diff
+
+    s = ExpectationSuite("same")
+    s.add("expect_column_values_to_not_be_null", column="a")
+    d = suite_diff(s, s)
+    assert d == {"added": [], "removed": [], "changed": []}
