@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .runner import ParquetStore
 from .suite import ExpectationSuite
@@ -358,3 +359,65 @@ def windowed_drift(
         psi_out.alias("psi"),
         F.when(n > 0, psi_out > F.lit(float(threshold))).alias("drift"),
     )
+
+
+class FreshnessMonitor:
+    """``foreachBatch`` callable tracking event-time lag per micro-batch —
+    the streaming analog of ``temporal.freshness`` and the first alarm a
+    10^12-doc ingest needs: is the pipeline falling behind its sources?
+
+    For each batch it computes max/min event time in ONE tiny aggregate,
+    takes the processing-time lag against the driver wall clock at commit
+    time, and appends a row (batch_id, processed_at, n_rows, min_ts,
+    max_ts, lag_seconds) to the store's ``freshness`` table. ``on_lag``
+    fires when lag exceeds ``max_lag_seconds`` — wire paging/backpressure
+    there. Batches are committed idempotently like the validation sink
+    (foreachBatch re-delivers on restart).
+    """
+
+    def __init__(
+        self,
+        store: ParquetStore,
+        ts_col: str,
+        run_id: str = "freshness",
+        max_lag_seconds: float | None = None,
+        on_lag: Callable[[int, float], None] | None = None,
+    ):
+        self.store = store
+        self.ts_col = ts_col
+        self.run_id = run_id
+        self.max_lag_seconds = max_lag_seconds
+        self.on_lag = on_lag
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from datetime import datetime, timezone
+
+        pid = f"batch={batch_id}"
+        if pid in self.store.committed_partitions(self.run_id):
+            return
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(self.ts_col).alias("mn"),
+            F.max(self.ts_col).alias("mx"),
+        ).collect()[0]
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        lag = (now - row.mx).total_seconds() if row.mx is not None else None
+        spark = batch_df.sparkSession
+        out = spark.createDataFrame(
+            [(int(batch_id), now, int(row.n), row.mn, row.mx,
+              float(lag) if lag is not None else None)],
+            "batch_id long, processed_at timestamp, n_rows long, "
+            "min_ts timestamp, max_ts timestamp, lag_seconds double",
+        )
+        self.store.append("freshness", out)
+        self.store.commit_partition(
+            self.run_id, pid,
+            {"n_docs": int(row.n), "lag_seconds": lag},
+        )
+        if (
+            self.on_lag is not None
+            and lag is not None
+            and self.max_lag_seconds is not None
+            and lag > self.max_lag_seconds
+        ):
+            self.on_lag(int(batch_id), float(lag))

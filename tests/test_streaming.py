@@ -273,3 +273,38 @@ def test_windowed_drift_live_stream(spark, tmp_path):
     assert len(rows) >= 2
     # value%10 is ~uniform over [0,10): observed ≈ [0.2, 0.3, 0.5] -> tiny psi
     assert all(r["psi"] < 0.05 for r in rows if r["n_values"] > 100)
+
+
+def test_freshness_monitor_rate_source(spark, tmp_path):
+    from sparkcheck.streaming import FreshnessMonitor
+
+    store = ParquetStore(str(tmp_path / "store"))
+    alerts = []
+    mon = FreshnessMonitor(
+        store, "ts", run_id="fm", max_lag_seconds=0.0,
+        on_lag=lambda b, lag: alerts.append((b, lag)),
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(F.col("timestamp").alias("ts"), "value")
+    )
+    q = (stream.writeStream.foreachBatch(mon)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if len(store.committed_partitions("fm")) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(tmp_path / "store" / "freshness")).collect()
+    assert len(rows) >= 3
+    nonempty = [r for r in rows if r.n_rows > 0]
+    assert nonempty, "expected at least one non-empty batch"
+    for r in nonempty:
+        assert r.max_ts is not None and r.lag_seconds is not None
+        assert 0 <= r.lag_seconds < 60  # rate-source events are fresh
+    # every non-empty batch exceeded the 0-second threshold -> alert fired
+    assert alerts
