@@ -1123,6 +1123,17 @@ def q_freshness_events(spark, sf):
     )
 
 
+def q_class_balance_lang(spark, sf):
+    """Label-distribution health (text.class_balance) over documents.lang:
+    per-class counts/fractions plus Shannon entropy, class count, and the
+    majority/minority imbalance ratio — the first look at any training
+    table's labels. One groupBy; the stats windows run over the
+    dimension-sized per-label frame."""
+    from sparkcheck.text import class_balance
+
+    return class_balance(_t(spark, sf, "documents"), "lang")
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1213,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
+        "class_balance_lang": q_class_balance_lang,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1848,6 +1860,19 @@ def oracle_sql() -> dict[str, str]:
             "AS lag_seconds, "
             "(epoch('2024-02-01 00:00:00'::TIMESTAMP) - epoch(max(ts))) "
             "<= 172800 AS ok_2d FROM events"
+        ),
+        "class_balance_lang": (
+            "WITH g AS (SELECT lang AS label, count(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "p AS (SELECT n, n::DOUBLE / sum(n) OVER () AS frac FROM g), "
+            "t AS (SELECT sum(n)::DOUBLE AS tot, count(*)::BIGINT AS k, "
+            "max(n)::DOUBLE / min(n)::DOUBLE AS ir, "
+            "sum(-frac * log2(frac)) AS ent FROM p) "
+            "SELECT g.label, g.n::BIGINT AS n, "
+            "round(g.n / t.tot, 6) AS frac, "
+            "round(t.ent, 6) AS entropy_bits, t.k AS n_classes, "
+            "round(t.ir, 4) AS imbalance_ratio "
+            "FROM g, t ORDER BY g.label"
         ),
     }
 

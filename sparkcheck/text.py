@@ -329,3 +329,34 @@ def scrub_pii(col: str | Column = "text", replacement: str = "[PII]") -> Column:
     for pat in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, replacement)
     return c
+
+
+def class_balance(df, label_col: str):
+    """Label-distribution health for a training table: one row per label
+    (label, n, frac) plus the whole-table stats every class-imbalance
+    triage starts from, folded into each row: entropy_bits (Shannon, of
+    the label distribution), n_classes, imbalance_ratio (majority/minority
+    count). One groupBy pass; the per-label frame is dimension-sized, so
+    the window computing the totals never sees data volume. NULL labels
+    count as a class of their own (surfacing them IS the check)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    frac = F.col("n") / total
+    # Shannon entropy in bits over the label fractions
+    ent = F.sum(-frac * F.log2(frac)).over(w)
+    return g.select(
+        "label",
+        "n",
+        F.round(frac, 6).alias("frac"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.count(F.lit(1)).over(w).alias("n_classes"),
+        F.round(F.max("n").over(w) / F.min("n").over(w), 4).alias(
+            "imbalance_ratio"
+        ),
+    ).orderBy("label")

@@ -338,3 +338,21 @@ def test_simhash_precomputed_signatures_identical(documents):
     finally:
         sig.unpersist()
     assert sorted(map(repr, base)) == sorted(map(repr, pre))
+
+
+def test_class_balance(spark):
+    import math
+
+    from sparkcheck.text import class_balance
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1, "label string"
+    )
+    rows = {r.label: r for r in class_balance(df, "label").collect()}
+    assert set(rows) == {"a", "b", None}
+    assert rows["a"].n == 6 and abs(rows["a"].frac - 0.6) < 1e-9
+    assert rows[None].n == 1  # NULL labels surface as their own class
+    want_ent = -(0.6 * math.log2(0.6) + 0.3 * math.log2(0.3) + 0.1 * math.log2(0.1))
+    assert abs(rows["a"].entropy_bits - round(want_ent, 6)) < 1e-6
+    assert rows["b"].n_classes == 3
+    assert abs(rows["b"].imbalance_ratio - 6.0) < 1e-9
