@@ -178,6 +178,21 @@ def main():
         "partition splits 8 ways; replication cost is |heavy| x 8 rows, "
         "constant in table size.")
 
+    add("Hash-sampled validation estimate (sampled_violation_estimate)",
+        qs["sampled_violation_estimate"](spark, SF),
+        "One scan of the SAMPLE: the deterministic md5 keep-filter "
+        "evaluates in the scan stage (narrow, no shuffle), every "
+        "expectation's unexpected count is a fused sum(when) in a single "
+        "HashAggregate, and the Wilson interval math is a Project over "
+        "the one aggregated row. Cost is proportional to the sample "
+        "fraction, not the suite size.")
+    add("Cross-table reconciliation (reconcile_lineitem_orders)",
+        qs["reconcile_lineitem_orders"](spark, SF),
+        "One fused HashAggregate per table (three checks, still one pass "
+        "each), a 1x1 BroadcastNestedLoopJoin of the two single-row "
+        "frames, and the per-check verdicts as a Project + explode. "
+        "Adding checks adds aggregate columns, never scans.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
