@@ -1134,6 +1134,22 @@ def q_class_balance_lang(spark, sf):
     return class_balance(_t(spark, sf, "documents"), "lang")
 
 
+def q_two_sample_drift_quantity(spark, sf):
+    """A/B slice drift (distribution.two_sample_drift): PSI + KL of
+    l_quantity between returned ('R') and delivered ('N') lineitems over
+    fixed bins — one sum(when) histogram per side, PSI/KL folded as
+    Column arithmetic over the 1x1 cross join; nothing collected."""
+    from sparkcheck.distribution import two_sample_drift
+
+    li = _t(spark, sf, "lineitem")
+    return two_sample_drift(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "N"),
+        "l_quantity",
+        [1, 11, 21, 31, 41, 51],
+    )
+
+
 def q_sampled_violation_estimate(spark, sf):
     """Deterministic hash-sampled validation: estimate each expectation's
     violation rate from a 25% md5 sample with Wilson 95% bounds — the
@@ -1225,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
+        "two_sample_drift_quantity": q_two_sample_drift_quantity,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
@@ -1873,6 +1890,46 @@ def oracle_sql() -> dict[str, str]:
             "round(t.ent, 6) AS entropy_bits, t.k AS n_classes, "
             "round(t.ir, 4) AS imbalance_ratio "
             "FROM g, t ORDER BY g.label"
+        ),
+        "two_sample_drift_quantity": (
+            # same fixed bins, eps-clip without renorm, natural log
+            "WITH a AS (SELECT "
+            + ", ".join(
+                f"sum(CASE WHEN l_quantity >= {lo} AND l_quantity "
+                + ("<= " if i == 4 else "< ")
+                + f"{hi} THEN 1 ELSE 0 END)::DOUBLE AS a{i}"
+                for i, (lo, hi) in enumerate(
+                    zip([1, 11, 21, 31, 41], [11, 21, 31, 41, 51])
+                )
+            )
+            + ", count(l_quantity)::DOUBLE AS a_n "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "b AS (SELECT "
+            + ", ".join(
+                f"sum(CASE WHEN l_quantity >= {lo} AND l_quantity "
+                + ("<= " if i == 4 else "< ")
+                + f"{hi} THEN 1 ELSE 0 END)::DOUBLE AS b{i}"
+                for i, (lo, hi) in enumerate(
+                    zip([1, 11, 21, 31, 41], [11, 21, 31, 41, 51])
+                )
+            )
+            + ", count(l_quantity)::DOUBLE AS b_n "
+            "FROM lineitem WHERE l_returnflag = 'N') "
+            "SELECT a_n::BIGINT AS n_a, b_n::BIGINT AS n_b, "
+            "round("
+            + " + ".join(
+                f"(greatest(a{i}/a_n, 1e-6) - greatest(b{i}/b_n, 1e-6)) "
+                f"* ln(greatest(a{i}/a_n, 1e-6) / greatest(b{i}/b_n, 1e-6))"
+                for i in range(5)
+            )
+            + ", 6) AS psi, "
+            "round("
+            + " + ".join(
+                f"greatest(a{i}/a_n, 1e-6) "
+                f"* ln(greatest(a{i}/a_n, 1e-6) / greatest(b{i}/b_n, 1e-6))"
+                for i in range(5)
+            )
+            + ", 6) AS kl_ab FROM a, b"
         ),
     }
 

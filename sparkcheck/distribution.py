@@ -426,3 +426,58 @@ class PSIExpectation(KLDivergenceExpectation):
 
 register_expectation(KLDivergenceExpectation())
 register_expectation(PSIExpectation())
+
+
+def two_sample_drift(df_a, df_b, column: str, bins: "list[float]"):
+    """PSI and KL divergence between the distributions of ``column`` in two
+    frames, over the SAME explicit bin edges — the A/B slice comparison
+    ("did this source's length distribution drift from the rest?") that
+    the baseline-snapshot expectations can't express directly.
+
+    Each side is ONE ``sum(when)`` histogram aggregate (no Bucketizer job,
+    no shuffle beyond the agg); the two single-row frames cross-join (1x1)
+    and PSI/KL fold as plain Column arithmetic over the bin columns —
+    nothing is collected to the driver. Bins are caller-fixed so the
+    result is engine-reproducible; the last edge is inclusive. Bins where
+    either side is empty contribute via an ``eps`` clip (1e-6) WITHOUT
+    renormalization — choose covering bins if exactness matters.
+
+    Returns one row: (n_a, n_b, psi, kl_ab), PSI/KL rounded to 6 dp.
+    """
+    eps = 1e-6
+    k = len(bins) - 1
+
+    def hist(df, tag):
+        aggs = []
+        for i in range(k):
+            lo, hi = bins[i], bins[i + 1]
+            cond = (F.col(column) >= F.lit(lo)) & (
+                (F.col(column) <= F.lit(hi))
+                if i == k - 1
+                else (F.col(column) < F.lit(hi))
+            )
+            aggs.append(F.sum(cond.cast("long")).alias(f"{tag}{i}"))
+        aggs.append(F.count(F.col(column)).alias(f"{tag}_n"))
+        return df.agg(*aggs)
+
+    both = hist(df_a, "a").crossJoin(hist(df_b, "b"))
+
+    def frac(tag, i):
+        return F.greatest(
+            F.col(f"{tag}{i}") / F.col(f"{tag}_n"), F.lit(eps)
+        )
+
+    psi_e = None
+    kl_e = None
+    for i in range(k):
+        p, q = frac("a", i), frac("b", i)
+        t_psi = (p - q) * F.log(p / q)
+        t_kl = p * F.log(p / q)
+        psi_e = t_psi if psi_e is None else psi_e + t_psi
+        kl_e = t_kl if kl_e is None else kl_e + t_kl
+    return both.select(
+        F.col("a_n").alias("n_a"),
+        F.col("b_n").alias("n_b"),
+        F.round(psi_e, 6).alias("psi"),
+        F.round(kl_e, 6).alias("kl_ab"),
+    )

@@ -113,3 +113,19 @@ def test_sample_to_token_budget(spark):
     # exact-in-expectation; 50 docs/stratum -> loose bounds)
     assert 1000 < got["src0"] <= 5000
     assert 1000 < got["src1"] <= 10000
+
+
+def test_two_sample_drift_identical_and_shifted(spark):
+    from sparkcheck.distribution import two_sample_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "x double")
+    same = two_sample_drift(a, a, "x", [0, 2, 4, 6, 8, 10]).collect()[0]
+    assert same.psi == 0.0 and same.kl_ab == 0.0
+    assert same.n_a == same.n_b == 1000
+
+    b = spark.createDataFrame(
+        [(float(i % 10) if i % 3 else 9.0,) for i in range(1000)], "x double"
+    )
+    moved = two_sample_drift(a, b, "x", [0, 2, 4, 6, 8, 10]).collect()[0]
+    assert moved.psi > 0.05  # mass shifted into the top bin
+    assert moved.kl_ab != 0.0
