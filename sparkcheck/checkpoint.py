@@ -24,8 +24,13 @@ Config keys:
   n_buckets, bucket_col, max_concurrency, suite_violation_rows:
                 CheckpointRunner knobs (partitioned=true only)
   result_format, evaluation_parameters: validate_df passthrough
+                (single-pass only — combining either with partitioned=true
+                raises, because the partitioned runner validates each
+                partition with its own fixed result handling)
   report:       optional path; writes report.to_markdown there (.md) or
-                to_html (.html)
+                to_html (.html). Partitioned checkpoints get a run-summary
+                report (partitions run/skipped, docs validated, wall time)
+                instead of the per-expectation report.
 """
 
 from __future__ import annotations
@@ -78,6 +83,14 @@ def run_checkpoint(
     if config.get("partitioned"):
         if store is None:
             raise ValueError("partitioned checkpoints need a 'store'")
+        for bad in ("result_format", "evaluation_parameters"):
+            if config.get(bad) is not None:
+                raise ValueError(
+                    f"'{bad}' does not apply to partitioned checkpoints — "
+                    "the partitioned runner validates each partition with "
+                    "its own result handling; remove it or set "
+                    "partitioned=false"
+                )
         runner = CheckpointRunner(
             spark,
             store,
@@ -112,14 +125,28 @@ def run_checkpoint(
         result = {"run_id": run_id, "success": rep["success"], "result": rep}
 
     out_path = config.get("report")
-    if out_path and not config.get("partitioned"):
-        from . import report as report_mod
+    if out_path:
+        if config.get("partitioned"):
+            # the partitioned result is a run summary, not an EVR report —
+            # render the summary so 'report' is honored in both modes
+            lines = [
+                f"# Checkpoint run {result['run_id']}",
+                "",
+                f"- success: {result['success']}",
+            ]
+            lines += [f"- {k}: {v}" for k, v in result["result"].items()]
+            text = "\n".join(lines) + "\n"
+            if str(out_path).endswith(".html"):
+                body = "".join(f"<p>{ln}</p>\n" for ln in lines if ln)
+                text = f"<html><body>\n{body}</body></html>\n"
+        else:
+            from . import report as report_mod
 
-        text = (
-            report_mod.to_html(result["result"])
-            if str(out_path).endswith(".html")
-            else report_mod.to_markdown(result["result"])
-        )
+            text = (
+                report_mod.to_html(result["result"])
+                if str(out_path).endswith(".html")
+                else report_mod.to_markdown(result["result"])
+            )
         with open(out_path, "w") as f:
             f.write(text)
     return result

@@ -480,60 +480,96 @@ def duplicate_clusters(
     through the pairs — the canonical representative a training pipeline
     keeps while dropping the rest of the cluster.
 
-    Algorithm: iterative min-label propagation. Each round every node takes
-    min(own label, neighbors' labels); converges in O(component diameter)
-    rounds — near-dup clusters are shallow (dense blobs around a template),
-    so a handful of rounds suffice at any corpus size. Each round is one
-    key-only shuffle join + groupBy over the PAIR graph (orders of
-    magnitude smaller than the corpus); lineage is cut per round with
-    localCheckpoint so the plan does not grow exponentially. Raises if not
-    converged within max_iterations (pathological chain-shaped graphs —
-    raise the cap or use the alternating small-star/large-star scheme).
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    rewires every edge toward its neighborhood minimum — large-star hangs
+    strictly-larger neighbors off the local min, small-star collapses the
+    smaller neighborhood onto it — so component diameter HALVES (or better)
+    per round and convergence is O(log n) rounds regardless of graph shape.
+    The previous min-label propagation was O(component diameter): correct
+    for the dense blob components near-dup graphs usually produce, but a
+    chain-shaped component (transitive prefix dups produce these) needed a
+    round per hop and hard-failed the job at the cap. A 10^12-node chain is
+    ~40 star rounds; the default cap of 25 covers any real component
+    (2^25 ≈ 3·10^7 diameter).
+
+    Each round is two key-only shuffle groupBys + joins over the PAIR graph
+    (orders of magnitude smaller than the corpus); lineage is cut per round
+    with localCheckpoint so the plan does not grow. Convergence = the edge
+    multiset reaches a fixed point (order-insensitive xxhash64 checksum),
+    at which point every component is a star rooted at its minimum.
 
     No GraphFrames/GraphX dependency — pure DataFrame ops, AQE-friendly.
     """
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col(a_col) != F.col(b_col))
         .distinct()
         .localCheckpoint(eager=True)  # pairs are often eager/expensive plans
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+    singletons = pairs.where(F.col(a_col) == F.col(b_col)).select(
+        F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
     )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # order-insensitive edge-set fingerprint; decimal sum can't overflow
+        # under ANSI mode the way a long sum of 64-bit hashes does
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (r["n"], int(r["h"]))
+
+    prev = _checksum(edges)
     for _ in range(max_iterations):
-        neigh_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+        # large-star: for each node, connect every strictly-larger neighbor
+        # to min(neighborhood ∪ self); each undirected edge is emitted once,
+        # from its smaller endpoint's group
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
         )
-        new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: orient (hi, lo), collapse each node's smaller
+        # neighborhood onto its minimum and keep the node's own link to it
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        smins = e2.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e2.join(smins, "u")
+        edges = (
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(
-                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        cur = _checksum(edges)
+        if cur == prev:
+            # fixed point: every edge is (node, component_min)
+            roots = edges.select(F.col("v")).distinct()
+            labels = edges.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+            ).union(
+                roots.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
             )
+            return labels.union(
+                singletons.join(labels.select("doc_id"), "doc_id", "left_anti")
+            )
+        prev = cur
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iterations} rounds; "
-        "the pair graph has a component with a larger diameter — raise "
+        "star-contraction halves component diameter per round, so this "
+        "needs a component of diameter > 2^{max_iterations} — raise "
         "max_iterations"
     )
 

@@ -125,11 +125,15 @@ def suite_diff(old_suite, new_suite) -> dict:
     GX diffs suites by eyeballing JSON."""
 
     def key(cfg):
-        dom = (
-            cfg.get("column")
-            or (cfg.get("column_A"), cfg.get("column_B"))
-            or tuple(cfg.get("column_list") or ())
-        )
+        # explicit None checks: the pair tuple (None, None) is truthy, so an
+        # `or` chain would swallow column_list domains into one "(None, None)"
+        # bucket and report changed instead of added+removed
+        if cfg.get("column") is not None:
+            dom = cfg.get("column")
+        elif cfg.get("column_A") is not None or cfg.get("column_B") is not None:
+            dom = (cfg.get("column_A"), cfg.get("column_B"))
+        else:
+            dom = tuple(cfg.get("column_list") or ())
         return (cfg.expectation_type, repr(dom), cfg.get("row_condition"))
 
     def kw(cfg):

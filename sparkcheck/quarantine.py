@@ -14,8 +14,13 @@ Non-row-local checks route or skip explicitly:
 
   * uniqueness (``column_values.unique`` / ``compound_columns.unique``)
     joins a duplicated-KEY set back in (groupBy keys -> count>1, key-only
-    shuffle with map-side combine; the dup-key side is near-always tiny so
-    Catalyst broadcasts it and the full rows never shuffle);
+    shuffle with map-side combine). The dup-key side is usually tiny and
+    AQE broadcasts it at runtime from its measured size — the hint is NOT
+    forced, because the dup-key count is data-dependent: a table where
+    most keys repeat produces a frame proportional to distinct-key count,
+    and a forced broadcast would OOM past Spark's broadcast ceiling at
+    10^12 rows. Worst case AQE falls back to a shuffled join on the
+    key-only frame;
   * global-order checks (increasing/decreasing) and span-domain
     expectations are reported in ``skipped`` — a row's validity there
     depends on other rows' order or on exploded span rows, so a row-local
@@ -151,8 +156,13 @@ def _unique_flags(
     df: DataFrame, suite
 ) -> tuple[DataFrame, list[tuple[str, Column]]]:
     """LEFT-join duplicated-key indicator columns for every uniqueness
-    expectation. Key-only groupBy (map-side combine, AQE skew-split), tiny
-    dup-key side broadcast back — the full rows are never shuffled."""
+    expectation. Key-only groupBy (map-side combine, AQE skew-split); the
+    dup-key side is left un-hinted so AQE broadcasts it only when its
+    MEASURED size is under the threshold — its size is data-dependent
+    (high-dup-rate tables produce a frame ~ distinct-key count), so a
+    forced broadcast is an OOM at scale. Either way only key-sized data
+    moves: the full rows never shuffle on the broadcast path, and on the
+    shuffled fallback the probe side shuffles once on the key."""
     from .expectations import build_domain, get_expectation
 
     flags: list[tuple[str, Column]] = []
@@ -184,7 +194,7 @@ def _unique_flags(
                 .select(F.col(col).alias(f"__qk_{i}"), F.lit(True).alias(flag))
             )
             df = df.join(
-                F.broadcast(dups), df[col] == dups[f"__qk_{i}"], "left"
+                dups, df[col] == dups[f"__qk_{i}"], "left"
             ).drop(f"__qk_{i}")
         else:
             cols = list(domain.column_list)
@@ -202,7 +212,7 @@ def _unique_flags(
                 # null-safe: the count form groups NULL keys together
                 term = df[c].eqNullSafe(dups[f"__qk{i}_{c}"])
                 on = term if on is None else (on & term)
-            df = df.join(F.broadcast(dups), on, "left").drop(
+            df = df.join(dups, on, "left").drop(
                 *[f"__qk{i}_{c}" for c in cols]
             )
         flags.append((label, guard & F.col(flag).isNotNull()))
@@ -306,7 +316,8 @@ def quarantine(df: DataFrame, suite) -> QuarantineResult:
     in ``failed_expectations``), the rest to ``valid`` (input schema).
 
     Cost: one scan + one projection for the row-local checks, plus one
-    key-only aggregation per uniqueness expectation (broadcast back). For
+    key-only aggregation per uniqueness expectation (AQE-sized join back,
+    broadcast when the measured dup-key frame is small). For
     repeated downstream use persist the tagged frame yourself and derive
     both splits from it — the two returned frames otherwise each re-scan.
     """

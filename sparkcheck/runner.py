@@ -127,9 +127,12 @@ class IcebergStore:
 
     def append(self, table: str, df: DataFrame) -> None:
         full = f"{self.namespace}.{table}"
-        try:
+        # gate on existence instead of a blanket except — a real append
+        # failure (schema mismatch, concurrent-commit conflict) must surface
+        # as itself, not as a confusing "table already exists" from create()
+        if self.spark.catalog.tableExists(full):
             df.writeTo(full).append()
-        except Exception:  # noqa: BLE001 — first append creates the table
+        else:
             df.writeTo(full).create()
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
@@ -194,12 +197,23 @@ def resolve_validation_urn(store: "ParquetStore", spark: SparkSession, urn: str)
         raise EvaluationParameterError(
             f"no stored validation results to resolve {urn!r}"
         ) from e
-    rows = (
-        df.where((F.col("suite_name") == suite) & (F.col("expectation") == expectation))
-        .orderBy(F.desc("ts"))
-        .limit(100)
-        .collect()
+    matches = df.where(
+        (F.col("suite_name") == suite) & (F.col("expectation") == expectation)
     )
+    # push the kwargs filter into the store query so a match older than the
+    # newest page is still found (the limit used to run BEFORE the filter);
+    # JSON-path pushdown only works for plain identifier keys, so fall back
+    # to a driver-side filter (no limit) for exotic kwarg names
+    if all(re.fullmatch(r"[A-Za-z0-9_]+", k) for k in want_kwargs):
+        for k, v in want_kwargs.items():
+            matches = matches.where(
+                F.get_json_object(F.col("evr"), f"$.expectation_config.kwargs.{k}")
+                == F.lit(v)
+            )
+        matches = matches.orderBy(F.desc("ts")).limit(100)
+    else:
+        matches = matches.orderBy(F.desc("ts"))
+    rows = matches.collect()
     for r in rows:
         evr = json.loads(r["evr"])
         cfg_kwargs = evr.get("expectation_config", {}).get("kwargs", {})

@@ -215,14 +215,36 @@ def distribution_cdf(distribution: str, params: Any):
 # ---------------------------------------------------------------------------
 
 
+# collect() ceiling for contingency tables — same hazard (and same guard
+# pattern) as metrics.VALUE_COUNTS_MAX_GROUPS: a high-cardinality pair must
+# error cleanly, not OOM the driver. Raise via kwargs max_groups if needed.
+CROSSTAB_MAX_GROUPS = 100_000
+
+
 @eager_metric("column_pair.crosstab")
 def _crosstab(resolver, ddf, cfg: MetricConfiguration, _):
     """Contingency counts [(a, b, n)] INCLUDING null keys — one groupBy with
     map-side combine; collected because tests assume low cardinality (as the
     reference does; nulls survive so Cramér's φ can bin them as
-    "(missing)", pandas_dataset.py get_binned_values)."""
+    "(missing)", pandas_dataset.py get_binned_values). The ``max_groups``
+    cap is ENFORCED: fetching max_groups+1 rows costs nothing extra and
+    turns a driver OOM into a clean error."""
     a, b = cfg.domain.column_a, cfg.domain.column_b
-    rows = ddf.groupBy(a, b).agg(F.count(F.lit(1)).alias("n")).collect()
+    max_groups = int(cfg.kw("max_groups", CROSSTAB_MAX_GROUPS))
+    rows = (
+        ddf.groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"column_pair.crosstab on ({a!r}, {b!r}) exceeds "
+            f"max_groups={max_groups} distinct pairs; this metric collects "
+            "the full contingency table to the driver and is only meant for "
+            "low-cardinality pairs — pre-bin the columns or raise "
+            "max_groups explicitly if this is intentional"
+        )
     return [(r[a], r[b], r["n"]) for r in rows]
 
 
@@ -274,6 +296,10 @@ def _binned_value_map(
 
     nonnull = [(v, c) for v, c in values_counts if not _isnull(v)]
     has_null = any(_isnull(v) for v, _ in values_counts)
+    if numeric and not nonnull:
+        # an entirely-null side would hit numpy's opaque "zero-size array"
+        # in min()/histogram_bin_edges — everything maps to "(missing)"
+        return {"__missing__": "(missing)"} if has_null else {}
     if numeric:
         vals = np.asarray([float(v) for v, _ in nonnull])
         if bins is not None:
@@ -337,10 +363,14 @@ class CramersPhiExpectation(Expectation):
         # NO ignore_row_if pair default here: the reference crosstabs the
         # raw columns and bins nulls as "(missing)" (dataset.py:4415)
         d = build_domain(cfg)
+        vk = ()
+        if cfg.get("max_groups") is not None:
+            vk = freeze_kwargs(max_groups=int(cfg.get("max_groups")))
         return MetricConfiguration(
             "column_pair.crosstab",
             Domain(row_condition=d.row_condition,
                    column_a=d.column_a, column_b=d.column_b),
+            vk,
         )
 
     def _rc_cfg(self, cfg) -> MetricConfiguration:

@@ -160,6 +160,37 @@ def test_cramers_phi_expectation(spark):
     assert r2["success"], r2
 
 
+def test_cramers_phi_crosstab_max_groups_cap(spark):
+    # a high-cardinality pair must error cleanly, not collect the full
+    # contingency table to the driver
+    df = spark.range(5000).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    cfg = {
+        "expectation_type": "expect_column_pair_cramers_phi_value_to_be_less_than",
+        "kwargs": {"column_A": "a", "column_B": "b", "threshold": 0.5,
+                   "max_groups": 1000},
+    }
+    from sparkcheck.validator import Validator
+    with pytest.raises(ValueError, match="max_groups"):
+        Validator(df).validate(_suite(cfg), catch_exceptions=False)
+    # with catch_exceptions (default) the error becomes a failed EVR
+    r = _one(df, cfg)
+    assert not r["success"]
+    assert "max_groups" in (r["exception_info"]["exception_traceback"] or "")
+
+
+def test_cramers_phi_all_null_numeric_side(spark):
+    # an entirely-null numeric side used to hit numpy's zero-size-array
+    # error in the binning map; it now folds into "(missing)"
+    df = spark.range(99).select(
+        F.lit(None).cast("double").alias("a"), (F.col("id") % 3).alias("b")
+    )
+    r = _one(df, {
+        "expectation_type": "expect_column_pair_cramers_phi_value_to_be_less_than",
+        "kwargs": {"column_A": "a", "column_B": "b", "threshold": 0.5}})
+    assert r["success"]
+    assert r["result"]["observed_value"] == 0.0
+
+
 # --- cross-table, SQL query, UDF conditions, eval params -------------------
 
 

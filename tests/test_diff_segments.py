@@ -145,6 +145,24 @@ def test_suite_diff():
     assert ch["kwargs"] == {"max_value": {"old": 10, "new": 20}}
 
 
+def test_suite_diff_column_list_domains_not_collapsed():
+    # the pair tuple (None, None) is truthy — a naive `or` chain would
+    # collapse every column_list expectation into one "(None, None)" domain
+    # and report changed instead of added+removed
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.diffing import suite_diff
+
+    old = ExpectationSuite("v1")
+    old.add("expect_compound_columns_to_be_unique", column_list=["a", "b"])
+    new = ExpectationSuite("v2")
+    new.add("expect_compound_columns_to_be_unique", column_list=["c", "d"])
+
+    d = suite_diff(old, new)
+    assert d["changed"] == []
+    assert [a["kwargs"]["column_list"] for a in d["added"]] == [["c", "d"]]
+    assert [r["kwargs"]["column_list"] for r in d["removed"]] == [["a", "b"]]
+
+
 def test_suite_diff_identical_is_empty():
     from sparkcheck import ExpectationSuite
     from sparkcheck.diffing import suite_diff

@@ -178,6 +178,59 @@ def test_stream_tag_failures_rate_source(spark, tmp_path):
         q.stop()
 
 
+def test_high_dup_rate_no_forced_broadcast(spark):
+    # >=50% duplicated keys: the dup-key frame's size is data-dependent, so
+    # the join is NOT hint-forced — with broadcast disabled the plan must
+    # degrade to a shuffled join (no OOM-prone forced BroadcastHashJoin)
+    # and still produce the right split
+    rows = [(i % 500, i) for i in range(2000)]  # every key appears 4x
+    df = spark.createDataFrame(rows, "k int, v int")
+    s = ExpectationSuite("hd")
+    s.add("expect_column_values_to_be_unique", column="k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tagged, _ = tag_failures(df, s)
+        plan = tagged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert tagged.filter(F.size(FAILED_COL) > 0).count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with the default threshold restored, AQE is free to broadcast the
+    # (now measured-small) dup-key side at runtime
+    tagged2, _ = tag_failures(df, s)
+    assert tagged2.filter(F.size(FAILED_COL) == 0).count() == 0
+
+
+def test_run_checkpoint_partitioned_report_and_guards(spark, tmp_path, documents):
+    from sparkcheck.checkpoint import run_checkpoint
+
+    suite = {
+        "expectation_suite_name": "docs_rep",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "doc_id"}},
+        ],
+    }
+    cfg = {
+        "suite": suite,
+        "batch": {"path": "/root/testdata/sf0.001/documents.parquet"},
+        "store": str(tmp_path / "store"),
+        "partitioned": True,
+        "n_buckets": 2,
+        "run_id": "ckr",
+        "report": str(tmp_path / "summary.md"),
+    }
+    res = run_checkpoint(spark, cfg)
+    assert res["success"] is True
+    text = (tmp_path / "summary.md").read_text()
+    assert text.startswith("# Checkpoint run ckr")
+    assert "partitions: 2" in text
+    # validate_df-only knobs are rejected on the partitioned path, loudly
+    with pytest.raises(ValueError, match="result_format"):
+        run_checkpoint(spark, {**cfg, "result_format": "COMPLETE"})
+
+
 def test_empty_suite_all_valid(toy):
     res = quarantine(toy, ExpectationSuite("empty"))
     assert res.quarantined.count() == 0

@@ -317,6 +317,32 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert len(got) == 20
 
 
+def test_duplicate_clusters_10k_chain_converges(spark):
+    # 10^4-node path graph: diameter 10^4. Min-label propagation needed a
+    # round per hop and hard-failed at the 25-round cap; star contraction
+    # halves diameter per round, so this converges in ~log2(10^4) ≈ 14
+    # rounds under the same default cap.
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(f"{i:05d}", f"{i+1:05d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    got = dedup.duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {"00000"}
+    assert len(got) == n
+    assert len({r["doc_id"] for r in got}) == n
+
+
+def test_duplicate_clusters_self_loop_singleton(spark):
+    # a self-pair (exact-dup path can emit these) must still label the node
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "b", "c": "b"}
+
+
 def test_bpe_token_count(spark):
     df = spark.createDataFrame(
         [("Hello world, it's 2024!",), ("",), ("  ",)], "text string"

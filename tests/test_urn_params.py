@@ -79,6 +79,40 @@ def test_urn_errors(spark, tmp_path):
     assert rep["results"][1]["success"]
 
 
+def test_urn_match_older_than_newest_page(spark, tmp_path):
+    # the kwargs filter is pushed into the store query, so a matching EVR
+    # older than the 100 newest rows for the same (suite, expectation) is
+    # still found (it used to be cut off by limit-before-filter)
+    import time
+
+    store = ParquetStore(str(tmp_path / "store3"))
+
+    def _report(results):
+        return {"meta": {"expectation_suite_name": "s"}, "results": results}
+
+    def _evr(col, val):
+        return {
+            "expectation_config": {
+                "expectation_type": "expect_column_max_to_be_between",
+                "kwargs": {"column": col},
+            },
+            "result": {"observed_value": val},
+            "success": True,
+        }
+
+    store_validation_result(store, spark, _report([_evr("target", 42.0)]),
+                            run_id="old")
+    time.sleep(0.05)  # newer batch gets a strictly later ts
+    store_validation_result(
+        store, spark,
+        _report([_evr(f"c{i}", float(i)) for i in range(120)]),
+        run_id="new",
+    )
+    urn = ("urn:great_expectations:validations:s:"
+           "expect_column_max_to_be_between.result.observed_value:column=target")
+    assert resolve_validation_urn(store, spark, urn) == 42.0
+
+
 def test_urn_bound_as_plain_parameter(spark):
     # reference behavior: a URN present in the runtime parameter dict wins
     urn = "urn:great_expectations:validations:a:expect_x.result.observed_value"
