@@ -9,9 +9,16 @@ Public API:
 from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_format
 from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
-from .profiler import profile_suite
+from .profiler import profile_suite, profile_suite_with_rules
 from .quarantine import QuarantineResult, quarantine, tag_failures
 from .checkpoint import run_checkpoint
+from .actions import (
+    FileAlertAction,
+    UpdateDataDocsAction,
+    ValidationAction,
+    WebhookAction,
+    register_action,
+)
 
 # import registers distribution/referential/stats/keys expectations & metrics
 from . import distribution as _distribution  # noqa: F401
@@ -30,10 +37,16 @@ __all__ = [
     "list_expectations",
     "register_expectation",
     "profile_suite",
+    "profile_suite_with_rules",
     "QuarantineResult",
     "quarantine",
     "tag_failures",
     "run_checkpoint",
+    "ValidationAction",
+    "FileAlertAction",
+    "WebhookAction",
+    "UpdateDataDocsAction",
+    "register_action",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,229 @@
+"""Checkpoint actions: the "page someone on failure" half of production
+checkpoints.
+
+The reference ships an action list on every Checkpoint — store the result,
+update data docs, then notify (Slack / email / OpsGenie / SNS), each action
+gated on ``notify_on`` in {"all", "success", "failure"} (reference:
+checkpoint/actions.py:826-880 EmailAction.run + SlackNotificationAction).
+This module is that contract on this engine, driver-side and dependency
+free: actions receive the finished checkpoint result dict (the data plane
+is already done — actions never touch the cluster), decide via
+``notify_on``, and perform their side effect.
+
+Built-in actions:
+
+  ``FileAlertAction``     append a JSON-line alert to a local/NFS file —
+                          the sandbox-safe pager (tail -f it, or point a
+                          log shipper at it)
+  ``WebhookAction``       POST the summary as JSON to an HTTP endpoint
+                          (Slack-compatible with ``slack_format=True``,
+                          which wraps it in {"text": ...}); stdlib urllib,
+                          no requests dependency
+  ``UpdateDataDocsAction`` re-render the static data-docs site from the
+                          results store after the run (reference:
+                          UpdateDataDocsAction)
+
+Wire them through ``run_checkpoint``'s ``actions`` config key::
+
+    {"suite": ..., "batch": ..., "store": ...,
+     "actions": [
+        {"type": "file_alert", "path": "/var/alerts/ge.jsonl",
+         "notify_on": "failure"},
+        {"type": "webhook", "url": "https://hooks.example/T/B/x",
+         "notify_on": "failure", "slack_format": true},
+        {"type": "update_data_docs", "site_dir": "/srv/docs"},
+     ]}
+
+Action failures are captured per-action (an unreachable webhook must not
+fail the validation that already ran), returned in the checkpoint result
+under ``"actions"`` as ``{name: {"status": "ok"|"error"|"skipped", ...}}``.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any
+
+NOTIFY_ON = ("all", "success", "failure")
+
+
+class ValidationAction:
+    """Base action. Subclasses implement ``_run(result, context)`` and are
+    invoked only when ``notify_on`` matches the run's success flag."""
+
+    name = "action"
+
+    def __init__(self, notify_on: str = "all"):
+        if notify_on not in NOTIFY_ON:
+            raise ValueError(f"notify_on must be one of {NOTIFY_ON}, got {notify_on!r}")
+        self.notify_on = notify_on
+
+    def should_run(self, success: bool) -> bool:
+        # reference: EmailAction.run's notify_on gate (checkpoint/actions.py)
+        return (
+            self.notify_on == "all"
+            or (self.notify_on == "success" and success)
+            or (self.notify_on == "failure" and not success)
+        )
+
+    def run(self, result: dict[str, Any], context: dict[str, Any]) -> dict[str, Any]:
+        if not self.should_run(bool(result.get("success"))):
+            return {"status": "skipped", "reason": f"notify_on={self.notify_on}"}
+        try:
+            out = self._run(result, context) or {}
+            return {"status": "ok", **out}
+        except Exception as e:  # noqa: BLE001 — a dead pager must not fail the run
+            return {"status": "error", "error": f"{type(e).__name__}: {e}"}
+
+    def _run(self, result: dict[str, Any], context: dict[str, Any]) -> dict[str, Any]:
+        raise NotImplementedError
+
+    # -- shared payload ------------------------------------------------------
+
+    @staticmethod
+    def summary_payload(result: dict[str, Any], context: dict[str, Any]) -> dict[str, Any]:
+        """Compact, JSON-safe alert body: who/when/what, failing expectation
+        names (not full EVRs — an alert is a pointer, the store is the
+        record)."""
+        rep = result.get("result") or {}
+        results = rep.get("results") or []
+        failed = [
+            r.get("expectation_config", {}).get("expectation_type", "?")
+            for r in results
+            if not r.get("success")
+        ]
+        stats = rep.get("statistics") or {}
+        return {
+            "run_id": result.get("run_id"),
+            "suite": context.get("suite_name"),
+            "success": bool(result.get("success")),
+            "evaluated": stats.get("evaluated_expectations", len(results)),
+            "failed": stats.get("unsuccessful_expectations", len(failed)),
+            "failed_expectations": failed[:20],
+            "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        }
+
+
+class FileAlertAction(ValidationAction):
+    """Append one JSON line per triggered run to ``path`` — the simplest
+    durable pager; atomic enough under POSIX O_APPEND for line-sized
+    writes."""
+
+    name = "file_alert"
+
+    def __init__(self, path: str, notify_on: str = "failure"):
+        super().__init__(notify_on)
+        self.path = path
+
+    def _run(self, result, context):
+        line = json.dumps(self.summary_payload(result, context), default=str)
+        with open(self.path, "a") as f:
+            f.write(line + "\n")
+        return {"path": self.path}
+
+
+class WebhookAction(ValidationAction):
+    """POST the summary payload to ``url``. ``slack_format=True`` sends a
+    Slack-incoming-webhook body ``{"text": "<one-line summary>"}`` instead
+    of the raw JSON (reference: SlackNotificationAction renders blocks; one
+    line carries the same signal)."""
+
+    name = "webhook"
+
+    def __init__(
+        self,
+        url: str,
+        notify_on: str = "failure",
+        slack_format: bool = False,
+        timeout: float = 5.0,
+    ):
+        super().__init__(notify_on)
+        self.url = url
+        self.slack_format = slack_format
+        self.timeout = timeout
+
+    def _run(self, result, context):
+        payload = self.summary_payload(result, context)
+        if self.slack_format:
+            verdict = "passed" if payload["success"] else "FAILED"
+            body: dict[str, Any] = {
+                "text": (
+                    f"Validation {verdict}: suite={payload['suite']} "
+                    f"run={payload['run_id']} "
+                    f"({payload['failed']}/{payload['evaluated']} failing"
+                    + (f": {', '.join(payload['failed_expectations'])}" if payload["failed_expectations"] else "")
+                    + ")"
+                )
+            }
+        else:
+            body = payload
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
+
+class UpdateDataDocsAction(ValidationAction):
+    """Re-render the static data-docs site from the checkpoint's results
+    store after the run (reference: UpdateDataDocsAction). Needs the
+    checkpoint to have a ``store`` — the site is built from stored EVRs."""
+
+    name = "update_data_docs"
+
+    def __init__(self, site_dir: str, notify_on: str = "all", max_runs: int = 200):
+        super().__init__(notify_on)
+        self.site_dir = site_dir
+        self.max_runs = max_runs
+
+    def _run(self, result, context):
+        from .data_docs import build_data_docs
+
+        store, spark = context.get("store"), context.get("spark")
+        if store is None:
+            raise ValueError("update_data_docs needs the checkpoint to have a 'store'")
+        index = build_data_docs(store, spark, self.site_dir, max_runs=self.max_runs)
+        return {"index": index}
+
+
+_ACTION_TYPES: dict[str, type[ValidationAction]] = {
+    "file_alert": FileAlertAction,
+    "webhook": WebhookAction,
+    "update_data_docs": UpdateDataDocsAction,
+}
+
+
+def register_action(name: str, cls: type[ValidationAction]) -> None:
+    """Extension point: user-defined actions become config-addressable."""
+    _ACTION_TYPES[name] = cls
+
+
+def action_from_config(cfg: dict[str, Any]) -> ValidationAction:
+    cfg = dict(cfg)
+    kind = cfg.pop("type", None)
+    if kind not in _ACTION_TYPES:
+        raise ValueError(
+            f"unknown action type {kind!r}; known: {sorted(_ACTION_TYPES)}"
+        )
+    return _ACTION_TYPES[kind](**cfg)
+
+
+def run_actions(
+    actions: list[Any],
+    result: dict[str, Any],
+    context: dict[str, Any],
+) -> dict[str, dict[str, Any]]:
+    """Run an action list (configs or instances) against a finished
+    checkpoint result; returns ``{action_name: outcome}``. Order is the
+    config order, matching the reference's sequential action_list."""
+    out: dict[str, dict[str, Any]] = {}
+    for i, a in enumerate(actions):
+        act = action_from_config(a) if isinstance(a, dict) else a
+        key = act.name if act.name not in out else f"{act.name}_{i}"
+        out[key] = act.run(result, context)
+    return out

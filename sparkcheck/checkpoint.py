@@ -31,6 +31,11 @@ Config keys:
                 to_html (.html). Partitioned checkpoints get a run-summary
                 report (partitions run/skipped, docs validated, wall time)
                 instead of the per-expectation report.
+  actions:      optional list of action configs (see sparkcheck.actions) —
+                file alerts, webhooks, data-docs refresh, each gated on
+                notify_on in {"all", "success", "failure"}. Run after the
+                result is stored/reported; per-action outcomes land in the
+                returned dict under "actions" and never fail the run.
 """
 
 from __future__ import annotations
@@ -149,4 +154,13 @@ def run_checkpoint(
             )
         with open(out_path, "w") as f:
             f.write(text)
+
+    if config.get("actions"):
+        from .actions import run_actions
+
+        result["actions"] = run_actions(
+            config["actions"],
+            result,
+            {"spark": spark, "store": store, "suite_name": suite.name},
+        )
     return result

@@ -19,6 +19,15 @@ All statistics come from a single ``df.agg(...)`` job (the same bundling
 machinery the validator uses — approx sketches, no per-column jobs),
 plus one small value_counts job per detected categorical column.
 
+For the reference's configurable-rule surface (rule_based_profiler/: a
+rule = DomainBuilder picking columns + ParameterBuilders computing stats
+with knobs + ExpectationConfigurationBuilders choosing families),
+``profile_suite_with_rules`` accepts the same split as a plain dict —
+each rule names a column domain (by type / include / exclude / regex),
+the expectation FAMILIES to emit over it, and per-rule parameters (slack
+factors, cardinality thresholds, quantile lists). The stats still come
+from one fused pass shared by every rule.
+
 The output is a plain ExpectationSuite: inspect it, prune it, check it
 into git — profile once on a golden batch, then validate every future
 partition against it.
@@ -26,6 +35,7 @@ partition against it.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -43,18 +53,13 @@ def _is_numeric(dtype: str) -> bool:
     return any(dtype.startswith(t) for t in _NUMERIC_TYPES)
 
 
-def profile_suite(
-    df: DataFrame,
-    name: str = "profiled",
-    slack: float = 0.1,
-    categorical_threshold: int = 50,
-    mostly: float | None = None,
-) -> ExpectationSuite:
-    """Build a suite describing ``df``'s observed shape.
-
-    ``slack`` widens numeric bounds by that fraction of the observed range
-    (so natural drift does not trip the suite); ``mostly`` defaults to the
-    observed nonnull rate minus slack for columns that contain nulls."""
+def _collect_stats(
+    df: DataFrame, quantiles: list[float]
+) -> tuple[dict[str, str], set, dict[str, Any]]:
+    """ONE fused agg over every column: count, nonnull, approx-distinct,
+    numeric min/max/mean/percentiles, string length min/max. Every profiling
+    rule shares this pass — the reference's parameter builders each run
+    their own metric; bundling them is the Spark-native shape."""
     dtypes = dict(df.dtypes)
     floats = float_columns(df)
     aggs: list = [F.count(F.lit(1)).alias("__n")]
@@ -72,7 +77,7 @@ def profile_suite(
                 F.max(col).alias(f"max__{c}"),
                 F.mean(col).alias(f"mean__{c}"),
                 F.percentile_approx(
-                    col, F.array(F.lit(0.05), F.lit(0.5), F.lit(0.95)), F.lit(10000)
+                    col, F.array(*[F.lit(q) for q in quantiles]), F.lit(10000)
                 ).alias(f"q__{c}"),
             ]
         elif t in _STRING_TYPES:
@@ -81,6 +86,22 @@ def profile_suite(
                 F.max(F.length(col)).alias(f"lmax__{c}"),
             ]
     stats = df.agg(*aggs).collect()[0].asDict()
+    return dtypes, floats, stats
+
+
+def profile_suite(
+    df: DataFrame,
+    name: str = "profiled",
+    slack: float = 0.1,
+    categorical_threshold: int = 50,
+    mostly: float | None = None,
+) -> ExpectationSuite:
+    """Build a suite describing ``df``'s observed shape.
+
+    ``slack`` widens numeric bounds by that fraction of the observed range
+    (so natural drift does not trip the suite); ``mostly`` defaults to the
+    observed nonnull rate minus slack for columns that contain nulls."""
+    dtypes, floats, stats = _collect_stats(df, [0.05, 0.5, 0.95])
     n = int(stats["__n"] or 0)
 
     suite = ExpectationSuite(name)
@@ -161,4 +182,210 @@ def profile_suite(
                     "expect_column_values_to_be_in_set",
                     column=c, value_set=sorted(values),
                 )
+    return suite
+
+
+# ---------------------------------------------------------------------------
+# Rule-based profiling (reference: rule_based_profiler/ — domain builder +
+# parameter builders + expectation-configuration builders, as plain config)
+# ---------------------------------------------------------------------------
+
+#: families a rule can emit; the profiler's analog of the reference's
+#: ExpectationConfigurationBuilder classes
+FAMILIES = (
+    "row_count", "columns_set",                      # table-domain
+    "not_null", "unique", "between", "mean",         # column-domain
+    "quantiles", "value_length", "in_set",
+)
+
+DEFAULT_RULE_CONFIG: dict[str, Any] = {
+    "rules": [
+        {"name": "table", "families": ["row_count", "columns_set"]},
+        {"name": "nulls", "domain": {"column_types": ["any"]},
+         "families": ["not_null"]},
+        {"name": "numeric", "domain": {"column_types": ["numeric"]},
+         "families": ["between", "mean", "quantiles"]},
+        {"name": "strings", "domain": {"column_types": ["string"]},
+         "families": ["value_length", "in_set"]},
+    ]
+}
+
+
+def _resolve_domain(dom: dict[str, Any] | None, dtypes: dict[str, str]) -> list[str]:
+    """DomainBuilder: pick the columns a rule applies to, by type
+    (numeric/string/any), explicit include/exclude lists, and a name regex —
+    the reference's ColumnDomainBuilder knob set
+    (rule_based_profiler/domain_builder/column_domain_builder.py)."""
+    dom = dom or {}
+    types = dom.get("column_types", ["any"])
+    include = dom.get("include")
+    exclude = set(dom.get("exclude") or ())
+    pattern = dom.get("name_regex")
+    cols = []
+    for c, t in dtypes.items():
+        type_ok = (
+            "any" in types
+            or ("numeric" in types and _is_numeric(t))
+            or ("string" in types and t in _STRING_TYPES)
+        )
+        if not type_ok:
+            continue
+        if include is not None and c not in include:
+            continue
+        if c in exclude:
+            continue
+        if pattern and not re.search(pattern, c):
+            continue
+        cols.append(c)
+    return cols
+
+
+def profile_suite_with_rules(
+    df: DataFrame,
+    config: dict[str, Any] | None = None,
+    name: str = "profiled",
+) -> ExpectationSuite:
+    """Config-driven profiling: the reference's rule_based_profiler split
+    (domain / parameters / expectation families) as one dict.
+
+    ``config["rules"]`` is a list of rules; each has
+
+      name:      label (diagnostics only)
+      domain:    {"column_types": ["numeric"|"string"|"any"],
+                  "include": [cols], "exclude": [cols],
+                  "name_regex": str} — omitted for table-domain families
+      families:  subset of FAMILIES to emit over the domain
+      params:    per-rule knobs —
+                   slack (default 0.1)          bound widening fraction
+                   mostly (fixed float) / mostly_slack (default = slack)
+                   max_null_rate (default 0.5)  skip not_null above it
+                   categorical_threshold (50)   in_set cardinality gate
+                   quantiles ([0.05, 0.5, 0.95])
+                   row_count_factor (2.0)       row_count in [n/f, n*f]
+                   length_factor (2.0)          value_length max multiplier
+                   unique_min_ratio (0.95)      emit unique when
+                                                approx_distinct/nonnull >= it
+
+    Different configs over the same batch produce different suites from the
+    SAME single stats pass (the union of every rule's quantile list rides
+    one percentile_approx)."""
+    config = config or DEFAULT_RULE_CONFIG
+    rules = config.get("rules") or []
+    unknown = {
+        f for r in rules for f in r.get("families", []) if f not in FAMILIES
+    }
+    if unknown:
+        raise ValueError(f"unknown expectation families {sorted(unknown)}; "
+                         f"known: {list(FAMILIES)}")
+
+    # union of quantile requests -> one fused percentile_approx
+    all_q: list[float] = []
+    for r in rules:
+        for q in (r.get("params") or {}).get("quantiles", [0.05, 0.5, 0.95]):
+            if q not in all_q:
+                all_q.append(float(q))
+    all_q = sorted(all_q) or [0.05, 0.5, 0.95]
+    dtypes, floats, stats = _collect_stats(df, all_q)
+    n = int(stats["__n"] or 0)
+
+    suite = ExpectationSuite(name)
+    if n == 0:
+        suite.add("expect_table_row_count_to_be_between", min_value=0)
+        return suite
+
+    for rule in rules:
+        params = rule.get("params") or {}
+        slack = float(params.get("slack", 0.1))
+        fams = rule.get("families") or []
+        cols = _resolve_domain(rule.get("domain"), dtypes)
+
+        if "row_count" in fams:
+            f = float(params.get("row_count_factor", 2.0))
+            suite.add(
+                "expect_table_row_count_to_be_between",
+                min_value=max(1, int(n / f)), max_value=int(n * f),
+            )
+        if "columns_set" in fams:
+            suite.add(
+                "expect_table_columns_to_match_set",
+                column_set=sorted(dtypes), exact_match=True,
+            )
+
+        for c in cols:
+            t = dtypes[c]
+            nn = int(stats[f"nn__{c}"] or 0)
+            nd = int(stats[f"nd__{c}"] or 0)
+            null_rate = 1.0 - nn / n
+            if "not_null" in fams:
+                if null_rate == 0:
+                    suite.add("expect_column_values_to_not_be_null", column=c)
+                elif null_rate < float(params.get("max_null_rate", 0.5)):
+                    m = params.get("mostly")
+                    if m is None:
+                        ms = float(params.get("mostly_slack", slack))
+                        m = max(0.0, round(1.0 - null_rate - ms, 4))
+                    suite.add(
+                        "expect_column_values_to_not_be_null", column=c, mostly=m
+                    )
+            if nn == 0:
+                continue
+            if "unique" in fams and nd / nn >= float(
+                params.get("unique_min_ratio", 0.95)
+            ):
+                suite.add("expect_column_values_to_be_unique", column=c)
+            if _is_numeric(t):
+                lo, hi = stats[f"min__{c}"], stats[f"max__{c}"]
+                if lo is None or hi is None:
+                    continue
+                pad = (float(hi) - float(lo)) * slack
+                if "between" in fams:
+                    suite.add(
+                        "expect_column_values_to_be_between", column=c,
+                        min_value=float(lo) - pad, max_value=float(hi) + pad,
+                    )
+                if "mean" in fams:
+                    mean = float(stats[f"mean__{c}"])
+                    mpad = max(abs(mean) * slack, pad / 2, 1e-9)
+                    suite.add(
+                        "expect_column_mean_to_be_between", column=c,
+                        min_value=mean - mpad, max_value=mean + mpad,
+                    )
+                if "quantiles" in fams:
+                    want = [float(q) for q in params.get("quantiles", [0.05, 0.5, 0.95])]
+                    got = stats[f"q__{c}"]
+                    if got is not None and all(v is not None for v in got):
+                        by_q = dict(zip(all_q, got))
+                        suite.add(
+                            "expect_column_quantile_values_to_be_between",
+                            column=c,
+                            quantile_ranges={
+                                "quantiles": want,
+                                "value_ranges": [
+                                    [float(by_q[q]) - pad, float(by_q[q]) + pad]
+                                    for q in want
+                                ],
+                            },
+                            exact=False,
+                        )
+            elif t in _STRING_TYPES:
+                if "value_length" in fams and stats[f"lmin__{c}"] is not None:
+                    lf = float(params.get("length_factor", 2.0))
+                    suite.add(
+                        "expect_column_value_lengths_to_be_between", column=c,
+                        min_value=0,
+                        max_value=int(int(stats[f"lmax__{c}"]) * lf),
+                    )
+                cat = int(params.get("categorical_threshold", 50))
+                if "in_set" in fams and 0 < nd <= cat:
+                    values = [
+                        r[c]
+                        for r in df.where(F.col(c).isNotNull())
+                        .select(c).distinct()
+                        .limit(min(cat * 2, VALUE_COUNTS_MAX_GROUPS))
+                        .collect()
+                    ]
+                    suite.add(
+                        "expect_column_values_to_be_in_set",
+                        column=c, value_set=sorted(values),
+                    )
     return suite

@@ -1,0 +1,212 @@
+"""Checkpoint actions: notify_on routing, file alerts, webhooks, data-docs
+refresh, and run_checkpoint integration."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from sparkcheck.actions import (
+    FileAlertAction,
+    UpdateDataDocsAction,
+    ValidationAction,
+    WebhookAction,
+    action_from_config,
+    register_action,
+    run_actions,
+)
+
+
+def _result(success: bool, failed=()):
+    return {
+        "run_id": "r1",
+        "success": success,
+        "result": {
+            "results": [
+                {"success": False,
+                 "expectation_config": {"expectation_type": t}}
+                for t in failed
+            ],
+            "statistics": {
+                "evaluated_expectations": 3,
+                "unsuccessful_expectations": len(failed),
+            },
+        },
+    }
+
+
+CTX = {"suite_name": "s1", "spark": None, "store": None}
+
+
+# --- notify_on routing -------------------------------------------------------
+
+
+def test_notify_on_routing(tmp_path):
+    p = str(tmp_path / "alerts.jsonl")
+    fail_only = FileAlertAction(p, notify_on="failure")
+    assert fail_only.run(_result(True), CTX)["status"] == "skipped"
+    assert fail_only.run(_result(False), CTX)["status"] == "ok"
+    ok_only = FileAlertAction(p, notify_on="success")
+    assert ok_only.run(_result(False), CTX)["status"] == "skipped"
+    assert ok_only.run(_result(True), CTX)["status"] == "ok"
+    both = FileAlertAction(p, notify_on="all")
+    assert both.run(_result(True), CTX)["status"] == "ok"
+    assert both.run(_result(False), CTX)["status"] == "ok"
+    # 4 triggered runs -> 4 alert lines
+    assert len(open(p).read().splitlines()) == 4
+
+
+def test_bad_notify_on_rejected():
+    with pytest.raises(ValueError, match="notify_on"):
+        FileAlertAction("/tmp/x", notify_on="sometimes")
+
+
+# --- file alert payload ------------------------------------------------------
+
+
+def test_file_alert_payload(tmp_path):
+    p = str(tmp_path / "a.jsonl")
+    act = FileAlertAction(p, notify_on="failure")
+    out = act.run(_result(False, failed=["expect_column_values_to_not_be_null"]), CTX)
+    assert out == {"status": "ok", "path": p}
+    rec = json.loads(open(p).read())
+    assert rec["run_id"] == "r1" and rec["suite"] == "s1"
+    assert rec["success"] is False and rec["failed"] == 1
+    assert rec["failed_expectations"] == ["expect_column_values_to_not_be_null"]
+
+
+# --- webhook -----------------------------------------------------------------
+
+
+class _Recorder(BaseHTTPRequestHandler):
+    bodies: list[dict] = []
+
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        _Recorder.bodies.append(json.loads(self.rfile.read(n)))
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def http_server():
+    _Recorder.bodies = []
+    srv = HTTPServer(("127.0.0.1", 0), _Recorder)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/hook"
+    srv.shutdown()
+
+
+def test_webhook_posts_summary(http_server):
+    act = WebhookAction(http_server, notify_on="failure")
+    out = act.run(_result(False, failed=["expect_a", "expect_b"]), CTX)
+    assert out == {"status": "ok", "http_status": 200}
+    [body] = _Recorder.bodies
+    assert body["suite"] == "s1" and body["failed"] == 2
+    assert body["failed_expectations"] == ["expect_a", "expect_b"]
+
+
+def test_webhook_slack_format(http_server):
+    act = WebhookAction(http_server, notify_on="all", slack_format=True)
+    act.run(_result(False, failed=["expect_a"]), CTX)
+    [body] = _Recorder.bodies
+    assert set(body) == {"text"}
+    assert "FAILED" in body["text"] and "expect_a" in body["text"]
+
+
+def test_webhook_error_captured_not_raised():
+    # unroutable port: the dead pager must not fail the validation
+    act = WebhookAction("http://127.0.0.1:1/hook", notify_on="all", timeout=0.5)
+    out = act.run(_result(False), CTX)
+    assert out["status"] == "error"
+    assert "error" in out
+
+
+# --- config + registry -------------------------------------------------------
+
+
+def test_action_from_config_and_unknown_type():
+    act = action_from_config(
+        {"type": "file_alert", "path": "/tmp/x", "notify_on": "all"}
+    )
+    assert isinstance(act, FileAlertAction)
+    with pytest.raises(ValueError, match="unknown action type"):
+        action_from_config({"type": "carrier_pigeon"})
+
+
+def test_register_custom_action(tmp_path):
+    calls = []
+
+    class Custom(ValidationAction):
+        name = "custom"
+
+        def _run(self, result, context):
+            calls.append(result["run_id"])
+            return {}
+
+    register_action("custom", Custom)
+    out = run_actions([{"type": "custom", "notify_on": "all"}], _result(True), CTX)
+    assert out["custom"]["status"] == "ok" and calls == ["r1"]
+
+
+def test_run_actions_order_and_dedup_names(tmp_path):
+    p1, p2 = str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")
+    out = run_actions(
+        [FileAlertAction(p1, notify_on="all"), FileAlertAction(p2, notify_on="all")],
+        _result(True),
+        CTX,
+    )
+    assert list(out) == ["file_alert", "file_alert_1"]
+    assert out["file_alert"]["path"] == p1
+    assert out["file_alert_1"]["path"] == p2
+
+
+# --- run_checkpoint integration ---------------------------------------------
+
+
+def test_checkpoint_actions_failure_routing(spark, tmp_path, documents):
+    from sparkcheck.checkpoint import run_checkpoint
+
+    alert_path = str(tmp_path / "alerts.jsonl")
+    base = {
+        "batch": {"path": "/root/testdata/sf0.001/documents.parquet"},
+        "store": str(tmp_path / "store"),
+        "actions": [
+            {"type": "file_alert", "path": alert_path, "notify_on": "failure"},
+            {"type": "update_data_docs", "site_dir": str(tmp_path / "site")},
+        ],
+    }
+    ok_suite = {
+        "expectation_suite_name": "ok",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "doc_id", "mostly": 0.9}},
+        ],
+    }
+    res = run_checkpoint(spark, {**base, "suite": ok_suite, "run_id": "okrun"})
+    assert res["success"] is True
+    assert res["actions"]["file_alert"]["status"] == "skipped"
+    assert res["actions"]["update_data_docs"]["status"] == "ok"
+    assert not (tmp_path / "alerts.jsonl").exists()
+    assert (tmp_path / "site" / "index.html").exists()
+
+    bad_suite = {
+        "expectation_suite_name": "bad",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_be_null",
+             "kwargs": {"column": "doc_id"}},
+        ],
+    }
+    res2 = run_checkpoint(spark, {**base, "suite": bad_suite, "run_id": "badrun"})
+    assert res2["success"] is False
+    assert res2["actions"]["file_alert"]["status"] == "ok"
+    rec = json.loads(open(alert_path).read())
+    assert rec["run_id"] == "badrun" and rec["suite"] == "bad"
+    assert rec["failed_expectations"] == ["expect_column_values_to_be_null"]

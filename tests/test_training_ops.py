@@ -290,6 +290,73 @@ def test_multi_probe_lsh_recall_lift(spark):
     emb.unpersist()
 
 
+def test_lsh_neardup_multiprobe_recall(spark):
+    # seeded near-dup corpus: 150 base vectors + a perturbed copy each
+    # (cos ~0.99); ground truth = exact O(n^2) cosine pairs at 0.9.
+    # n_probe=1 misses every pair whose perturbation flipped >=1 of the 12
+    # sign bits; n_probe=4 re-finds pairs one low-margin bit apart.
+    base = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((F.hash(F.col("id") * 64 + d) % 2001) / 1000.0)
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    pert = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + 0.08).cast("float"),
+        ).alias("embedding"),
+    )
+    emb = base.union(pert).cache()
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicates(emb, threshold=0.9).collect()
+    }
+    assert truth  # the seeding produced real near-dups
+
+    def pairs(n_probe):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_near_duplicates(
+                emb, threshold=0.9, n_planes=12, n_probe=n_probe
+            ).collect()
+        }
+
+    p1, p4 = pairs(1), pairs(4)
+    # precision is 1.0 by construction (exact cosine filter) -> subsets
+    assert p1 <= truth and p4 <= truth
+    r1, r4 = len(p1) / len(truth), len(p4) / len(truth)
+    assert r4 >= r1
+    assert r4 >= min(1.0, 1.2 * r1) or r1 >= 0.95  # documented recall lift
+    emb.unpersist()
+
+
+def test_with_probe_signatures_matches_base_signature(spark, vectors):
+    # the probe frame's base signature must agree bit-for-bit with
+    # sign_lsh_signature, and the probe list must start with it
+    sigp = similarity.with_probe_signatures(
+        vectors.select(F.col("vec_id"), F.col("embedding").alias("v")),
+        "v", 8, 3, dim=4,
+    ).collect()
+    direct = {
+        r["vec_id"]: r["s"]
+        for r in vectors.select(
+            "vec_id",
+            similarity.sign_lsh_signature(F.col("embedding"), 8, dim=4).alias("s"),
+        ).collect()
+    }
+    for r in sigp:
+        assert r["sig"] == direct[r["vec_id"]]
+        assert r["probes"][0] == r["sig"]
+        assert len(r["probes"]) == 3
+        # each extra probe differs from the base by exactly one bit
+        for p in r["probes"][1:]:
+            assert bin(p ^ r["sig"]).count("1") == 1
+
+
 def test_duplicate_clusters(spark):
     # two chains + an isolated pair: {a,b,c} via a-b, b-c; {x,y}
     pairs = spark.createDataFrame(
