@@ -1081,6 +1081,66 @@ def q_media_wav_roundtrip(spark, sf):
     )
 
 
+def q_media_jpeg_roundtrip(spark, sf):
+    """Baseline JPEG codec proof, oracle-gated. JPEG is LOSSY, so unlike
+    the PNG/WAV round-trips the oracle cannot recompute decoded values —
+    instead each image is built from four FLAT 8x8 blocks whose levels are
+    md5-derived (level b of image i = first two hex nibbles of
+    md5('i:b')): flat blocks put all energy in the DC coefficient, so at
+    quality 95 decode(encode(x)) is within 1 count per pixel
+    (tests/test_jpeg.py::test_flat_blocks_near_exact). Spark emits the
+    EXACTLY-recomputable columns (dims + original level sum, which the
+    DuckDB oracle rebuilds from the md5 formula) plus n_bad = count of
+    pixels off by more than 1, which the oracle pins to 0 — a constant,
+    but one only a REAL distributed decode can produce."""
+    import pandas as _pd
+
+    from sparkcheck.jpeg import decode_jpeg, encode_jpeg
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                levels = [
+                    int(_h.md5(f"{i}:{b}".encode()).hexdigest()[:2], 16)
+                    for b in range(4)
+                ]
+                img = _np.zeros((16, 16), dtype=_np.uint8)
+                img[:8, :8] = levels[0]
+                img[:8, 8:] = levels[1]
+                img[8:, :8] = levels[2]
+                img[8:, 8:] = levels[3]
+                arr, w, h = decode_jpeg(encode_jpeg(img, quality=95))
+                n_bad = int(
+                    (
+                        _np.abs(
+                            arr[:, :, 0].astype(_np.int64)
+                            - img.astype(_np.int64)
+                        )
+                        > 1
+                    ).sum()
+                )
+                out.append((f"jpg{i}", w, h, sum(levels), n_bad))
+            yield _pd.DataFrame(
+                out,
+                columns=["media_ref", "width", "height", "level_sum", "n_bad"],
+            )
+
+    schema = (
+        "media_ref string, width long, height long, "
+        "level_sum long, n_bad long"
+    )
+    return (
+        spark.range(16).repartition(4).mapInPandas(gen, schema)
+        .orderBy("media_ref")
+    )
+
+
 def q_reconcile_lineitem_orders(spark, sf):
     """Cross-table reconciliation (keys.reconcile_aggregates): does the
     lineitem fact still sum to the orders ledger? One fused agg per side
@@ -1252,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_profile": q_salted_join_profile,
         "media_png_roundtrip": q_media_png_roundtrip,
         "media_wav_roundtrip": q_media_wav_roundtrip,
+        "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
@@ -1831,6 +1892,21 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "media_jpeg_roundtrip": (
+            # dims + original level sums recomputed from the md5 formula;
+            # n_bad pinned to 0 — JPEG is lossy, so the oracle verifies the
+            # flat-block DC envelope rather than recomputing decoded pixels
+            "WITH imgs AS (SELECT unnest(range(0, 16))::INT AS i), "
+            "lv AS (SELECT i, unnest(range(0, 4))::INT AS b FROM imgs), "
+            "v AS (SELECT i, "
+            + (
+                lambda h: f"({_nib(h, 1)} * 16 + {_nib(h, 2)})"
+            )("md5(i || ':' || b)")
+            + " AS lvl FROM lv) "
+            "SELECT 'jpg' || i AS media_ref, 16::BIGINT AS width, "
+            "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
+            "0::BIGINT AS n_bad FROM v GROUP BY i ORDER BY media_ref"
         ),
         "media_png_roundtrip": (
             # luma recomputed straight from the md5 pixel formula — no

@@ -6,8 +6,9 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages: bytes
 cross to Python once per Arrow batch (not per row), are processed
 vectorized, and only the (small) features come back.
 
-Real pure-python codecs (no PIL/ffmpeg in this container): PPM/PGM and
-8-bit PNG images (``decode_ppm``/``decode_png``), integer-PCM RIFF/WAVE
+Real pure-python codecs (no PIL/ffmpeg in this container): PPM/PGM,
+8-bit PNG, and baseline JPEG images (``decode_ppm``/``decode_png``/
+``jpeg.decode_jpeg``), integer-PCM RIFF/WAVE
 audio (``decode_wav``). For every OTHER format ``decode_image``/
 ``decode_audio`` raise NotImplementedError unless ``fake=True``, in which
 case a deterministic fake decoder (derived from the byte content) stands
@@ -244,21 +245,26 @@ def _luma_of(arr) -> float:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
-    """Image features. PPM/PGM and 8-bit PNG decodes are REAL (stdlib
-    zlib + numpy); other formats need PIL/opencv (not in this container)
-    unless fake=True."""
+    """Image features. PPM/PGM, 8-bit PNG, and baseline JPEG decodes are
+    REAL (stdlib zlib + numpy — see jpeg.py for the JFIF envelope); other
+    formats need PIL/opencv (not in this container) unless fake=True."""
     if not fake:
         try:
             arr, width, height = decode_ppm(buf)
         except ValueError:
             try:
                 arr, width, height = decode_png(buf)
-            except ValueError as e:
-                raise NotImplementedError(
-                    "non-PPM/PNG decode requires PIL/opencv — not "
-                    "installed; pass fake=True for the deterministic "
-                    "stand-in"
-                ) from e
+            except ValueError:
+                try:
+                    from .jpeg import decode_jpeg
+
+                    arr, width, height = decode_jpeg(buf)
+                except ValueError as e:
+                    raise NotImplementedError(
+                        "non-PPM/PNG/baseline-JPEG decode requires "
+                        "PIL/opencv — not installed; pass fake=True for "
+                        "the deterministic stand-in"
+                    ) from e
         return {
             "width": width,
             "height": height,
