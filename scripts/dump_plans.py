@@ -152,9 +152,49 @@ def main():
         "(array_compact over per-check CASE WHEN masks) over ONE scan — "
         "adding row-local checks adds zero operators below the projection. "
         "The only exchange belongs to the uniqueness flag: a key-only "
-        "groupBy (map-side partial_count) whose tiny dup-key output is "
-        "broadcast back (`BroadcastHashJoin ... BuildRight`); full rows "
-        "never shuffle, so the split stays one-pass at 10^12 documents.")
+        "groupBy (map-side partial_count) whose dup-key output joins back "
+        "UN-HINTED — AQE broadcasts it only when its MEASURED size is under "
+        "the threshold (its size is data-dependent: a high-dup-rate table "
+        "produces a frame ~ distinct-key count, so a forced broadcast hint "
+        "would OOM at 10^12 rows). Either way only key-sized data moves.")
+
+    # high-dup-rate degradation: with broadcast disabled the SAME code
+    # plans a shuffled join — proof the dup-key side is not hint-forced
+    hd = spark.createDataFrame(
+        [(i % 500, i) for i in range(2000)], "k int, v int")
+    hsuite = ExpectationSuite("hd")
+    hsuite.add("expect_column_values_to_be_unique", column="k")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hd_tagged, _ = tag_failures(hd, hsuite)
+        hd_tagged.count()  # let AQE finalize
+        hd_plan = hd_tagged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    sections.append(
+        "## Quarantine uniqueness join at HIGH dup rate (forced-broadcast "
+        "regression guard)\n\n"
+        "Same tag_failures code, 75% duplicated keys, broadcast disabled to "
+        "stand in for a dup-key frame past the 8 GB broadcast ceiling: the "
+        "EXECUTED (AQE-final) plan degrades to a shuffled join — no "
+        "`BroadcastHashJoin` — because the dup-key side carries no hint "
+        "(round-3 verdict item 2; test_quarantine.py::"
+        "test_high_dup_rate_no_forced_broadcast asserts this plus the "
+        "split's correctness).\n\n"
+        f"```\n{hd_plan[:2400].rstrip()}\n```\n")
+
+    from sparkcheck.similarity import lsh_near_duplicates
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    add("Multi-probe LSH near-dup discovery (lsh_neardup_multiprobe)",
+        lsh_near_duplicates(emb, threshold=0.3, n_planes=6, n_probe=2),
+        "The signature + probe list compute in ONE pass over the vectors "
+        "(localCheckpoint pins it so sig/probe/vector reads share the "
+        "materialization); the probe side explodes n_probe-fold but "
+        "carries only (id, sig) longs, candidates dedup as narrow "
+        "(id_a, id_b) pairs BEFORE any vector is touched again, and "
+        "vectors re-join only for surviving candidates. The corpus is "
+        "never re-signed and never self-joined all-pairs.")
 
     from sparkcheck.keys import fd_summary, salted_join
     add("Functional dependency summary (fd_check_lineitem)",
