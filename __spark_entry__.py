@@ -1141,6 +1141,49 @@ def q_media_jpeg_roundtrip(spark, sf):
     )
 
 
+def q_fused_validation_documents(spark, sf):
+    """Single-scan fused validation (fused.validate_and_extract): the
+    suite's whole-table aggregates (null count, regex violations, row
+    count) ride a CollectMetrics node attached to the violation-row
+    extraction (n_chars > 400), so ONE pass over documents yields both;
+    uniqueness resolves through its key-only groupBy afterwards. Emits
+    (check_name, observed, success) per expectation plus the violation-row
+    count — the oracle recomputes every number AND every success verdict
+    in SQL, proving the observe-seeded metric cache is exact."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.fused import validate_and_extract
+
+    docs = _t(spark, sf, "documents")
+    s = ExpectationSuite("fused_docs")
+    s.add("expect_column_values_to_not_be_null", column="text")
+    s.add("expect_column_values_to_be_unique", column="doc_id")
+    s.add(
+        "expect_column_values_to_match_regex",
+        column="source", regex="^src[0-9]$", mostly=0.9,
+    )
+    s.add("expect_table_row_count_to_be_between", min_value=1)
+    report, rows, _ = validate_and_extract(
+        docs, s,
+        lambda d: d.where(F.col("n_chars") > 400).select("doc_id"),
+        result_format="BASIC",
+    )
+    n_viol = rows.count()
+    labels = ["null_text", "unique_doc_id", "regex_source", "row_count"]
+    vals = []
+    for label, evr in zip(labels, report["results"]):
+        res = evr.get("result", {})
+        obs = (
+            res.get("observed_value")
+            if label == "row_count"
+            else res.get("unexpected_count")
+        )
+        vals.append((label, int(obs), bool(evr["success"])))
+    vals.append(("violation_rows", int(n_viol), None))
+    return spark.createDataFrame(
+        vals, "check_name string, observed long, success boolean"
+    ).orderBy("check_name")
+
+
 def q_reconcile_lineitem_orders(spark, sf):
     """Cross-table reconciliation (keys.reconcile_aggregates): does the
     lineitem fact still sum to the orders ledger? One fused agg per side
@@ -1313,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_roundtrip": q_media_png_roundtrip,
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+        "fused_validation_documents": q_fused_validation_documents,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
@@ -1892,6 +1936,30 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "fused_validation_documents": (
+            # every observed value AND success verdict recomputed in SQL:
+            # a mismatch means the observe-seeded metric cache diverged
+            # from a direct aggregation
+            "WITH m AS (SELECT count(*) AS n, "
+            "count(*) FILTER (WHERE text IS NULL) AS null_text, "
+            "count(source) AS nn_src, "
+            "count(*) FILTER (WHERE source IS NOT NULL AND "
+            "NOT regexp_matches(source, '^src[0-9]$')) AS bad_src, "
+            "count(*) FILTER (WHERE n_chars > 400) AS nviol "
+            "FROM documents), "
+            "u AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS dups FROM "
+            "(SELECT count(*) AS cnt FROM documents WHERE doc_id IS NOT "
+            "NULL GROUP BY doc_id HAVING count(*) > 1)) "
+            "SELECT check_name, observed, success FROM ("
+            "SELECT 'null_text' AS check_name, null_text::BIGINT AS "
+            "observed, (null_text = 0) AS success FROM m "
+            "UNION ALL SELECT 'unique_doc_id', dups, (dups = 0) FROM u "
+            "UNION ALL SELECT 'regex_source', bad_src::BIGINT, "
+            "((1.0 - bad_src::DOUBLE / nn_src) >= 0.9) FROM m "
+            "UNION ALL SELECT 'row_count', n::BIGINT, (n >= 1) FROM m "
+            "UNION ALL SELECT 'violation_rows', nviol::BIGINT, NULL FROM m"
+            ") ORDER BY check_name"
         ),
         "media_jpeg_roundtrip": (
             # dims + original level sums recomputed from the md5 formula;

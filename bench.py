@@ -149,6 +149,24 @@ def main() -> None:
     n_expectations = report["statistics"]["evaluated_expectations"]
     docs_per_sec = SYNTH_DOCS / validate_secs
 
+    # fused single-scan variant (fused.validate_and_extract): same suite +
+    # span checks, but the suite's aggregates ride a CollectMetrics node on
+    # the span-violation write — ONE full-width pass over the stored corpus
+    # instead of two (locally the parquet sits in page cache so the delta is
+    # modest; at 100 TB the avoided pass is the point). Reported separately
+    # so validate_synth_corpus stays comparable across rounds.
+    from sparkcheck.fused import validate_and_extract
+
+    validate_and_extract(
+        wdocs, _synth_suite(), span_violations, result_format="BOOLEAN_ONLY"
+    )
+    t0 = time.monotonic()
+    validate_and_extract(
+        docs, _synth_suite(), span_violations, result_format="BOOLEAN_ONLY"
+    )
+    fused_secs = time.monotonic() - t0
+    timings["validate_synth_corpus_fused"] = round(fused_secs, 3)
+
     total = time.monotonic() - t_all
 
     # oracle/verification stages: quadratic by declaration, not engine cost
@@ -166,6 +184,7 @@ def main() -> None:
         "oracle_stage_queries": oracle_timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": round(docs_per_sec, 1),
+        "docs_per_sec_fused": round(SYNTH_DOCS / fused_secs, 1),
         "synth_docs": SYNTH_DOCS,
         "expectations_evaluated": n_expectations,
         "expectation_evals_per_sec": round(n_expectations * docs_per_sec, 1),

@@ -184,6 +184,26 @@ def main():
         "split's correctness).\n\n"
         f"```\n{hd_plan[:2400].rstrip()}\n```\n")
 
+    from sparkcheck.fused import validate_and_extract
+    fsuite = ExpectationSuite("fused")
+    fsuite.add("expect_column_values_to_not_be_null", column="doc_id",
+               mostly=0.99)
+    fsuite.add("expect_column_values_to_match_regex", column="doc_id",
+               regex="^(hot[0-2]|p[0-9]{2})-", mostly=0.98)
+    fsuite.add("expect_table_row_count_to_be_between", min_value=1)
+    _, frows, _ = validate_and_extract(
+        generate_docs(spark, 20000), fsuite, span_violations)
+    add("Fused single-scan validation (fused.validate_and_extract)",
+        frows,
+        "The suite's whole-table aggregates sit in a `CollectMetrics` node "
+        "BELOW the span-violation extraction: one scan produces the "
+        "violation rows while the metrics accumulate per task. Catalyst "
+        "never pushes predicates through CollectMetrics, so the observed "
+        "values are exactly the whole-table aggregates; downstream "
+        "projection cannot prune the observed columns. This removes the "
+        "second full-width pass of the classic validate-then-extract "
+        "checkpoint shape — the largest avoidable cost at 10^12 docs.")
+
     from sparkcheck.similarity import lsh_near_duplicates
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     add("Multi-probe LSH near-dup discovery (lsh_neardup_multiprobe)",

@@ -12,6 +12,7 @@ from .expectations import get_expectation, list_expectations, register_expectati
 from .profiler import profile_suite, profile_suite_with_rules
 from .quarantine import QuarantineResult, quarantine, tag_failures
 from .checkpoint import run_checkpoint
+from .fused import validate_and_extract
 from .actions import (
     FileAlertAction,
     UpdateDataDocsAction,
@@ -42,6 +43,7 @@ __all__ = [
     "quarantine",
     "tag_failures",
     "run_checkpoint",
+    "validate_and_extract",
     "ValidationAction",
     "FileAlertAction",
     "WebhookAction",

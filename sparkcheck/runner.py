@@ -253,11 +253,19 @@ class CheckpointRunner:
         suite_violation_rows: bool = False,
         doc_id_col: str = "doc_id",
         max_concurrency: int = 1,
+        fused: bool = False,
     ):
         self.spark = spark
         self.store = store
         self.n_buckets = n_buckets
         self.violations_fn = violations_fn
+        # fused=True: per-partition suite aggregates ride a CollectMetrics
+        # node on the violation-row write (fused.validate_and_extract), so
+        # the partition is scanned ONCE with no persist() — the 10^12-doc
+        # shape, where caching a bucket is infeasible and the second
+        # full-width pass is the largest avoidable cost. Non-observable
+        # metrics (uniqueness groupBy) still run as narrow key-only jobs.
+        self.fused = fused
         # when set, per-row violations for every map expectation in the
         # suite are derived automatically (summarize.suite_violations) and
         # appended alongside any custom violations_fn output
@@ -338,6 +346,11 @@ class CheckpointRunner:
         is safe from multiple threads; store writes serialize behind
         _write_lock; the manifest commit is last (the commit point)."""
         part = docs.filter(F.col("__bucket") == b).drop("__bucket")
+        if self.fused:
+            fused_out = self._run_partition_fused(part, suite, run_id, pid)
+            if fused_out is not None:
+                return fused_out
+            # no violation frame to fuse with — fall through to classic
         # one cached pass per partition: the validator's fused agg +
         # sampled collections reuse this materialization (the reference
         # never persists its batch — a known perf gap, SURVEY.md §3)
@@ -371,6 +384,62 @@ class CheckpointRunner:
                 self._write_lineage(run_id, pid, result, n_docs)
         finally:
             part.unpersist()
+        self.store.commit_partition(
+            run_id, pid, {"success": result["success"], "n_docs": int(n_docs)}
+        )
+        return pid, n_docs, result
+
+    def _run_partition_fused(self, part, suite, run_id: str, pid: str):
+        """Single-scan partition leg: suite aggregates observed on the
+        violation-row append itself (see fused.validate_and_extract) —
+        no persist, one full-width pass, exact same EVRs. Returns None
+        when the suite/config yields no violation frame (caller falls
+        back to the classic persist path)."""
+        from .fused import validate_and_extract
+        from .summarize import suite_violations
+
+        # pre-flight on the un-observed frame: is there anything to fuse?
+        if self.violations_fn is None and not (
+            self.suite_violation_rows
+            and suite_violations(part, suite, self.doc_id_col, run_id, pid)
+            is not None
+        ):
+            return None
+
+        def builder(base: DataFrame) -> DataFrame:
+            frames = []
+            if self.violations_fn is not None:
+                frames.append(self.violations_fn(base, run_id, pid))
+            if self.suite_violation_rows:
+                sv = suite_violations(base, suite, self.doc_id_col, run_id, pid)
+                if sv is not None:
+                    frames.append(sv)
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f, allowMissingColumns=True)
+            return out
+
+        def act(rows: DataFrame) -> None:
+            with self._write_lock:
+                self.store.append("violations", rows)
+
+        result, _, _ = validate_and_extract(
+            part, suite, builder, action=act, result_format=None
+        )
+        n_docs = next(
+            (
+                r["result"]["element_count"]
+                for r in result["results"]
+                if "result" in r and "element_count" in r.get("result", {})
+            ),
+            None,
+        )
+        if n_docs is None:
+            n_docs = part.count()
+        with self._write_lock:
+            self._write_results(run_id, pid, result)
+            store_validation_result(self.store, self.spark, result, run_id=run_id)
+            self._write_lineage(run_id, pid, result, n_docs)
         self.store.commit_partition(
             run_id, pid, {"success": result["success"], "n_docs": int(n_docs)}
         )
