@@ -1184,6 +1184,45 @@ def q_fused_validation_documents(spark, sf):
     ).orderBy("check_name")
 
 
+def q_multibatch_profile_documents(spark, sf):
+    """Multi-batch profiling (profiler.profile_suite_multibatch, the
+    reference's NumericMetricRangeMultiBatchParameterBuilder semantics):
+    documents batched by lang, ALL per-batch stats from ONE grouped agg,
+    bounds from the per-batch metric samples with the exact estimator —
+    min of batch minima / max of batch maxima / [min, max] of batch means
+    and row counts, plus the union value set for categorical strings. The
+    oracle replays the whole estimation in SQL over GROUP BY lang."""
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", "doc_id", "n_chars", "source"
+    )
+    suite = profile_suite_multibatch(
+        docs, batch_col="lang", estimator="exact", categorical_threshold=50
+    )
+    rows = []
+    for e in suite.expectations:
+        k = e.kwargs
+        vs = k.get("value_set")
+        rows.append(
+            (
+                e.expectation_type,
+                k.get("column"),
+                None if k.get("min_value") is None else float(k["min_value"]),
+                None if k.get("max_value") is None else float(k["max_value"]),
+                None if vs is None else len(vs),
+            )
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "expectation string, col_name string, min_value double, "
+            "max_value double, n_values long",
+        )
+        .orderBy("expectation", "col_name")
+    )
+
+
 def q_reconcile_lineitem_orders(spark, sf):
     """Cross-table reconciliation (keys.reconcile_aggregates): does the
     lineitem fact still sum to the orders ledger? One fused agg per side
@@ -1357,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "fused_validation_documents": q_fused_validation_documents,
+        "multibatch_profile_documents": q_multibatch_profile_documents,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
@@ -1936,6 +1976,34 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "multibatch_profile_documents": (
+            # full SQL replay of the exact multi-batch estimator: per-lang
+            # stats, then min-of-minima / max-of-maxima / mean band /
+            # row-count band / union value set
+            "WITH b AS (SELECT lang, count(*) AS n, "
+            "min(n_chars) AS min_nc, max(n_chars) AS max_nc, "
+            "avg(n_chars) AS mean_nc, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id, "
+            "avg(doc_id) AS mean_id "
+            "FROM documents GROUP BY lang), "
+            "vs AS (SELECT count(DISTINCT source) AS nv FROM documents) "
+            "SELECT expectation, col_name, min_value, max_value, n_values "
+            "FROM ("
+            "SELECT 'expect_table_row_count_to_be_between' AS expectation, "
+            "NULL AS col_name, min(n)::DOUBLE AS min_value, "
+            "max(n)::DOUBLE AS max_value, NULL::BIGINT AS n_values FROM b "
+            "UNION ALL SELECT 'expect_column_values_to_be_between', "
+            "'doc_id', min(min_id)::DOUBLE, max(max_id)::DOUBLE, NULL FROM b "
+            "UNION ALL SELECT 'expect_column_mean_to_be_between', "
+            "'doc_id', min(mean_id), max(mean_id), NULL FROM b "
+            "UNION ALL SELECT 'expect_column_values_to_be_between', "
+            "'n_chars', min(min_nc)::DOUBLE, max(max_nc)::DOUBLE, NULL FROM b "
+            "UNION ALL SELECT 'expect_column_mean_to_be_between', "
+            "'n_chars', min(mean_nc), max(mean_nc), NULL FROM b "
+            "UNION ALL SELECT 'expect_column_values_to_be_in_set', "
+            "'source', NULL, NULL, (SELECT nv FROM vs) FROM vs"
+            ") ORDER BY expectation, col_name"
         ),
         "fused_validation_documents": (
             # every observed value AND success verdict recomputed in SQL:

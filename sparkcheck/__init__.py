@@ -9,7 +9,11 @@ Public API:
 from .suite import ExpectationConfiguration, ExpectationSuite, parse_result_format
 from .validator import Validator, validate_df
 from .expectations import get_expectation, list_expectations, register_expectation
-from .profiler import profile_suite, profile_suite_with_rules
+from .profiler import (
+    profile_suite,
+    profile_suite_multibatch,
+    profile_suite_with_rules,
+)
 from .quarantine import QuarantineResult, quarantine, tag_failures
 from .checkpoint import run_checkpoint
 from .fused import validate_and_extract
@@ -39,6 +43,7 @@ __all__ = [
     "register_expectation",
     "profile_suite",
     "profile_suite_with_rules",
+    "profile_suite_multibatch",
     "QuarantineResult",
     "quarantine",
     "tag_failures",

@@ -389,3 +389,174 @@ def profile_suite_with_rules(
                         column=c, value_set=sorted(values),
                     )
     return suite
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch profiling (reference: rule_based_profiler/parameter_builder/
+# numeric_metric_range_multi_batch_parameter_builder.py — per-batch metric
+# samples -> range estimator at a false_positive_rate;
+# value_set_multi_batch_parameter_builder.py — union of per-batch sets)
+# ---------------------------------------------------------------------------
+
+ESTIMATORS = ("exact", "quantiles", "bootstrap", "kde")
+
+
+def _range_estimate(
+    vals: list[float],
+    estimator: str,
+    false_positive_rate: float,
+    n_resamples: int,
+    seed: int,
+) -> tuple[float, float]:
+    """Bounds for a numeric metric from its per-batch sample, per the
+    reference's estimator taxonomy. ``exact`` = observed min/max;
+    ``quantiles`` = empirical [fpr/2, 1-fpr/2] quantiles; ``bootstrap`` =
+    mean of those quantiles over resamples (deterministic seed);
+    ``kde`` = gaussian-smoothed resampling (Scott's-rule bandwidth).
+    The sample is ONE value per batch — tiny — so estimation is plain
+    driver-side numpy; the distributed work happened in the single
+    grouped-stats pass."""
+    import numpy as np
+
+    a = np.asarray(vals, dtype=np.float64)
+    if estimator == "exact" or len(a) < 2:
+        return float(a.min()), float(a.max())
+    qs = [false_positive_rate / 2, 1 - false_positive_rate / 2]
+    if estimator == "quantiles":
+        lo, hi = np.quantile(a, qs)
+        return float(lo), float(hi)
+    rng = np.random.RandomState(seed)
+    if estimator == "bootstrap":
+        idx = rng.randint(0, len(a), size=(n_resamples, len(a)))
+        los, his = np.quantile(a[idx], qs, axis=1)
+        return float(los.mean()), float(his.mean())
+    if estimator == "kde":
+        bw = a.std(ddof=1) * len(a) ** (-1 / 5) or 1e-9  # Scott's rule
+        samples = rng.choice(a, size=n_resamples) + rng.normal(
+            0, bw, size=n_resamples
+        )
+        lo, hi = np.quantile(samples, qs)
+        return float(lo), float(hi)
+    raise ValueError(
+        f"unknown estimator {estimator!r}; known: {list(ESTIMATORS)}"
+    )
+
+
+def profile_suite_multibatch(
+    batches: list[DataFrame] | DataFrame,
+    batch_col: str | None = None,
+    name: str = "profiled_multibatch",
+    estimator: str = "bootstrap",
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 999,
+    random_seed: int = 0,
+    categorical_threshold: int = 50,
+) -> ExpectationSuite:
+    """Suite whose numeric bounds are ESTIMATED FROM BATCH-TO-BATCH
+    VARIATION, not a single batch's observed range — the reference's
+    NumericMetricRangeMultiBatchParameterBuilder semantics: compute each
+    metric once per batch, treat the per-batch values as a sample, and set
+    [lower, upper] at the configured ``false_positive_rate`` with the
+    chosen ``estimator`` (exact | quantiles | bootstrap | kde).
+
+    Spark-native execution: the reference resolves every (metric, batch)
+    pair as its own request against its own batch; here the batches are
+    tagged and unioned (or an existing ``batch_col`` — e.g. an ingest-date
+    partition column — is used directly) and ALL per-batch statistics for
+    ALL columns come from ONE grouped aggregation. B batches x M metrics =
+    one shuffle of B rows per group, not B x M jobs.
+
+    Emitted families: table row_count range; per numeric column min/max
+    (bounds for expect_column_values_to_be_between from the batch minima /
+    maxima samples) and mean range; per low-cardinality string column the
+    UNION of per-batch value sets (ValueSetMultiBatchParameterBuilder).
+    """
+    if isinstance(batches, DataFrame):
+        if batch_col is None:
+            raise ValueError(
+                "pass batch_col with a single DataFrame, or a list of "
+                "per-batch DataFrames"
+            )
+        tagged = batches.withColumnRenamed(batch_col, "__batch")
+    else:
+        if len(batches) < 1:
+            raise ValueError("need at least one batch")
+        tagged = batches[0].select(F.lit(0).alias("__batch"), "*")
+        for i, b in enumerate(batches[1:], start=1):
+            tagged = tagged.unionByName(
+                b.select(F.lit(i).alias("__batch"), "*")
+            )
+
+    dtypes = {c: t for c, t in tagged.dtypes if c != "__batch"}
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    numeric = [c for c, t in dtypes.items() if _is_numeric(t)]
+    strings = [c for c, t in dtypes.items() if t in _STRING_TYPES]
+    for c in numeric:
+        col = F.col(c)
+        aggs += [
+            F.min(col).alias(f"min__{c}"),
+            F.max(col).alias(f"max__{c}"),
+            F.mean(col).alias(f"mean__{c}"),
+        ]
+    for c in strings:
+        # slice caps what ships to the driver; approx_count_distinct (same
+        # agg, no extra pass) tells us whether the slice truncated — a
+        # truncated set means the column is not categorical, so the in_set
+        # family is dropped rather than emitted too-narrow. (The agg buffer
+        # itself still holds each batch's set executor-side: profile
+        # sampled batches for very-high-cardinality string columns.)
+        aggs += [
+            F.slice(
+                F.array_sort(F.collect_set(c)), 1, categorical_threshold + 1
+            ).alias(f"set__{c}"),
+            F.approx_count_distinct(c).alias(f"nd__{c}"),
+        ]
+    rows = tagged.groupBy("__batch").agg(*aggs).collect()
+    if not rows:
+        suite = ExpectationSuite(name)
+        suite.add("expect_table_row_count_to_be_between", min_value=0)
+        return suite
+
+    def est(vals):
+        return _range_estimate(
+            vals, estimator, false_positive_rate, n_resamples, random_seed
+        )
+
+    suite = ExpectationSuite(name)
+    n_lo, n_hi = est([r["__n"] for r in rows])
+    suite.add(
+        "expect_table_row_count_to_be_between",
+        min_value=max(0, int(n_lo)), max_value=int(n_hi) or 1,
+    )
+    for c in numeric:
+        mins = [r[f"min__{c}"] for r in rows if r[f"min__{c}"] is not None]
+        maxs = [r[f"max__{c}"] for r in rows if r[f"max__{c}"] is not None]
+        means = [r[f"mean__{c}"] for r in rows if r[f"mean__{c}"] is not None]
+        if not mins:
+            continue
+        lo, _ = est([float(v) for v in mins])
+        _, hi = est([float(v) for v in maxs])
+        suite.add(
+            "expect_column_values_to_be_between", column=c,
+            min_value=lo, max_value=hi,
+        )
+        m_lo, m_hi = est([float(v) for v in means])
+        if m_lo == m_hi:  # zero batch-to-batch variance: keep a real band
+            pad = max(abs(m_lo) * 1e-6, 1e-9)
+            m_lo, m_hi = m_lo - pad, m_hi + pad
+        suite.add(
+            "expect_column_mean_to_be_between", column=c,
+            min_value=m_lo, max_value=m_hi,
+        )
+    for c in strings:
+        if any(int(r[f"nd__{c}"] or 0) > categorical_threshold for r in rows):
+            continue  # some batch's set was truncated: not categorical
+        union: set = set()
+        for r in rows:
+            union.update(r[f"set__{c}"] or [])
+        if 0 < len(union) <= categorical_threshold:
+            suite.add(
+                "expect_column_values_to_be_in_set",
+                column=c, value_set=sorted(union),
+            )
+    return suite

@@ -146,3 +146,116 @@ def test_rules_unknown_family_rejected(spark, orders):
         profile_suite_with_rules(orders, {
             "rules": [{"name": "x", "families": ["minhash"]}]
         })
+
+
+# --- multi-batch profiling (reference: NumericMetricRange / ValueSet
+# multi-batch parameter builders) -------------------------------------------
+
+
+def _mk_batches(spark, shift=0.0, n=400, seeds=(1, 2, 3, 4, 5)):
+    import numpy as np
+
+    out = []
+    for s in seeds:
+        rng = np.random.RandomState(s)
+        vals = rng.normal(100 + shift, 10, size=n)
+        rows = [
+            (float(v), ["red", "green", "blue"][i % 3]) for i, v in enumerate(vals)
+        ]
+        out.append(spark.createDataFrame(rows, "x double, color string"))
+    return out
+
+
+def test_multibatch_exact_estimator(spark):
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    batches = _mk_batches(spark)
+    suite = profile_suite_multibatch(batches, estimator="exact")
+    by_type = {e.expectation_type: e for e in suite.expectations}
+    bt = by_type["expect_column_values_to_be_between"]
+    # exact = min of batch minima / max of batch maxima
+    import numpy as np
+
+    allx = np.concatenate(
+        [np.array([r["x"] for r in b.collect()]) for b in batches]
+    )
+    assert abs(bt.kwargs["min_value"] - allx.min()) < 1e-9
+    assert abs(bt.kwargs["max_value"] - allx.max()) < 1e-9
+    rc = by_type["expect_table_row_count_to_be_between"]
+    assert rc.kwargs["min_value"] == 400 and rc.kwargs["max_value"] == 400
+    vs = by_type["expect_column_values_to_be_in_set"]
+    assert sorted(vs.kwargs["value_set"]) == ["blue", "green", "red"]
+
+
+def test_multibatch_estimators_bracket_and_detect_drift(spark):
+    from sparkcheck import validate_df
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    batches = _mk_batches(spark)
+    for est in ("quantiles", "bootstrap", "kde"):
+        suite = profile_suite_multibatch(
+            batches, estimator=est, false_positive_rate=0.2, random_seed=7
+        )
+        mean_exp = next(
+            e for e in suite.expectations
+            if e.expectation_type == "expect_column_mean_to_be_between"
+        )
+        lo, hi = mean_exp.kwargs["min_value"], mean_exp.kwargs["max_value"]
+        assert lo < 100.5 and hi > 99.5, (est, lo, hi)
+        # a batch from the SAME distribution passes the mean check
+        same = _mk_batches(spark, seeds=(9,))[0]
+        evr = next(
+            r for r in validate_df(same, suite)["results"]
+            if r["expectation_config"]["expectation_type"]
+            == "expect_column_mean_to_be_between"
+        )
+        assert evr["success"], (est, evr)
+        # a +5-sigma-of-the-mean shift fails it
+        shifted = _mk_batches(spark, shift=15, seeds=(9,))[0]
+        evr = next(
+            r for r in validate_df(shifted, suite)["results"]
+            if r["expectation_config"]["expectation_type"]
+            == "expect_column_mean_to_be_between"
+        )
+        assert not evr["success"], (est, evr)
+
+
+def test_multibatch_batch_col_single_frame(spark):
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    df = spark.createDataFrame(
+        [(d, float(v)) for d in ("d1", "d2", "d3") for v in range(10)],
+        "day string, v double",
+    )
+    suite = profile_suite_multibatch(df, batch_col="day", estimator="exact")
+    rc = next(
+        e for e in suite.expectations
+        if e.expectation_type == "expect_table_row_count_to_be_between"
+    )
+    assert rc.kwargs == {"min_value": 10, "max_value": 10}
+
+
+def test_multibatch_high_cardinality_set_dropped(spark):
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    rows = [(f"id{i}", float(i)) for i in range(500)]
+    b = spark.createDataFrame(rows, "s string, v double")
+    suite = profile_suite_multibatch(
+        [b, b], estimator="exact", categorical_threshold=20
+    )
+    assert not any(
+        e.expectation_type == "expect_column_values_to_be_in_set"
+        for e in suite.expectations
+    )
+
+
+def test_multibatch_errors(spark):
+    import pytest
+
+    from sparkcheck.profiler import profile_suite_multibatch
+
+    b = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="batch_col"):
+        profile_suite_multibatch(b)
+    with pytest.raises(ValueError, match="unknown estimator"):
+        profile_suite_multibatch([b, b], estimator="magic")
