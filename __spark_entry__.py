@@ -595,6 +595,20 @@ def q_dedup_clusters(spark, sf):
     return dedup.duplicate_clusters(pairs)
 
 
+def q_canonical_selection(spark, sf):
+    """Keep/drop decision after clustering (dedup.select_canonical): one
+    keeper per duplicate cluster — highest n_chars, ties to smallest
+    doc_id — everything else flagged for the drop list; docs in no
+    cluster keep themselves. The oracle replays clustering (recursive
+    CTE) and the max-quality-min-id selection in SQL."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.1, max_df=50)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.select_canonical(
+        docs.select("doc_id", "n_chars"), clusters, quality_col="n_chars"
+    ).select("doc_id", "cluster_id", "is_canonical")
+
+
 def q_bpe_token_stats(spark, sf):
     """BPE-ish pre-token counts per doc (text.bpe_token_count) next to the
     whitespace token count — the standard token-budget proxy."""
@@ -1368,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dups": q_prefix_dups,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "canonical_selection": q_canonical_selection,
         "bpe_token_stats": q_bpe_token_stats,
         "repetition_profile": q_repetition_profile,
         "pii_scrub": q_pii_scrub,
@@ -1698,6 +1713,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": (
             toks_cte.replace("WITH ", "WITH RECURSIVE ", 1)
             + ', sh0 AS (SELECT doc_id, unnest(list_distinct({SH})) AS shingle FROM t), dfq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1), sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq USING(shingle) WHERE dfq.c <= 50), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, lab) AS (SELECT a, a FROM edges UNION SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a) SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node'.replace("{SH}", _SHINGLES3)
+        ),
+
+        "canonical_selection": (
+            # clustering replayed (same recursive CTE as dedup_clusters),
+            # then per-cluster keeper = max n_chars, ties -> min doc_id;
+            # docs in no cluster are their own keeper
+            toks_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ', sh0 AS (SELECT doc_id, unnest(list_distinct({SH})) AS '
+            "shingle FROM t), dfq AS (SELECT shingle, count(*) AS c FROM "
+            "sh0 GROUP BY 1), sh AS (SELECT sh0.doc_id, sh0.shingle FROM "
+            "sh0 JOIN dfq USING(shingle) WHERE dfq.c <= 50), "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS i FROM sh a JOIN sh b USING(shingle) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = "
+            "doc_b WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(node, lab) AS (SELECT a, a FROM edges UNION "
+            "SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a), "
+            "clus AS (SELECT node AS doc_id, min(lab) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "j AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS "
+            "cluster_id, d.n_chars, c.cluster_id IS NOT NULL AS inc "
+            "FROM documents d LEFT JOIN clus c USING (doc_id)), "
+            "w0 AS (SELECT cluster_id, max(n_chars) AS mq FROM j WHERE inc "
+            "GROUP BY 1), "
+            "w AS (SELECT j.cluster_id, min(j.doc_id) AS keep FROM j "
+            "JOIN w0 USING (cluster_id) WHERE j.inc AND j.n_chars = w0.mq "
+            "GROUP BY 1) "
+            "SELECT j.doc_id, j.cluster_id, "
+            "(w.keep IS NULL OR w.keep = j.doc_id) AS is_canonical "
+            "FROM j LEFT JOIN w USING (cluster_id)".replace(
+                "{SH}", _SHINGLES3
+            )
         ),
 
         "bpe_token_stats": (

@@ -587,6 +587,59 @@ def cluster_summary(clusters: DataFrame) -> DataFrame:
     )
 
 
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """The keep/drop decision after clustering: ``docs`` + ``cluster_id``
+    (own id for docs in no cluster) + ``is_canonical`` — exactly one
+    keeper per duplicate cluster, everything else is the drop list a
+    training pipeline filters out.
+
+    ``quality_col=None`` keeps each cluster's smallest doc id — which IS
+    ``cluster_id`` (duplicate_clusters labels components by their minimum
+    member), so the flag is a comparison: zero shuffles beyond the
+    membership join. With a numeric ``quality_col`` the keeper is the
+    highest-quality member (ties -> smallest id) via ``min_by`` over a
+    (−quality, id) struct on the CLUSTER-member subset — a key-only
+    groupBy over cluster members (tiny vs the corpus) joined back narrow;
+    no window over the full table."""
+    cl = clusters.withColumnRenamed("doc_id", id_col)
+    joined = docs.join(cl, on=id_col, how="left")
+    if quality_col is None:
+        return joined.withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+        ).withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    winners = (
+        joined.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.col(id_col),
+                F.struct(
+                    (-F.col(quality_col)).alias("__negq"), F.col(id_col)
+                ),
+            ).alias("__keep")
+        )
+    )
+    # a non-member's coalesced cluster_id is its own id, which cannot equal
+    # any cluster label (labels are member ids; ids are unique), so the
+    # left join leaves __keep null exactly for non-members
+    return (
+        joined.withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+        )
+        .join(winners, on="cluster_id", how="left")
+        .withColumn(
+            "is_canonical",
+            F.col("__keep").isNull() | (F.col("__keep") == F.col(id_col)),
+        )
+        .drop("__keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap against a holdout set)
 # ---------------------------------------------------------------------------

@@ -449,3 +449,47 @@ def test_class_balance(spark):
     assert abs(rows["a"].entropy_bits - round(want_ent, 6)) < 1e-6
     assert rows["b"].n_classes == 3
     assert abs(rows["b"].imbalance_ratio - 6.0) < 1e-9
+
+
+def test_select_canonical_quality_and_ties(spark):
+    from sparkcheck.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 99.0), (4, 5.0), (9, 7.0)],
+        "doc_id int, q double",
+    )
+    # cluster {1,2,3} labeled 1; 4 in its own cluster row; 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id int, cluster_id int"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in select_canonical(docs, clusters, quality_col="q").collect()
+    }
+    # keeper of {1,2,3}: max q = 99 shared by 2 and 3 -> smallest id (2)
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)   # singleton cluster keeps itself
+    assert out[9] == (9, True)   # unclustered keeps itself
+    # exactly one keeper per cluster
+    df = select_canonical(docs, clusters, quality_col="q")
+    per = df.where("is_canonical").groupBy("cluster_id").count()
+    assert per.where("count != 1").count() == 0
+
+
+def test_select_canonical_min_id_default(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import select_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id int")
+    clusters = spark.createDataFrame(
+        [(0, 0), (3, 0), (5, 0)], "doc_id int, cluster_id int"
+    )
+    out = select_canonical(docs, clusters)  # no quality: min-id == label
+    keep = {r["doc_id"] for r in out.where("is_canonical").collect()}
+    assert keep == {0, 1, 2, 4}
+    # no-quality path adds no aggregation: plan is join + project only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
