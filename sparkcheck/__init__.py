@@ -18,6 +18,7 @@ from .quarantine import QuarantineResult, quarantine, tag_failures
 from .checkpoint import run_checkpoint
 from .fused import validate_and_extract
 from .actions import (
+    EmailAction,
     FileAlertAction,
     UpdateDataDocsAction,
     ValidationAction,
@@ -52,6 +53,7 @@ __all__ = [
     "ValidationAction",
     "FileAlertAction",
     "WebhookAction",
+    "EmailAction",
     "UpdateDataDocsAction",
     "register_action",
 ]

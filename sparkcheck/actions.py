@@ -169,6 +169,68 @@ class WebhookAction(ValidationAction):
             return {"http_status": resp.status}
 
 
+class EmailAction(ValidationAction):
+    """Send the summary as a plain-text email over SMTP (reference:
+    EmailAction, checkpoint/actions.py:826-880 — same knob set: smtp
+    address/port, TLS/SSL, credentials, receiver list, notify_on gate).
+    stdlib smtplib only; the message body is the JSON summary payload
+    pretty-printed, the subject carries the verdict."""
+
+    name = "email"
+
+    def __init__(
+        self,
+        smtp_host: str,
+        receivers: list[str],
+        sender: str = "sparkcheck@localhost",
+        smtp_port: int = 25,
+        subject_prefix: str = "[sparkcheck]",
+        notify_on: str = "failure",
+        use_tls: bool = False,
+        use_ssl: bool = False,
+        smtp_user: str | None = None,
+        smtp_password: str | None = None,
+        timeout: float = 10.0,
+    ):
+        super().__init__(notify_on)
+        if not receivers:
+            raise ValueError("email action needs at least one receiver")
+        self.smtp_host = smtp_host
+        self.smtp_port = smtp_port
+        self.sender = sender
+        self.receivers = list(receivers)
+        self.subject_prefix = subject_prefix
+        self.use_tls = use_tls
+        self.use_ssl = use_ssl
+        self.smtp_user = smtp_user
+        self.smtp_password = smtp_password
+        self.timeout = timeout
+
+    def _run(self, result, context):
+        import smtplib
+        from email.message import EmailMessage
+
+        payload = self.summary_payload(result, context)
+        verdict = "passed" if payload["success"] else "FAILED"
+        msg = EmailMessage()
+        msg["Subject"] = (
+            f"{self.subject_prefix} validation {verdict}: "
+            f"suite={payload['suite']} run={payload['run_id']}"
+        )
+        msg["From"] = self.sender
+        msg["To"] = ", ".join(self.receivers)
+        msg.set_content(json.dumps(payload, indent=2, default=str))
+
+        cls = smtplib.SMTP_SSL if self.use_ssl else smtplib.SMTP
+        with cls(self.smtp_host, self.smtp_port, timeout=self.timeout) as s:
+            if self.use_tls and not self.use_ssl:
+                s.starttls()
+            if self.smtp_user:
+                s.login(self.smtp_user, self.smtp_password or "")
+            s.send_message(msg)
+        return {"receivers": self.receivers}
+
+
 class UpdateDataDocsAction(ValidationAction):
     """Re-render the static data-docs site from the checkpoint's results
     store after the run (reference: UpdateDataDocsAction). Needs the
@@ -194,6 +256,7 @@ class UpdateDataDocsAction(ValidationAction):
 _ACTION_TYPES: dict[str, type[ValidationAction]] = {
     "file_alert": FileAlertAction,
     "webhook": WebhookAction,
+    "email": EmailAction,
     "update_data_docs": UpdateDataDocsAction,
 }
 

@@ -210,3 +210,110 @@ def test_checkpoint_actions_failure_routing(spark, tmp_path, documents):
     rec = json.loads(open(alert_path).read())
     assert rec["run_id"] == "badrun" and rec["suite"] == "bad"
     assert rec["failed_expectations"] == ["expect_column_values_to_be_null"]
+
+
+# --- email action against an in-process SMTP sink ---------------------------
+
+
+class _SmtpSink:
+    """Minimal single-connection SMTP server: speaks just enough of the
+    protocol for smtplib (220 greeting, 250s, 354 for DATA) and records
+    the submitted message. Offline stand-in for a relay."""
+
+    def __init__(self):
+        import socket
+
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.mail_from = None
+        self.rcpt_to = []
+        self.data = b""
+
+    def serve_one(self):
+        conn, _ = self.sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 sink ESMTP\r\n")
+        in_data = False
+        body = []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if in_data:
+                if line.rstrip(b"\r\n") == b".":
+                    self.data = b"".join(body)
+                    conn.sendall(b"250 ok\r\n")
+                    in_data = False
+                else:
+                    body.append(line)
+                continue
+            cmd = line.strip().upper()
+            if cmd.startswith((b"EHLO", b"HELO")):
+                conn.sendall(b"250 sink\r\n")
+            elif cmd.startswith(b"MAIL FROM"):
+                self.mail_from = line.split(b":", 1)[1].strip()
+                conn.sendall(b"250 ok\r\n")
+            elif cmd.startswith(b"RCPT TO"):
+                self.rcpt_to.append(line.split(b":", 1)[1].strip())
+                conn.sendall(b"250 ok\r\n")
+            elif cmd.startswith(b"DATA"):
+                conn.sendall(b"354 go\r\n")
+                in_data = True
+            elif cmd.startswith(b"QUIT"):
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"250 ok\r\n")
+        conn.close()
+        self.sock.close()
+
+
+def test_email_action_sends_over_smtp():
+    import threading
+
+    from sparkcheck.actions import EmailAction
+
+    sink = _SmtpSink()
+    t = threading.Thread(target=sink.serve_one, daemon=True)
+    t.start()
+
+    act = EmailAction(
+        smtp_host="127.0.0.1", smtp_port=sink.port,
+        receivers=["oncall@example.com", "team@example.com"],
+        sender="ge@example.com", notify_on="failure",
+    )
+    result = {
+        "success": False, "run_id": "r9",
+        "result": {"results": [
+            {"success": False, "expectation_config":
+             {"expectation_type": "expect_column_values_to_not_be_null"}},
+        ], "statistics": {"evaluated_expectations": 1,
+                          "unsuccessful_expectations": 1}},
+    }
+    out = act.run(result, {"suite_name": "s"})
+    t.join(timeout=10)
+    assert out["status"] == "ok"
+    assert out["receivers"] == ["oncall@example.com", "team@example.com"]
+    assert b"ge@example.com" in sink.mail_from
+    assert len(sink.rcpt_to) == 2
+    assert b"validation FAILED" in sink.data
+    assert b"expect_column_values_to_not_be_null" in sink.data
+
+
+def test_email_action_gates_and_validates():
+    import pytest
+
+    from sparkcheck.actions import EmailAction
+
+    with pytest.raises(ValueError, match="receiver"):
+        EmailAction(smtp_host="x", receivers=[])
+    act = EmailAction(smtp_host="127.0.0.1", smtp_port=1,
+                      receivers=["a@b"], notify_on="failure")
+    # success + notify_on=failure: gate skips before any socket is opened
+    out = act.run({"success": True, "result": {}}, {})
+    assert out["status"] == "skipped"
+    # triggered but unreachable relay: error captured, never raised
+    out = act.run({"success": False, "result": {}}, {})
+    assert out["status"] == "error"
