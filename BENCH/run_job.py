@@ -95,6 +95,10 @@ def main() -> None:
     ap.add_argument("--layout", choices=("nested", "flat"), default="nested",
                     help="nested = array<struct> spans; flat = pre-exploded "
                          "span columns (synth.write_flat_corpus layout)")
+    ap.add_argument("--fused", action="store_true",
+                    help="single-scan shape: suite aggregates ride a "
+                         "CollectMetrics node on the span-violation write "
+                         "(fused.validate_and_extract) — nested layout only")
     ap.add_argument("--barrier", default=None,
                     help="path prefix for multi-JVM synchronized timing")
     ap.add_argument("--tag", default="0", help="barrier identity tag")
@@ -134,17 +138,35 @@ def main() -> None:
             docs = generate_docs(spark, args.docs, n_partitions=cores * 4)
             n_docs = args.docs
 
-        def pipeline():
-            # BOOLEAN_ONLY: counts only — the scale configuration (violation
-            # rows flow through span_violations instead of driver collects)
-            report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
-            span_violations(docs).write.format("noop").mode("overwrite").save()
-            return report
+        if args.fused:
+            from sparkcheck.fused import validate_and_extract
+
+            def pipeline():
+                report, _, _ = validate_and_extract(
+                    docs, suite, span_violations,
+                    result_format="BOOLEAN_ONLY",
+                )
+                return report
+        else:
+            def pipeline():
+                # BOOLEAN_ONLY: counts only — the scale configuration
+                # (violation rows flow through span_violations instead of
+                # driver collects)
+                report = validate_df(docs, suite, result_format="BOOLEAN_ONLY")
+                span_violations(docs).write.format("noop").mode("overwrite").save()
+                return report
 
         # warmup: one pipeline on a small slice compiles every plan + JIT
         wdocs = docs.limit(max(n_docs // 50, 10_000))
-        validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
-        span_violations(wdocs).write.format("noop").mode("overwrite").save()
+        if args.fused:
+            pipeline_warm = wdocs
+            from sparkcheck.fused import validate_and_extract as _vae
+
+            _vae(pipeline_warm, suite, span_violations,
+                 result_format="BOOLEAN_ONLY")
+        else:
+            validate_df(wdocs, suite, result_format="BOOLEAN_ONLY")
+            span_violations(wdocs).write.format("noop").mode("overwrite").save()
 
     if args.barrier:
         wait_barrier(args.barrier, args.tag)
