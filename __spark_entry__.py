@@ -1198,6 +1198,29 @@ def q_fused_validation_documents(spark, sf):
     ).orderBy("check_name")
 
 
+def q_regex_inference_documents(spark, sf):
+    """Candidate-regex inference (profiler.infer_regex_patterns, the
+    reference's RegexPatternStringParameterBuilder): every candidate's
+    match count over documents.source from ONE fused agg, plus which
+    candidate wins (full match rate, ties to the most-specific = earliest
+    candidate). Candidates are Java-regex ∩ RE2 so the oracle runs them
+    verbatim in DuckDB."""
+    from sparkcheck.profiler import (
+        DEFAULT_CANDIDATE_REGEXES,
+        infer_regex_patterns,
+    )
+
+    docs = _t(spark, sf, "documents")
+    res = infer_regex_patterns(docs, "source")["source"]
+    rows = [
+        (p, res["counts"][p], p == res["best"])
+        for p in DEFAULT_CANDIDATE_REGEXES
+    ]
+    return spark.createDataFrame(
+        rows, "pattern string, matches long, selected boolean"
+    ).orderBy("pattern")
+
+
 def q_multibatch_profile_documents(spark, sf):
     """Multi-batch profiling (profiler.profile_suite_multibatch, the
     reference's NumericMetricRangeMultiBatchParameterBuilder semantics):
@@ -1412,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
+        "regex_inference_documents": q_regex_inference_documents,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
@@ -2029,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "regex_inference_documents": _regex_inference_oracle(),
         "multibatch_profile_documents": (
             # full SQL replay of the exact multi-batch estimator: per-lang
             # stats, then min-of-minima / max-of-maxima / mean band /
@@ -2263,6 +2288,28 @@ def _corr_profile_oracle() -> str:
         for a, b in pairs
     ]
     return " UNION ALL ".join(selects)
+
+
+def _regex_inference_oracle() -> str:
+    # same candidate list, same order; winner = earliest candidate at full
+    # nonnull match rate (the engine's threshold=1.0 default)
+    from sparkcheck.profiler import DEFAULT_CANDIDATE_REGEXES
+
+    values = ", ".join(
+        f"({i}, '{p}')" for i, p in enumerate(DEFAULT_CANDIDATE_REGEXES)
+    )
+    return (
+        f"WITH c(idx, pat) AS (VALUES {values}), "
+        "n AS (SELECT count(source) AS nn FROM documents), "
+        "m AS (SELECT idx, pat, (SELECT count(*) FROM documents "
+        "WHERE source IS NOT NULL AND regexp_matches(source, pat)) "
+        "AS matches FROM c), "
+        "w AS (SELECT min(idx) AS widx FROM m, n "
+        "WHERE n.nn > 0 AND m.matches = n.nn) "
+        "SELECT pat AS pattern, matches, "
+        "coalesce(idx = (SELECT widx FROM w), FALSE) AS selected "
+        "FROM m ORDER BY pattern"
+    )
 
 
 def _nib(h: str, k: int) -> str:

@@ -196,6 +196,7 @@ FAMILIES = (
     "row_count", "columns_set",                      # table-domain
     "not_null", "unique", "between", "mean",         # column-domain
     "quantiles", "value_length", "in_set",
+    "regex", "datetime_format",                      # inferred patterns
 )
 
 DEFAULT_RULE_CONFIG: dict[str, Any] = {
@@ -298,6 +299,35 @@ def profile_suite_with_rules(
         slack = float(params.get("slack", 0.1))
         fams = rule.get("families") or []
         cols = _resolve_domain(rule.get("domain"), dtypes)
+
+        # inferred-pattern families: candidate evaluation is its own fused
+        # agg per rule (all domain columns x all candidates in one pass) —
+        # reference: RegexPatternString / SimpleDateFormatString builders
+        str_cols = [c for c in cols if dtypes[c] in _STRING_TYPES]
+        if "regex" in fams and str_cols:
+            inferred = infer_regex_patterns(
+                df, str_cols,
+                candidates=params.get("candidate_regexes"),
+                threshold=float(params.get("pattern_threshold", 1.0)),
+            )
+            for c in str_cols:
+                if inferred[c]["best"]:
+                    suite.add(
+                        "expect_column_values_to_match_regex",
+                        column=c, regex=inferred[c]["best"],
+                    )
+        if "datetime_format" in fams and str_cols:
+            inferred = infer_datetime_formats(
+                df, str_cols,
+                candidates=params.get("candidate_date_formats"),
+                threshold=float(params.get("pattern_threshold", 1.0)),
+            )
+            for c in str_cols:
+                if inferred[c]["best"]:
+                    suite.add(
+                        "expect_column_values_to_match_strftime_format",
+                        column=c, strftime_format=inferred[c]["best"],
+                    )
 
         if "row_count" in fams:
             f = float(params.get("row_count_factor", 2.0))
@@ -560,3 +590,148 @@ def profile_suite_multibatch(
                 column=c, value_set=sorted(union),
             )
     return suite
+
+
+# ---------------------------------------------------------------------------
+# Pattern inference (reference: rule_based_profiler/parameter_builder/
+# regex_pattern_string_parameter_builder.py — candidate regexes scored by
+# match rate; simple_date_format_string_parameter_builder.py — candidate
+# strftime formats scored by parse rate). Both run ALL candidates for ALL
+# requested columns in ONE fused aggregation; the reference resolves one
+# metric per (candidate, column).
+# ---------------------------------------------------------------------------
+
+#: universal string shapes, Java-regex ∩ RE2 subset (no backrefs or
+#: lookaround) so DuckDB oracles can run them verbatim. ORDERED
+#: most-specific-first: ties at equal match rate resolve to the earliest
+#: entry, so a column matching both "alphabetic" and the looser "slug"
+#: reports the tighter pattern.
+DEFAULT_CANDIDATE_REGEXES = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",  # UUID
+    r"^(25[0-5]|2[0-4]\d|[01]?\d?\d)(\.(25[0-5]|2[0-4]\d|[01]?\d?\d)){3}$",  # IPv4
+    r"^\d{4}-\d{2}-\d{2}$",                    # ISO date shape
+    r"^https?://\S+$",                         # URL
+    r"^\S+@\S+\.\S+$",                         # email-ish
+    r"^\d+$",                                  # digits only
+    r"^-?\d+$",                                # signed integer
+    r"^-?\d+(\.\d+)?$",                        # decimal
+    r"^[0-9a-fA-F]+$",                         # hex
+    r"^[A-Za-z][A-Za-z0-9]*\d+$",              # word+number code (src7)
+    r"^[A-Za-z]+$",                            # alphabetic
+    r"^[A-Za-z0-9_]+$",                        # identifier
+    r"^[A-Za-z0-9_-]+$",                       # slug
+)
+
+#: strftime candidates restricted to directives the engine's JVM-side
+#: translation supports (conditions.strftime_to_spark_patterns)
+DEFAULT_CANDIDATE_DATE_FORMATS = (
+    "%Y-%m-%d",
+    "%Y/%m/%d",
+    "%d-%m-%Y",
+    "%d/%m/%Y",
+    "%m/%d/%Y",
+    "%Y%m%d",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y/%m/%d %H:%M:%S",
+    "%m/%d/%Y %H:%M:%S",
+    "%H:%M:%S",
+)
+
+
+def _best(rates: dict[str, float], threshold: float) -> str | None:
+    """Deterministic winner: highest rate above threshold; ties resolve
+    to the EARLIEST candidate (``rates`` preserves candidate order, and
+    candidate lists are ordered most-specific-first)."""
+    ok = [
+        (r, i, p)
+        for i, (p, r) in enumerate(rates.items())
+        if r >= threshold
+    ]
+    if not ok:
+        return None
+    ok.sort(key=lambda t: (-t[0], t[1]))
+    return ok[0][2]
+
+
+def infer_regex_patterns(
+    df: DataFrame,
+    columns: list[str] | str,
+    candidates: tuple[str, ...] | None = None,
+    threshold: float = 1.0,
+) -> dict[str, dict[str, Any]]:
+    """Per column: {"rates": {pattern: nonnull match rate}, "best":
+    winning pattern or None}. One df.agg for every (column, candidate)
+    pair — C columns x K candidates = C*K sum(when(rlike)) expressions in
+    a single whole-stage-codegen pass, zero Python in the loop."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    cands = list(candidates or DEFAULT_CANDIDATE_REGEXES)
+    aggs: list = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"nn__{c}"))
+        aggs += [
+            F.sum(F.when(col.rlike(p), 1).otherwise(0)).alias(f"m__{c}__{i}")
+            for i, p in enumerate(cands)
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, dict[str, Any]] = {}
+    for c in cols:
+        nn = int(row[f"nn__{c}"] or 0)
+        counts = {
+            p: int(row[f"m__{c}__{i}"] or 0) for i, p in enumerate(cands)
+        }
+        rates = {p: (m / nn if nn else 0.0) for p, m in counts.items()}
+        out[c] = {
+            "rates": rates,
+            "counts": counts,
+            "nonnull": nn,
+            "best": _best(rates, threshold),
+        }
+    return out
+
+
+def infer_datetime_formats(
+    df: DataFrame,
+    columns: list[str] | str,
+    candidates: tuple[str, ...] | None = None,
+    threshold: float = 1.0,
+) -> dict[str, dict[str, Any]]:
+    """Per column: parse rate for each candidate strftime format via the
+    SAME JVM try_to_timestamp expression the match_strftime_format
+    expectation compiles to — so an inferred format is green by
+    construction when re-validated. Candidates whose directives the
+    translation does not support are skipped. One fused agg."""
+    from .conditions import strftime_to_spark_patterns
+
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    cands = []
+    for fmt in candidates or DEFAULT_CANDIDATE_DATE_FORMATS:
+        try:
+            cands.append((fmt, strftime_to_spark_patterns(fmt)))
+        except ValueError:
+            continue
+    aggs: list = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"nn__{c}"))
+        for i, (_fmt, pats) in enumerate(cands):
+            probe = F.coalesce(
+                *[F.try_to_timestamp(col, F.lit(p)) for p in pats]
+            ) if len(pats) > 1 else F.try_to_timestamp(col, F.lit(pats[0]))
+            aggs.append(
+                F.sum(
+                    F.when(probe.isNotNull(), 1).otherwise(0)
+                ).alias(f"m__{c}__{i}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, dict[str, Any]] = {}
+    for c in cols:
+        nn = int(row[f"nn__{c}"] or 0)
+        rates = {
+            fmt: (int(row[f"m__{c}__{i}"] or 0) / nn if nn else 0.0)
+            for i, (fmt, _p) in enumerate(cands)
+        }
+        out[c] = {"rates": rates, "best": _best(rates, threshold)}
+    return out

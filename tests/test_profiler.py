@@ -259,3 +259,72 @@ def test_multibatch_errors(spark):
         profile_suite_multibatch(b)
     with pytest.raises(ValueError, match="unknown estimator"):
         profile_suite_multibatch([b, b], estimator="magic")
+
+
+# --- pattern inference (reference: RegexPatternString /
+# SimpleDateFormatString parameter builders) ---------------------------------
+
+
+def test_infer_regex_patterns(spark, documents):
+    from sparkcheck.profiler import infer_regex_patterns
+
+    out = infer_regex_patterns(documents, ["source", "lang"])
+    # source = 'src<digits>': the word+number code is the most specific
+    # full-rate pattern
+    assert out["source"]["best"] == r"^[A-Za-z][A-Za-z0-9]*\d+$"
+    assert out["source"]["rates"][r"^[A-Za-z][A-Za-z0-9]*\d+$"] == 1.0
+    assert out["lang"]["best"] == r"^[A-Za-z]+$"
+    # threshold above any rate -> no winner
+    low = infer_regex_patterns(documents, "source", threshold=1.1)
+    assert low["source"]["best"] is None
+
+
+def test_infer_datetime_formats(spark):
+    from sparkcheck.profiler import infer_datetime_formats
+
+    df = spark.createDataFrame(
+        [("2024-03-1%d" % (i % 9 + 1), "2024-03-10 12:0%d:00" % (i % 9))
+         for i in range(20)],
+        "d string, ts string",
+    )
+    out = infer_datetime_formats(df, ["d", "ts"])
+    assert out["d"]["best"] == "%Y-%m-%d"
+    assert out["ts"]["best"] == "%Y-%m-%d %H:%M:%S"
+    assert out["d"]["rates"]["%Y-%m-%d"] == 1.0
+    assert out["d"]["rates"]["%m/%d/%Y"] == 0.0
+
+
+def test_rules_pattern_families_validate_green(spark, documents):
+    from sparkcheck import validate_df
+    from sparkcheck.profiler import profile_suite_with_rules
+
+    suite = profile_suite_with_rules(documents, {
+        "rules": [
+            {"name": "pat", "domain": {"include": ["source", "lang"]},
+             "families": ["regex"]},
+        ]
+    })
+    types = [(e.expectation_type, e.kwargs["column"])
+             for e in suite.expectations]
+    assert ("expect_column_values_to_match_regex", "source") in types
+    # inferred patterns hold on the batch they were inferred from
+    rep = validate_df(documents, suite)
+    assert rep["success"], [r for r in rep["results"] if not r["success"]]
+
+
+def test_rules_datetime_family(spark):
+    from sparkcheck import validate_df
+    from sparkcheck.profiler import profile_suite_with_rules
+
+    df = spark.createDataFrame(
+        [("2024-03-10",), ("2024-04-01",)], "d string"
+    )
+    suite = profile_suite_with_rules(df, {
+        "rules": [{"name": "dt", "families": ["datetime_format"]}]
+    })
+    fmt = next(
+        e for e in suite.expectations
+        if e.expectation_type == "expect_column_values_to_match_strftime_format"
+    )
+    assert fmt.kwargs["strftime_format"] == "%Y-%m-%d"
+    assert validate_df(df, suite)["success"]
