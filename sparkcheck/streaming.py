@@ -55,6 +55,8 @@ class StreamingValidationSink:
         violations_fn: Callable[[DataFrame, str, str], DataFrame] | None = None,
         result_format: str = "BOOLEAN_ONLY",
         on_result: Callable[[int, dict[str, Any]], None] | None = None,
+        actions: list[Any] | None = None,
+        fused: bool = False,
     ):
         self.store = store
         self.suite = suite
@@ -62,26 +64,81 @@ class StreamingValidationSink:
         self.violations_fn = violations_fn
         self.result_format = result_format
         self.on_result = on_result
+        # notification actions (actions.py): run after each batch commit
+        # with the same notify_on gate as batch checkpoints — the streaming
+        # "page someone on a bad micro-batch" hook; outcomes never fail the
+        # stream, the latest batch's outcomes land in last_action_outcomes
+        self.actions = actions
+        # fused=True + violations_fn: the suite's aggregates ride a
+        # CollectMetrics node on the violation append, so each micro-batch
+        # is scanned once (fused.validate_and_extract semantics)
+        self.fused = fused
         self.batches_validated = 0
+        self.last_action_outcomes: dict[str, Any] | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pid = f"batch={batch_id}"
         # idempotent replay: foreachBatch re-delivers on failure/restart
         if pid in self.store.committed_partitions(self.run_id):
             return
-        result = Validator(batch_df).validate(
-            self.suite, result_format=self.result_format
-        )
-        n_rows = batch_df.count()
-        self._write(batch_df, pid, result, n_rows)
+        if self.fused and self.violations_fn is not None:
+            from .fused import validate_and_extract
+
+            result, _, _ = validate_and_extract(
+                batch_df,
+                self.suite,
+                lambda d: self.violations_fn(d, self.run_id, pid),
+                action=lambda rows: self.store.append("violations", rows),
+                result_format=self.result_format,
+            )
+            n_rows = next(
+                (
+                    r["result"]["element_count"]
+                    for r in result["results"]
+                    if "element_count" in r.get("result", {})
+                ),
+                None,
+            )
+            if n_rows is None:
+                n_rows = batch_df.count()
+            self._write(batch_df, pid, result, n_rows, write_violations=False)
+        else:
+            result = Validator(batch_df).validate(
+                self.suite, result_format=self.result_format
+            )
+            n_rows = batch_df.count()
+            self._write(batch_df, pid, result, n_rows)
         self.store.commit_partition(
             self.run_id, pid, {"success": result["success"], "n_docs": int(n_rows)}
         )
         self.batches_validated += 1
+        if self.actions:
+            from .actions import run_actions
+
+            self.last_action_outcomes = run_actions(
+                self.actions,
+                {
+                    "run_id": f"{self.run_id}/{pid}",
+                    "success": result["success"],
+                    "result": result,
+                },
+                {
+                    "spark": batch_df.sparkSession,
+                    "store": self.store,
+                    "suite_name": self.suite.name,
+                },
+            )
         if self.on_result is not None:
             self.on_result(batch_id, result)
 
-    def _write(self, batch_df: DataFrame, pid: str, result, n_rows: int) -> None:
+    def _write(
+        self,
+        batch_df: DataFrame,
+        pid: str,
+        result,
+        n_rows: int,
+        write_violations: bool = True,
+    ) -> None:
         # reuse the batch runner's result/lineage writers for one shared
         # results-table schema across streaming and batch validation
         from .runner import CheckpointRunner
@@ -89,7 +146,7 @@ class StreamingValidationSink:
         runner = CheckpointRunner(batch_df.sparkSession, self.store)
         runner._write_results(self.run_id, pid, result)  # noqa: SLF001
         runner._write_lineage(self.run_id, pid, result, n_rows)  # noqa: SLF001
-        if self.violations_fn is not None:
+        if self.violations_fn is not None and write_violations:
             self.store.append(
                 "violations", self.violations_fn(batch_df, self.run_id, pid)
             )

@@ -308,3 +308,51 @@ def test_freshness_monitor_rate_source(spark, tmp_path):
         assert 0 <= r.lag_seconds < 60  # rate-source events are fresh
     # every non-empty batch exceeded the 0-second threshold -> alert fired
     assert alerts
+
+
+def test_streaming_sink_actions_and_fused(spark, tmp_path):
+    """actions fire per committed micro-batch with the checkpoint gate;
+    fused=True writes identical results/violations in one scan."""
+    import json as _json
+
+    from sparkcheck.spans import span_violations
+    from sparkcheck.synth import generate_docs
+
+    docs = generate_docs(spark, 2000).cache()
+    suite = ExpectationSuite("sa", [
+        ExpectationConfiguration(
+            "expect_column_values_to_not_be_null", {"column": "doc_id"}
+        ),  # seeded nulls -> fails every batch
+    ])
+    alert = str(tmp_path / "stream_alerts.jsonl")
+    store = ParquetStore(str(tmp_path / "sa_store"))
+    sink = StreamingValidationSink(
+        store, suite, run_id="sa",
+        violations_fn=span_violations, fused=True,
+        actions=[{"type": "file_alert", "path": alert,
+                  "notify_on": "failure"}],
+    )
+    sink(docs, 0)
+    sink(docs, 1)
+    sink(docs, 1)  # replay: no duplicate commit, no duplicate alert
+    assert sink.batches_validated == 2
+    with open(alert) as f:
+        lines = [_json.loads(x) for x in f]
+    assert len(lines) == 2
+    assert lines[0]["run_id"] == "sa/batch=0" and not lines[0]["success"]
+    assert sink.last_action_outcomes["file_alert"]["status"] == "ok"
+
+    # fused output == classic output (results rows and violations)
+    store2 = ParquetStore(str(tmp_path / "sa_classic"))
+    classic = StreamingValidationSink(
+        store2, suite, run_id="sa", violations_fn=span_violations,
+    )
+    classic(docs, 0)
+    f_res = store.read(spark, "results").where("partition_id = 'batch=0'")
+    c_res = store2.read(spark, "results").where("partition_id = 'batch=0'")
+    cols = ["expectation", "success", "element_count", "unexpected_count"]
+    assert sorted(map(tuple, f_res.select(*cols).collect())) == \
+           sorted(map(tuple, c_res.select(*cols).collect()))
+    fv = store.read(spark, "violations").where("partition_id = 'batch=0'")
+    cv = store2.read(spark, "violations").where("partition_id = 'batch=0'")
+    assert fv.count() == cv.count()
