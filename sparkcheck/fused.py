@@ -81,6 +81,27 @@ def observable_requests(
     return out
 
 
+def _all_stage1_requests(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    result_format: Any,
+    evaluation_parameters: dict[str, Any] | None,
+) -> dict[tuple, Any]:
+    """Every stage-1 metric request of the suite, by id (errors skipped —
+    the validator converts them to failed EVRs later)."""
+    out: dict[tuple, Any] = {}
+    for cfg in suite.expectations:
+        rf = parse_result_format(cfg.get("result_format", result_format))
+        try:
+            bcfg = _bind_config(cfg, evaluation_parameters or {}, None)
+            exp = get_expectation(bcfg.expectation_type)
+            for m in exp.metric_requests(bcfg, rf).values():
+                out[m.id] = m
+        except Exception:  # noqa: BLE001
+            continue
+    return out
+
+
 def validate_and_extract(
     df: DataFrame,
     suite: ExpectationSuite,
@@ -88,6 +109,7 @@ def validate_and_extract(
     action: Callable[[DataFrame], Any] | None = None,
     result_format: Any = "BOOLEAN_ONLY",
     evaluation_parameters: dict[str, Any] | None = None,
+    prefetch: bool = True,
 ) -> tuple[dict[str, Any], DataFrame, Any]:
     """Run ``suite`` against ``df`` and ``rows_builder(df)`` in ONE scan.
 
@@ -142,9 +164,36 @@ def validate_and_extract(
         def action(r: DataFrame) -> None:
             r.write.format("noop").mode("overwrite").save()
 
-    action_result = action(rows)
-
     validator = Validator(df)
+
+    # overlap the NON-observable metric jobs (uniqueness groupBys,
+    # filtered-domain aggs — narrow, key-/column-pruned scans) with the
+    # row-extraction action: Spark schedules concurrent jobs from separate
+    # threads across the same executors, so their wall-time hides behind
+    # the full-width pass instead of following it. Memoized into the same
+    # resolver the validator reads, so nothing recomputes.
+    prefetch_thread = None
+    if prefetch and obs is not None:
+        all_reqs = _all_stage1_requests(
+            df, suite, result_format, evaluation_parameters
+        )
+        nonobs = [m for mid, m in all_reqs.items() if mid not in reqs]
+        if nonobs:
+            import threading
+
+            def _prefetch() -> None:
+                try:
+                    validator.resolver.resolve(nonobs, raise_errors=False)
+                except Exception:  # noqa: BLE001 — validate() retries/records
+                    pass
+
+            prefetch_thread = threading.Thread(target=_prefetch, daemon=True)
+            prefetch_thread.start()
+
+    action_result = action(rows)
+    if prefetch_thread is not None:
+        prefetch_thread.join()
+
     if obs is not None:
         got = obs.get  # blocks until the action's query completes
         for alias, mid in alias_to_id.items():
