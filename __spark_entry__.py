@@ -1221,6 +1221,32 @@ def q_regex_inference_documents(spark, sf):
     ).orderBy("pattern")
 
 
+def q_datetime_inference_events(spark, sf):
+    """Candidate strftime-format inference (profiler.infer_datetime_formats,
+    the reference's SimpleDateFormatStringParameterBuilder): events.ts
+    rendered as a padded date string, every candidate's parse count from
+    ONE fused try_to_timestamp agg, winner = full-rate candidate. The
+    oracle re-renders with strftime and replays every candidate through
+    DuckDB try_strptime — padded strings keep the two parsers in exact
+    agreement."""
+    from sparkcheck.profiler import (
+        DEFAULT_CANDIDATE_DATE_FORMATS,
+        infer_datetime_formats,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    )
+    res = infer_datetime_formats(ev, "d")["d"]
+    rows = [
+        (f, res["counts"][f], f == res["best"])
+        for f in DEFAULT_CANDIDATE_DATE_FORMATS
+    ]
+    return spark.createDataFrame(
+        rows, "format string, matches long, selected boolean"
+    ).orderBy("format")
+
+
 def q_multibatch_profile_documents(spark, sf):
     """Multi-batch profiling (profiler.profile_suite_multibatch, the
     reference's NumericMetricRangeMultiBatchParameterBuilder semantics):
@@ -1436,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
         "regex_inference_documents": q_regex_inference_documents,
+        "datetime_inference_events": q_datetime_inference_events,
         "reconcile_lineitem_orders": q_reconcile_lineitem_orders,
         "freshness_events": q_freshness_events,
         "class_balance_lang": q_class_balance_lang,
@@ -2054,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "regex_inference_documents": _regex_inference_oracle(),
+        "datetime_inference_events": _datetime_inference_oracle(),
         "multibatch_profile_documents": (
             # full SQL replay of the exact multi-batch estimator: per-lang
             # stats, then min-of-minima / max-of-maxima / mean band /
@@ -2309,6 +2337,30 @@ def _regex_inference_oracle() -> str:
         "SELECT pat AS pattern, matches, "
         "coalesce(idx = (SELECT widx FROM w), FALSE) AS selected "
         "FROM m ORDER BY pattern"
+    )
+
+
+def _datetime_inference_oracle() -> str:
+    # same candidate list/order; DuckDB try_strptime agrees with Spark
+    # try_to_timestamp on zero-padded strings (the derived column is
+    # strftime output, always padded)
+    from sparkcheck.profiler import DEFAULT_CANDIDATE_DATE_FORMATS
+
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS idx, '{f}' AS fmt, count(*) FILTER (WHERE "
+        f"s IS NOT NULL AND try_strptime(s, '{f}') IS NOT NULL) AS matches "
+        "FROM d"
+        for i, f in enumerate(DEFAULT_CANDIDATE_DATE_FORMATS)
+    )
+    return (
+        "WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS s FROM events), "
+        "n AS (SELECT count(s) AS nn FROM d), "
+        f"m AS ({branches}), "
+        "w AS (SELECT min(idx) AS widx FROM m, n "
+        "WHERE n.nn > 0 AND m.matches = n.nn) "
+        "SELECT fmt AS format, matches, "
+        "coalesce(idx = (SELECT widx FROM w), FALSE) AS selected "
+        "FROM m ORDER BY format"
     )
 
 

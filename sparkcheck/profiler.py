@@ -729,9 +729,15 @@ def infer_datetime_formats(
     out: dict[str, dict[str, Any]] = {}
     for c in cols:
         nn = int(row[f"nn__{c}"] or 0)
-        rates = {
-            fmt: (int(row[f"m__{c}__{i}"] or 0) / nn if nn else 0.0)
+        counts = {
+            fmt: int(row[f"m__{c}__{i}"] or 0)
             for i, (fmt, _p) in enumerate(cands)
         }
-        out[c] = {"rates": rates, "best": _best(rates, threshold)}
+        rates = {fmt: (m / nn if nn else 0.0) for fmt, m in counts.items()}
+        out[c] = {
+            "rates": rates,
+            "counts": counts,
+            "nonnull": nn,
+            "best": _best(rates, threshold),
+        }
     return out
