@@ -50,15 +50,74 @@ def _page_name(run_id: str, suite: str) -> str:
     return f"{safe}.html"
 
 
+def _violations_by_run(
+    store, spark: SparkSession, run_ids: list[str], cap: int
+) -> tuple[dict[str, int], dict[str, list[Any]]]:
+    """(total count, first-``cap`` sample rows) per rendered run from the
+    store's violations table, in TWO distributed jobs total: a groupBy
+    count and one window-capped collect — never the whole table to the
+    driver. Empty dicts when the store has no violations table."""
+    from pyspark.sql import Window
+
+    try:
+        vdf = store.read(spark, "violations")
+    except Exception:  # noqa: BLE001 — store never wrote violations
+        return {}, {}
+    vdf = vdf.where(F.col("run_id").isin(run_ids))
+    counts = {
+        r["run_id"]: int(r["n"])
+        for r in vdf.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    w = Window.partitionBy("run_id").orderBy("doc_id", "span_index", "expectation")
+    sample_rows = (
+        vdf.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+        .collect()
+    )
+    samples: dict[str, list[Any]] = {}
+    for r in sample_rows:
+        samples.setdefault(r["run_id"], []).append(r)
+    return counts, samples
+
+
+def _violations_section(rows: list[Any], total: int, cap: int) -> str:
+    if not rows:
+        return ""
+    cols = ["doc_id", "span_index", "expectation", "observed_value"]
+    body = "".join(
+        "<tr>" + "".join(
+            f"<td>{html.escape(str(r[c]) if r[c] is not None else '')}</td>"
+            for c in cols
+        ) + "</tr>"
+        for r in rows
+    )
+    note = (
+        f"showing first {len(rows)} of {total}" if total > len(rows)
+        else f"{total} rows"
+    )
+    return (
+        f"<h2>Violation rows <small>({note})</small></h2>"
+        '<table border="0" cellpadding="4" '
+        'style="border-collapse:collapse;font-size:90%">'
+        '<tr style="background:#eee">'
+        + "".join(f"<th>{c}</th>" for c in cols)
+        + f"</tr>{body}</table>"
+    )
+
+
 def build_data_docs(
     store,
     spark: SparkSession,
     out_dir: str,
     max_runs: int = 200,
+    violations_cap: int = 200,
 ) -> str:
     """Render the store's validation history into ``out_dir`` as a static
-    site: ``index.html`` (newest-first run table with pass/fail badges)
-    plus one page per (run_id, suite). Returns the index path.
+    site: ``index.html`` (newest-first run table with pass/fail badges and
+    violation counts) plus one page per (run_id, suite), each carrying a
+    capped sample of that run's violation rows when the store has a
+    violations table. Returns the index path.
 
     Works against any store with ``read(spark, table)`` — ParquetStore or
     IcebergStore — reading the same ``evaluation_parameters`` table the
@@ -92,14 +151,24 @@ def build_data_docs(
             json.loads(r["evr"])
         )
 
+    v_counts, v_samples = _violations_by_run(
+        store, spark, [g["run_id"] for g in groups], violations_cap
+    )
+
     index_rows = []
     for g in groups:
         key = (g["run_id"], g["suite_name"])
         evrs = by_key.get(key, [])
         rep = _site_report(evrs, g["suite_name"])
         page = _page_name(*key)
+        n_viol = v_counts.get(g["run_id"], 0)
         with open(os.path.join(out_dir, page), "w") as f:
             f.write(to_html(rep, title=f"{g['suite_name']} — run {g['run_id']}"))
+            f.write(
+                _violations_section(
+                    v_samples.get(g["run_id"], []), n_viol, violations_cap
+                )
+            )
         st = rep["statistics"]
         badge = (
             '<span style="color:#0a0">PASSED</span>' if rep["success"]
@@ -110,6 +179,7 @@ def build_data_docs(
             f'<td><a href="{page}">{html.escape(g["suite_name"])}</a></td>'
             f"<td>{html.escape(g['run_id'])}</td>"
             f"<td>{st['successful_expectations']}/{st['evaluated_expectations']}</td>"
+            f"<td>{n_viol}</td>"
             f"<td>{g['ts']}</td></tr>"
         )
 
@@ -123,7 +193,8 @@ def build_data_docs(
             '<table border="0" cellpadding="6" '
             'style="border-collapse:collapse;width:100%">'
             '<tr style="background:#eee"><th>status</th><th>suite</th>'
-            "<th>run</th><th>expectations</th><th>latest ts</th></tr>"
+            "<th>run</th><th>expectations</th><th>violations</th>"
+            "<th>latest ts</th></tr>"
             f"{''.join(index_rows)}</table></body></html>"
         )
     return index

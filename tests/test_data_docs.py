@@ -66,3 +66,38 @@ def test_build_data_docs_max_runs(spark, tmp_path):
     data_docs.build_data_docs(store, spark, out, max_runs=3)
     pages = [p for p in os.listdir(out) if p != "index.html"]
     assert len(pages) == 3  # only newest max_runs rendered
+
+
+def test_data_docs_violations_section(spark, tmp_path):
+    """Runs with stored violation rows get a capped sample table on their
+    page and a count in the index."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.data_docs import build_data_docs
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+    from sparkcheck.spans import span_violations
+    from sparkcheck.synth import generate_docs
+
+    docs = generate_docs(spark, 3000)
+    s = ExpectationSuite("vd")
+    s.add("expect_column_values_to_not_be_null", column="doc_id", mostly=0.9)
+    store = ParquetStore(str(tmp_path / "store"))
+    CheckpointRunner(
+        spark, store, n_buckets=2, violations_fn=span_violations, fused=True
+    ).run(docs, s, run_id="rv")
+
+    out = str(tmp_path / "site")
+    build_data_docs(store, spark, out, violations_cap=10)
+    index = open(f"{out}/index.html").read()
+    assert "<th>violations</th>" in index
+    n_viol = span_violations(docs).count()
+    assert f"<td>{n_viol}</td>" in index
+
+    import glob
+
+    pages = [p for p in glob.glob(f"{out}/*.html") if "index" not in p]
+    page = open(pages[0]).read()
+    assert "Violation rows" in page
+    assert f"showing first 10 of {n_viol}" in page
+    # capped: exactly 10 sample rows rendered under the violations table
+    section = page.split("Violation rows")[1]
+    assert section.count("expect_span_") == 10
