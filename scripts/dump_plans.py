@@ -253,6 +253,28 @@ def main():
         "frames, and the per-check verdicts as a Project + explode. "
         "Adding checks adds aggregate columns, never scans.")
 
+    add("Per-domain quota sampling (per_source_cap)",
+        qs["per_source_cap"](spark, SF),
+        "Only the narrow (group, key, hash) triplet frame rides the rank "
+        "shuffle (`Exchange hashpartitioning(__g ...)` below a Project of "
+        "exactly three columns); the row_number Window runs on triplets, "
+        "and survivors rejoin the full rows via a LeftSemi join on the "
+        "bounded kept-key set — AQE turns it into a broadcast, so the "
+        "document payload is never shuffled at all.")
+    add("Boilerplate n-gram discovery (boilerplate_ngrams)",
+        qs["boilerplate_ngrams"](spark, SF),
+        "array_distinct runs per document BEFORE the explode, so document "
+        "frequency is a plain count with map-side partial aggregation "
+        "(`partial_count` below the Exchange) — no (doc, ngram) distinct "
+        "shuffle; the global sort only sees the >= min_docs aggregate, "
+        "and TakeOrderedAndProject caps it at top_k.")
+    add("Single-pass curation funnel (curation_funnel)",
+        qs["curation_funnel"](spark, SF),
+        "Four chained quality filters accounted in ONE HashAggregate over "
+        "ONE scan — every cumulative stage condition is a sum(when) "
+        "column, so funnel depth adds aggregate columns, never passes; "
+        "the stage unpivot explodes the single aggregated row.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

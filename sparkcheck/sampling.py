@@ -94,6 +94,99 @@ def sample_to_token_budget(
     return stratified_sample(docs, strata_col, rates, key_col, salt=salt)
 
 
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically: the
+    ``cap`` smallest ``hash_fraction(key)`` values win (ties broken by key).
+    This is the per-domain quota step of web-corpus curation (C4/Gopher
+    style "no domain may dominate the mix"), made reproducible — re-running
+    on a grown corpus keeps a superset-stable selection per group because
+    each row's hash never changes.
+
+    Scale shape: the full rows never ride the rank shuffle. Only a narrow
+    (group, key, hash) triplet frame (~tens of bytes/row) goes through the
+    ``row_number`` window partitioned by group; survivors come back via a
+    key left-semi join, which AQE turns into a broadcast when the kept set
+    is small (it is at most |groups| * cap rows by construction). A hot
+    group concentrates its triplets on one task, but triplets are so narrow
+    that even a 10^9-row group is ~30 GB — within one executor's spill
+    budget; past that, pre-filter the triplets with a per-group rate before
+    the window (the kept set is always the hash-order prefix, so any
+    pre-filter that provably retains >= cap rows per group is exact).
+    """
+    from pyspark.sql import Window
+
+    h = hash_fraction(key_col, salt)
+    triplets = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(key_col).alias("__k"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__h"), F.col("__k"))
+    kept = (
+        triplets.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .select("__k")
+    )
+    return df.join(kept, df[key_col] == kept["__k"], "left_semi")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by cumulative
+    hash-fraction thresholds: reproducible across runs, engines, and
+    cluster sizes, and join-stable — two tables split on the same key put
+    the same entity in the same split, so features and labels never leak
+    across the boundary. Zero shuffle (pure Column projection).
+
+    ``weights`` need not sum to 1; they are normalized. Split boundaries
+    follow the dict's insertion order."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = hash_fraction(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += float(weights[name]) / total
+        cond = h < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_balance(
+    df: DataFrame, split_col: str = "split", label_col: str | None = None
+) -> DataFrame:
+    """Per-split (optionally per-label) counts and within-split fractions —
+    the "did my split preserve the label mix?" audit. One groupBy over the
+    split/label pair (dimension-sized result); the fraction window runs on
+    that tiny aggregate frame, never on the data."""
+    from pyspark.sql import Window
+
+    keys = [split_col] + ([label_col] if label_col else [])
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(split_col)
+    return counts.select(
+        *keys,
+        F.col("n").alias("rows"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_split"),
+    ).orderBy(*keys)
+
+
 def sampled_violation_estimate(
     df: DataFrame,
     suite,

@@ -331,6 +331,143 @@ def scrub_pii(col: str | Column = "text", replacement: str = "[PII]") -> Column:
     return c
 
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate discovery: word n-grams that appear in at
+    least ``min_docs`` DISTINCT documents, ranked by document frequency
+    (ties broken by the n-gram string so the top-k is deterministic).
+    Headers, footers, cookie banners, and licence blurbs surface here —
+    the blocklist input to line/passage-level dedup in web-corpus
+    pipelines (cf. RefinedWeb/C4 boilerplate removal).
+
+    Scale shape: the per-doc ``array_distinct`` runs BEFORE the explode,
+    so document frequency is a plain count — no (doc, ngram) distinct
+    shuffle. The exploded frame aggregates with map-side partial combine
+    on the n-gram key; only (ngram, partial_count) pairs cross the
+    exchange, and the min_docs filter plus top-k cap bound what survives.
+    The global orderBy runs on the already-filtered aggregate, which for
+    any real min_docs is orders of magnitude smaller than the corpus."""
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                tokens(text_col) if n == 1 else shingles(text_col, n)
+            )
+        ).alias("ngram"),
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
+def scrub_boilerplate(
+    col: str | Column, ngrams: list[str], replacement: str = ""
+) -> Column:
+    """Remove every occurrence of the given boilerplate n-grams (longest
+    first, so sub-phrases of an already-removed phrase don't leave
+    fragments), collapsing the leftover double spaces. The list comes from
+    ``boilerplate_ngrams`` — bounded by its top_k, so folding it into a
+    chain of literal ``replace`` calls keeps the scrub a pure projection
+    (no UDF, no join).
+
+    Semantics are SINGLE-PASS per phrase: every occurrence present in the
+    input text is removed, but when a removal makes the surrounding words
+    adjacent, the join can spell the phrase anew ("filter data <phrase>
+    batch" with phrase "filter data batch" collapses to a fresh "filter
+    data batch") and that spliced occurrence stays. This is the standard
+    regexp_replace contract; corpus pipelines that need guaranteed-absent
+    phrases remove whole lines/passages instead (the line-dedup domain),
+    not substrings."""
+    c = F.col(col) if isinstance(col, str) else col
+    for g in sorted(ngrams, key=lambda s: (-len(s), s)):
+        c = F.replace(c, F.lit(g), F.lit(replacement))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def curation_funnel(
+    docs: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Single-pass funnel accounting for a chained curation pipeline: one
+    row per stage with how many documents survive every filter up to and
+    including it (stage_idx, stage, surviving, dropped_here). The question
+    a pipeline owner actually asks — "which filter ate my corpus?" —
+    answered without N passes: every cumulative condition becomes one
+    ``sum(when)`` in a SINGLE aggregation over a SINGLE scan.
+
+    A NULL condition (e.g. a ratio on an empty doc) counts as failing that
+    stage, matching filter semantics exactly: the funnel row equals
+    ``docs.where(c1 & ... & ci).count()`` for every prefix.
+
+    Perf note: conditions are caller-built Columns, so shared
+    subexpressions (tokenization, shingle arrays) should be pre-projected
+    once with ``.select(..., tokens(...).alias("__toks"))`` and referenced
+    by alias — Catalyst keeps a multiply-referenced non-cheap alias
+    materialized in its own projection, where inlining the same
+    ``split(lower(...))`` into every stage re-tokenizes per condition
+    (measured 1.4x on a 4-stage text funnel at sf0.1)."""
+    from pyspark.sql import Window
+
+    from .sources import ensure_parallelism
+
+    if not stages:
+        raise ValueError("curation_funnel needs at least one stage")
+    docs = ensure_parallelism(docs)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    acc = None
+    for i, (_, cond) in enumerate(stages):
+        acc = cond if acc is None else (acc & cond)
+        aggs.append(
+            F.sum(F.coalesce(acc, F.lit(False)).cast("long")).alias(f"__s{i}")
+        )
+    wide = docs.agg(*aggs)
+    rows = F.array(
+        F.struct(
+            F.lit(0).alias("stage_idx"),
+            F.lit("input").alias("stage"),
+            F.col("__total").alias("surviving"),
+        ),
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"__s{i}").alias("surviving"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ],
+    )
+    exploded = wide.select(F.explode(rows).alias("r")).select("r.*")
+    prev = F.lag("surviving", 1).over(Window.orderBy("stage_idx"))
+    return exploded.select(
+        "stage_idx",
+        "stage",
+        "surviving",
+        F.coalesce(prev - F.col("surviving"), F.lit(0)).alias("dropped_here"),
+    ).orderBy("stage_idx")
+
+
+def curate(docs: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
+    """Apply the full curation pipeline: rows passing EVERY stage
+    condition (NULL = fail, as in ``curation_funnel``). Pure conjunctive
+    filter — one narrow scan, every predicate eligible for pushdown."""
+    acc = F.lit(True)
+    for _, cond in stages:
+        acc = acc & F.coalesce(cond, F.lit(False))
+    return docs.where(acc)
+
+
 def class_balance(df, label_col: str):
     """Label-distribution health for a training table: one row per label
     (label, n, frac) plus the whole-table stats every class-imbalance

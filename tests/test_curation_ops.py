@@ -129,3 +129,136 @@ def test_two_sample_drift_identical_and_shifted(spark):
     moved = two_sample_drift(a, b, "x", [0, 2, 4, 6, 8, 10]).collect()[0]
     assert moved.psi > 0.05  # mass shifted into the top bin
     assert moved.kl_ab != 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation operators: per-group caps, hash splits, boilerplate
+# discovery, funnel accounting
+# ---------------------------------------------------------------------------
+
+
+def test_per_group_cap_exact_and_deterministic(spark):
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "k int, g string")
+    capped = sampling.per_group_cap(df, "g", 4, "k")
+    counts = {r["g"]: r["n"] for r in
+              capped.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
+    # deterministic: same selection twice
+    a = sorted(r["k"] for r in capped.collect())
+    b = sorted(r["k"] for r in sampling.per_group_cap(df, "g", 4, "k").collect())
+    assert a == b
+    # groups smaller than the cap are kept whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "k int, g string")
+    assert sampling.per_group_cap(small, "g", 10, "k").count() == 2
+
+
+def test_per_group_cap_superset_stability(spark):
+    # growing the corpus never evicts a kept row unless a smaller-hash row
+    # arrives in its group — the kept set is the hash-order prefix, so the
+    # cap-4 selection from 20 rows is a subset of the cap-8 one
+    df = spark.createDataFrame([(i, "g") for i in range(20)], "k int, g string")
+    k4 = {r["k"] for r in sampling.per_group_cap(df, "g", 4, "k").collect()}
+    k8 = {r["k"] for r in sampling.per_group_cap(df, "g", 8, "k").collect()}
+    assert k4 < k8 and len(k4) == 4 and len(k8) == 8
+
+
+def test_hash_split_partition_and_balance(spark):
+    df = spark.createDataFrame([(i, "l%d" % (i % 2)) for i in range(2000)],
+                               "k int, lab string")
+    sp = sampling.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, "k")
+    # exhaustive + disjoint: every row gets exactly one split
+    assert sp.where(F.col("split").isNull()).count() == 0
+    assert sp.count() == 2000
+    by = {r["split"]: r["n"] for r in
+          sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert 1500 < by["train"] < 1750  # ~80% of 2000, hash-uniform
+    bal = sampling.split_balance(sp, "split", "lab").collect()
+    fr = {(r["split"], r["lab"]): r["frac_of_split"] for r in bal}
+    tot = {}
+    for (s, _), f in fr.items():
+        tot[s] = tot.get(s, 0.0) + f
+    for s, f in tot.items():
+        assert abs(f - 1.0) < 1e-4, (s, f)
+
+
+def test_hash_split_join_stable(spark):
+    # same key -> same split in two different tables (the leak-safety
+    # property)
+    a = spark.createDataFrame([(i,) for i in range(300)], "k int")
+    b = spark.createDataFrame([(i, i * 2) for i in range(300)], "k int, v int")
+    w = {"train": 0.5, "test": 0.5}
+    sa = sampling.hash_split(a, w, "k").select("k", F.col("split").alias("s1"))
+    sb = sampling.hash_split(b, w, "k").select("k", F.col("split").alias("s2"))
+    assert sa.join(sb, "k").where(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_boilerplate_ngrams_doc_freq(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter now please"),
+            (2, "subscribe to our newsletter today friends"),
+            (3, "subscribe to our newsletter today again"),
+            (4, "totally unrelated words here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["ngram"]: r["doc_freq"]
+           for r in text.boilerplate_ngrams(df, n=3, min_docs=2).collect()}
+    assert got["subscribe to our"] == 3
+    assert got["to our newsletter"] == 3
+    assert got["our newsletter today"] == 2
+    assert "totally unrelated words" not in got
+    # within-doc repeats count once (doc frequency, not term frequency)
+    rep = spark.createDataFrame([(1, "x y z x y z"), (2, "x y z")],
+                                "doc_id int, text string")
+    got2 = {r["ngram"]: r["doc_freq"]
+            for r in text.boilerplate_ngrams(rep, n=3, min_docs=2).collect()}
+    assert got2["x y z"] == 2
+
+
+def test_scrub_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "real content subscribe to our newsletter more content")],
+        "doc_id int, text string",
+    )
+    out = df.select(text.scrub_boilerplate(
+        "text", ["subscribe to our newsletter"]).alias("t")).collect()[0]["t"]
+    assert out == "real content more content"
+
+
+def test_curation_funnel_matches_filters(spark):
+    df = spark.createDataFrame(
+        [(i, ("the and of to a in " * (i + 1)).strip()) for i in range(8)]
+        + [(99, "")],
+        "doc_id int, text string",
+    ).withColumn("n_chars", F.length("text"))
+    stages = [
+        ("chars", F.col("n_chars") >= 30),
+        ("tokens", text.token_count("text") <= 30),
+        ("stop", text.stopword_ratio("text") >= 0.5),
+    ]
+    fun = {r["stage"]: (r["surviving"], r["dropped_here"])
+           for r in text.curation_funnel(df, stages).collect()}
+    # each funnel row equals the cumulative .where count
+    acc = None
+    expect = [("chars", stages[0][1]), ("tokens", stages[1][1]),
+              ("stop", stages[2][1])]
+    assert fun["input"] == (9, 0)
+    prev = 9
+    for name, cond in expect:
+        acc = cond if acc is None else acc & cond
+        n = df.where(acc).count()
+        assert fun[name] == (n, prev - n), name
+        prev = n
+    # curate() applies the whole chain
+    assert text.curate(df, stages).count() == prev
+
+
+def test_curation_funnel_null_counts_as_fail(spark):
+    df = spark.createDataFrame([(1, ""), (2, "the and of")],
+                               "doc_id int, text string")
+    fun = {r["stage"]: r["surviving"] for r in text.curation_funnel(
+        df, [("stop", text.stopword_ratio("text") >= 0.5)]).collect()}
+    assert fun == {"input": 2, "stop": 1}  # empty doc's NULL ratio fails
