@@ -865,6 +865,38 @@ def q_dataset_diff_orders(spark, sf):
     return diffing.diff_summary(old, new, ["o_orderkey"])
 
 
+def q_incremental_validation_orders(spark, sf):
+    """Incremental revalidation (diffing.revalidate_delta): the suite's
+    row-local expectations run over ONLY the rows the rebuild added or
+    changed — the same deterministic perturbation as dataset_diff_orders —
+    so validation cost scales with churn, not table size. All three
+    expectations fuse into one aggregation over the delta."""
+    from sparkcheck import ExpectationSuite
+
+    o = _t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 101 != 0)
+    new = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    s = ExpectationSuite("delta")
+    s.add("expect_column_values_to_not_be_null", column="o_custkey")
+    s.add(
+        "expect_column_values_to_be_between",
+        column="o_totalprice",
+        min_value=1000,
+        max_value=300000,
+    )
+    s.add(
+        "expect_column_values_to_match_regex",
+        column="o_orderpriority",
+        regex="^[1-3]",
+    )
+    rep, _skipped = diffing.revalidate_delta(old, new, ["o_orderkey"], s)
+    return rep
+
+
 def q_segment_validation_returnflag(spark, sf):
     """Per-segment aggregate validation over lineitem grouped by
     (l_returnflag, l_linestatus): every check's aggregate + bounds flag in
@@ -1564,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_sample_drift_quantity": q_two_sample_drift_quantity,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
+        "incremental_validation_orders": q_incremental_validation_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
         "windowed_drift_events": q_windowed_drift_events,
         "per_source_cap": q_per_source_cap,
@@ -2103,6 +2136,41 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "hash_split_balance": _hash_split_oracle(),
+
+        "incremental_validation_orders": (
+            # delta = added + changed new-side rows (IS DISTINCT FROM
+            # replays the xxhash64 equality classification exactly), then
+            # the three fused unexpected counts over just that delta
+            "WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0), "
+            "newv AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 "
+            "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+            "o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0), "
+            "d AS (SELECT n.* FROM newv n LEFT JOIN oldv o "
+            "ON n.o_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL "
+            "OR (n.o_custkey IS DISTINCT FROM o.o_custkey) "
+            "OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus) "
+            "OR (n.o_totalprice IS DISTINCT FROM o.o_totalprice) "
+            "OR (n.o_orderdate IS DISTINCT FROM o.o_orderdate) "
+            "OR (n.o_orderpriority IS DISTINCT FROM o.o_orderpriority)), "
+            "a AS (SELECT count(*)::BIGINT AS delta_rows, "
+            "coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0)"
+            "::BIGINT AS u0, "
+            "coalesce(sum(CASE WHEN o_totalprice IS NOT NULL AND NOT "
+            "(o_totalprice BETWEEN 1000 AND 300000) THEN 1 END), 0)"
+            "::BIGINT AS u1, "
+            "coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT "
+            "regexp_matches(o_orderpriority, '^[1-3]') THEN 1 END), 0)"
+            "::BIGINT AS u2 FROM d) "
+            "SELECT 'expect_column_values_to_not_be_null:o_custkey' AS "
+            "expectation, delta_rows, u0 AS unexpected FROM a "
+            "UNION ALL SELECT "
+            "'expect_column_values_to_be_between:o_totalprice', "
+            "delta_rows, u1 FROM a "
+            "UNION ALL SELECT "
+            "'expect_column_values_to_match_regex:o_orderpriority', "
+            "delta_rows, u2 FROM a"
+        ),
 
         "boilerplate_ngrams": (
             f"{toks_cte}, "

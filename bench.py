@@ -63,6 +63,8 @@ HEADLINE = [
     "segment_validation_returnflag",
     "windowed_drift_events",
     "quarantine_split",
+    "per_source_cap",
+    "curation_funnel",
 ]
 
 

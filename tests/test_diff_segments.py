@@ -171,3 +171,62 @@ def test_suite_diff_identical_is_empty():
     s.add("expect_column_values_to_not_be_null", column="a")
     d = suite_diff(s, s)
     assert d == {"added": [], "removed": [], "changed": []}
+
+
+def test_revalidate_delta_counts_only_churn(spark):
+    from sparkcheck import ExpectationSuite
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k int, v int, s string"
+    )
+    # key 2 changed (v 20 -> -5, violates between), key 4 added (null s,
+    # violates not_null), keys 1/3 untouched, key 3 removed? no — keep 3
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, -5, "b"), (3, 30, "c"), (4, 40, None)],
+        "k int, v int, s string",
+    )
+    suite = ExpectationSuite("d")
+    suite.add("expect_column_values_to_be_between", column="v",
+              min_value=0, max_value=100)
+    suite.add("expect_column_values_to_not_be_null", column="s")
+    rep, skipped = diffing.revalidate_delta(old, new, ["k"], suite)
+    rows = {r["expectation"]: (r["delta_rows"], r["unexpected"])
+            for r in rep.collect()}
+    # delta = {2 (changed), 4 (added)}: v=-5 violates between; s=None
+    # violates not_null; the untouched keys contribute nothing
+    assert rows == {
+        "expect_column_values_to_be_between:v": (2, 1),
+        "expect_column_values_to_not_be_null:s": (2, 1),
+    }
+    assert skipped == {}
+
+
+def test_revalidate_delta_skips_cross_row(spark):
+    from sparkcheck import ExpectationSuite
+
+    old = spark.createDataFrame([(1, "x")], "k int, s string")
+    new = spark.createDataFrame([(1, "x"), (2, "x")], "k int, s string")
+    suite = ExpectationSuite("d")
+    suite.add("expect_column_values_to_be_unique", column="s")
+    suite.add("expect_column_values_to_not_be_null", column="s")
+    rep, skipped = diffing.revalidate_delta(old, new, ["k"], suite)
+    assert rep.collect()[0]["delta_rows"] == 1  # only the added key 2
+    assert any("unique" in k for k in skipped)  # refused, not silently wrong
+    # an all-cross-row suite yields an empty (typed) report, never a crash
+    only_unique = ExpectationSuite("u")
+    only_unique.add("expect_column_values_to_be_unique", column="s")
+    rep2, skipped2 = diffing.revalidate_delta(old, new, ["k"], only_unique)
+    assert rep2.count() == 0 and skipped2
+
+
+def test_revalidate_delta_no_churn_zero_cost(spark):
+    from sparkcheck import ExpectationSuite
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "k int, v int")
+    suite = ExpectationSuite("d")
+    suite.add("expect_column_values_to_be_between", column="v",
+              min_value=0, max_value=100)
+    rep, _ = diffing.revalidate_delta(df, df, ["k"], suite)
+    assert [tuple(r) for r in rep.collect()] == [
+        ("expect_column_values_to_be_between:v", 0, 0)
+    ]
