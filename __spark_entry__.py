@@ -865,6 +865,18 @@ def q_dataset_diff_orders(spark, sf):
     return diffing.diff_summary(old, new, ["o_orderkey"])
 
 
+def q_passage_dedup_documents(spark, sf):
+    """Corpus-wide passage dedup (dedup.drop_duplicate_passages, 8-token
+    blocks): every passage keeps only its globally first occurrence and
+    each document's text is rebuilt from the survivors — the removal half
+    of RefinedWeb-style line dedup. One 8-byte-key shuffle for the
+    first-occurrence argmin (groupBy MIN(struct), map-side combine — hot
+    passages collapse per input partition), one co-partitioned verdict
+    join, one rebuild groupBy."""
+    d = _t(spark, sf, "documents")
+    return dedup.drop_duplicate_passages(d, block_tokens=8)
+
+
 def q_incremental_validation_orders(spark, sf):
     """Incremental revalidation (diffing.revalidate_delta): the suite's
     row-local expectations run over ONLY the rows the rebuild added or
@@ -1596,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_sample_drift_quantity": q_two_sample_drift_quantity,
         "join_key_health_lineitem": q_join_key_health_lineitem,
         "dataset_diff_orders": q_dataset_diff_orders,
+        "passage_dedup_documents": q_passage_dedup_documents,
         "incremental_validation_orders": q_incremental_validation_orders,
         "segment_validation_returnflag": q_segment_validation_returnflag,
         "windowed_drift_events": q_windowed_drift_events,
@@ -2136,6 +2149,28 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "hash_split_balance": _hash_split_oracle(),
+
+        "passage_dedup_documents": (
+            # 8-token non-overlapping blocks; keep = globally first
+            # occurrence per passage TEXT (Spark groups the same classes
+            # via xxhash64); rebuild by in-order string_agg
+            f"{toks_cte}, "
+            "p AS (SELECT doc_id, (u).idx AS idx, (u).passage AS passage "
+            "FROM (SELECT doc_id, unnest(list_transform("
+            "range(0, CASE WHEN len(toks) = 0 THEN 0 "
+            "ELSE CAST(ceil(len(toks) / 8.0) AS BIGINT) END), "
+            "i -> {'idx': i, 'passage': "
+            "array_to_string(toks[(i*8)+1:(i*8)+8], ' ')})) AS u FROM t)), "
+            "k AS (SELECT doc_id, idx, passage FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY passage "
+            "ORDER BY doc_id, idx) AS rn FROM p) WHERE rn = 1), "
+            "r AS (SELECT doc_id, count(*)::BIGINT AS kept_passages, "
+            "string_agg(passage, ' ' ORDER BY idx) AS text_dedup "
+            "FROM k GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.kept_passages, 0)::BIGINT AS "
+            "kept_passages, coalesce(r.text_dedup, '') AS text_dedup "
+            "FROM documents d LEFT JOIN r USING (doc_id)"
+        ),
 
         "incremental_validation_orders": (
             # delta = added + changed new-side rows (IS DISTINCT FROM

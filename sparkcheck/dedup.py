@@ -72,6 +72,95 @@ def prefix_duplicates(
     )
 
 
+def split_passages(
+    docs: DataFrame,
+    block_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-width token passages: one row per (id, idx, passage) where
+    passage idx covers tokens [idx*B, (idx+1)*B) — the tail block may be
+    shorter. The corpus-level unit RefinedWeb-style line/passage dedup
+    operates on when documents have no line structure. Pure posexplode of
+    a per-doc Column build; no shuffle."""
+    from .text import tokens
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nblk = F.ceil(n / F.lit(float(block_tokens))).cast("int")
+    blocks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nblk - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * block_tokens + 1, block_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.posexplode(blocks).alias("idx", "passage")
+    )
+
+
+def drop_duplicate_passages(
+    docs: DataFrame,
+    block_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide passage dedup: every passage keeps only its globally
+    FIRST occurrence (min (id, idx)); repeats — across documents or within
+    one — are cut, and each document's text is rebuilt from its surviving
+    passages in order. Returns (id, kept_passages, text_dedup); documents
+    whose every passage was a repeat come back with kept_passages=0 and
+    empty text (candidates for dropping).
+
+    This is the removal half of boilerplate/line dedup (RefinedWeb ch. 3
+    removes duplicated lines corpus-wide); ``boilerplate_ngrams`` is the
+    discovery half.
+
+    Scale shape: passages shuffle once on xxhash64(passage) (8-byte key;
+    the passage string rides only to the first-occurrence argmin, which is
+    a groupBy MIN(struct(id, idx)) — map-side combine collapses a
+    passage duplicated a billion times to one row per input partition, so
+    hot passages never pile onto one task the way a window would). The
+    keep-verdict join is co-partitioned on the same hash, and the rebuild
+    is one groupBy(id) over surviving passages."""
+    p = split_passages(docs, block_tokens, text_col, id_col).withColumn(
+        "__h", F.xxhash64("passage")
+    )
+    first = p.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__o")
+    )
+    kept = (
+        p.join(first, "__h")
+        .where(
+            (F.col(f"__o.{id_col}") == F.col(id_col))
+            & (F.col("__o.idx") == F.col("idx"))
+        )
+        .select(id_col, "idx", "passage")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_passages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_passages", F.lit(0)).alias("kept_passages"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingle explode (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

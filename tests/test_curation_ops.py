@@ -262,3 +262,40 @@ def test_curation_funnel_null_counts_as_fail(spark):
     fun = {r["stage"]: r["surviving"] for r in text.curation_funnel(
         df, [("stop", text.stopword_ratio("text") >= 0.5)]).collect()}
     assert fun == {"input": 2, "stop": 1}  # empty doc's NULL ratio fails
+
+
+def test_split_passages_blocks_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "")], "doc_id int, text string"
+    )
+    rows = {(r["doc_id"], r["idx"]): r["passage"]
+            for r in dedup.split_passages(df, block_tokens=3).collect()}
+    assert rows == {(1, 0): "a b c", (1, 1): "d e f", (1, 2): "g"}
+    # empty doc -> no passages (it comes back via the left join downstream)
+
+
+def test_drop_duplicate_passages_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),       # blocks: "x y z", "a b c"
+            (2, "a b c q r s"),       # "a b c" repeats -> dropped here
+            (3, "q r s q r s"),       # cross-doc repeat + within-doc repeat
+            (4, "a b c"),             # entirely duplicate -> empty
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: (r["kept_passages"], r["text_dedup"])
+           for r in dedup.drop_duplicate_passages(df, block_tokens=3).collect()}
+    assert got[1] == (2, "x y z a b c")
+    assert got[2] == (1, "q r s")      # "a b c" first seen in doc 1
+    assert got[3] == (0, "")           # both blocks repeats of doc 2's
+    assert got[4] == (0, "")
+
+
+def test_drop_duplicate_passages_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id int, text string"
+    )
+    r = dedup.drop_duplicate_passages(df, block_tokens=4).collect()[0]
+    assert r["kept_passages"] == 5
+    assert r["text_dedup"] == " ".join(f"w{i}" for i in range(20))
