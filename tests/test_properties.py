@@ -154,3 +154,87 @@ def test_eval_param_arithmetic_matches_python(spark, a, b, c):
     ]:
         got = parse_evaluation_parameter(expr, params)
         assert got == want, (expr, got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation-operator invariants
+# ---------------------------------------------------------------------------
+
+_TEXTS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+)
+
+
+@_settings
+@given(texts=_TEXTS, block=st.sampled_from([1, 2, 3]))
+def test_passage_dedup_invariants(spark, texts, block):
+    from pyspark.sql import functions as F
+
+    from sparkcheck import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = dedup.drop_duplicate_passages(df, block_tokens=block)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every doc accounted for
+    assert set(rows) == set(range(len(texts)))
+    # exactly one survivor per distinct passage, corpus-wide
+    p = dedup.split_passages(df, block)
+    kept = sum(r["kept_passages"] for r in rows.values())
+    assert kept == p.select("passage").distinct().count()
+    # each doc's rebuilt text is its original passage sequence minus cuts
+    originals = {
+        d: [r["passage"] for r in grp]
+        for d, grp in __import__("itertools").groupby(
+            sorted(p.collect(), key=lambda r: (r["doc_id"], r["idx"])),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    for d, r in rows.items():
+        got = r["text_dedup"].split(" ") if r["text_dedup"] else []
+        orig = " ".join(originals.get(d, [])).split(" ") if originals.get(d) else []
+        # survivors appear in original order (subsequence check on tokens)
+        it = iter(orig)
+        assert all(tok in it for tok in got), (d, got, orig)
+
+
+@_settings
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    cap=st.integers(1, 5),
+)
+def test_per_group_cap_invariants(spark, keys, cap):
+    from sparkcheck import sampling
+
+    df = spark.createDataFrame(
+        [(k, f"g{k % 3}") for k in keys], "k int, g string"
+    )
+    out = sampling.per_group_cap(df, "g", cap, "k").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], set()).add(r["k"])
+    sizes = {}
+    for k in keys:
+        sizes[f"g{k % 3}"] = sizes.get(f"g{k % 3}", 0) + 1
+    for g, n in sizes.items():
+        # exactly min(cap, |group|) kept per group
+        assert len(by.get(g, set())) == min(cap, n), (g, cap, n)
+
+
+@_settings
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    w=st.sampled_from([{"a": 0.5, "b": 0.5}, {"a": 0.7, "b": 0.2, "c": 0.1}]),
+)
+def test_hash_split_invariants(spark, keys, w):
+    from sparkcheck import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    got = {r["k"]: r["split"] for r in sampling.hash_split(df, w, "k").collect()}
+    # total cover, names from the weight dict
+    assert set(got) == set(keys)
+    assert set(got.values()) <= set(w)
+    # deterministic: a second run assigns identically
+    again = {r["k"]: r["split"] for r in sampling.hash_split(df, w, "k").collect()}
+    assert got == again
