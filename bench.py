@@ -65,6 +65,7 @@ HEADLINE = [
     "quarantine_split",
     "per_source_cap",
     "curation_funnel",
+    "passage_dedup_documents",
 ]
 
 
@@ -114,7 +115,14 @@ def main() -> None:
     # steady-state). Warmup is untimed; the extra wall cost is irrelevant.
     for warm in ("agg_profile_lineitem", "value_counts_returnflag", "span_profile",
                  "minhash_candidate_count", "simhash_neardup_count",
-                 "text_profile", "ann_topk", "lsh_ann_topk"):
+                 "text_profile", "ann_topk", "lsh_ann_topk",
+                 # round-4 curation pipelines: the funnel's fused
+                 # cumulative-AND aggregate and the passage-dedup
+                 # struct-argmin/rebuild chain carry 1-3s of one-time
+                 # Catalyst+codegen compile (measured 3.3 vs 6.4s run-to-run
+                 # on cold plans), same fixed-cost class as the dedup wides
+                 "per_source_cap", "curation_funnel",
+                 "passage_dedup_documents"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

@@ -268,6 +268,22 @@ def main():
         "(`partial_count` below the Exchange) — no (doc, ngram) distinct "
         "shuffle; the global sort only sees the >= min_docs aggregate, "
         "and TakeOrderedAndProject caps it at top_k.")
+    add("Passage dedup removal (passage_dedup_documents)",
+        qs["passage_dedup_documents"](spark, SF),
+        "The first-occurrence argmin is a HashAggregate(keys=[__h], "
+        "functions=[min(struct(...))]) with a partial_min below the "
+        "Exchange — a passage duplicated across a billion documents "
+        "collapses to one candidate row per input partition before any "
+        "shuffle (a window over the passage key would instead pile every "
+        "occurrence onto one task). The verdict join and the rebuild "
+        "groupBy reuse the same hashpartitioning.")
+    add("Incremental revalidation (incremental_validation_orders)",
+        qs["incremental_validation_orders"](spark, SF),
+        "Both table versions reduce to (key, xxhash64) before the "
+        "full-outer diff join (~16 bytes/row through the exchange); only "
+        "the added/changed keys pull wide new-side rows back, and the "
+        "suite's three expectations fuse into ONE HashAggregate over "
+        "that delta — validation work is proportional to churn.")
     add("Single-pass curation funnel (curation_funnel)",
         qs["curation_funnel"](spark, SF),
         "Four chained quality filters accounted in ONE HashAggregate over "
