@@ -1421,6 +1421,20 @@ def q_hash_split_balance(spark, sf):
     return split_balance(sp, "split", "lang")
 
 
+def q_mixture_sample(spark, sf):
+    """Corpus mixture resampling (sampling.mix_to_shares): downsample
+    documents toward target language shares (en 40%, others 15% each) at
+    the largest feasible size — the Pile/DoReMi domain-weights step as a
+    deterministic hash sample. Rates derive from the per-stratum counts
+    via plain binary float ops, so the DuckDB oracle recomputes them
+    bit-identically from the same counts."""
+    from sparkcheck.sampling import mix_to_shares
+
+    d = _t(spark, sf, "documents")
+    shares = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    return mix_to_shares(d, "lang", shares, "doc_id").select("doc_id", "lang")
+
+
 def q_boilerplate_ngrams(spark, sf):
     """Corpus-wide boilerplate discovery (text.boilerplate_ngrams): word
     trigrams appearing in >= 5 distinct documents, top 50 by document
@@ -1614,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift_events": q_windowed_drift_events,
         "per_source_cap": q_per_source_cap,
         "hash_split_balance": q_hash_split_balance,
+        "mixture_sample": q_mixture_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "curation_funnel": q_curation_funnel,
     }
@@ -2205,6 +2220,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT "
             "'expect_column_values_to_match_regex:o_orderpriority', "
             "delta_rows, u2 FROM a"
+        ),
+
+        "mixture_sample": (
+            # rates recomputed from counts with the SAME binary float ops
+            # mixture_rates folds into the Spark plan: T = min(n/share),
+            # rate = share * T / n — no float accumulation anywhere
+            "WITH c AS (SELECT lang AS s, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1), "
+            "w AS (SELECT s, n, CASE s WHEN 'en' THEN 0.4 "
+            "WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 "
+            "WHEN 'zh' THEN 0.15 END AS share FROM c), "
+            "tv AS (SELECT min(n::DOUBLE / share) AS t FROM w "
+            "WHERE share > 0), "
+            "r AS (SELECT s, share * t / n::DOUBLE AS rate FROM w, tv) "
+            "SELECT doc_id, lang FROM documents JOIN r ON r.s = lang "
+            "WHERE ("
+            + _hex32("md5('mix' || doc_id::VARCHAR)")
+            + "::DOUBLE / 4294967296.0) < rate"
         ),
 
         "boilerplate_ngrams": (

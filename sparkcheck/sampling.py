@@ -94,6 +94,53 @@ def sample_to_token_budget(
     return stratified_sample(docs, strata_col, rates, key_col, salt=salt)
 
 
+def mixture_rates(
+    df: DataFrame, strata_col: str, shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-rates that downsample the corpus to the target
+    mixture ``shares`` (the Pile/DoReMi "domain weights" step), keeping it
+    as large as possible: with T = min_s(n_s / share_s) the largest
+    feasible output under downsampling-only, rate_s = share_s * T / n_s
+    (the binding stratum keeps everything). ``shares`` must cover every
+    stratum present and is used as given (normalize upstream — summing
+    floats here would make the rates depend on iteration order).
+
+    One dimension-sized aggregate; every arithmetic step is a plain
+    binary float op, so any engine (the DuckDB oracle included) derives
+    bit-identical rates from the same counts."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = sorted(s for s in counts if s not in shares)
+    if missing:
+        raise ValueError(f"strata without a target share: {missing}")
+    t = min(float(counts[s]) / float(shares[s]) for s in counts if shares[s] > 0)
+    return {
+        s: (float(shares[s]) * t / float(counts[s]) if shares[s] > 0 else 0.0)
+        for s in sorted(counts)
+    }
+
+
+def mix_to_shares(
+    df: DataFrame,
+    strata_col: str,
+    shares: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample the corpus toward the target mixture by deterministic hash
+    sampling at ``mixture_rates``: reproducible across runs/engines/cluster
+    sizes and nested (raising a share strictly grows that stratum's
+    sample). Two jobs: the dimension-sized counts aggregate (collected,
+    rates re-embedded as literals), then one narrow zero-shuffle
+    keep-filter — the same scale shape as token-budget sampling."""
+    rates = mixture_rates(df, strata_col, shares)
+    return stratified_sample(df, strata_col, rates, key_col, salt=salt)
+
+
 def per_group_cap(
     df: DataFrame,
     group_col: str,

@@ -299,3 +299,40 @@ def test_drop_duplicate_passages_order_preserved(spark):
     r = dedup.drop_duplicate_passages(df, block_tokens=4).collect()[0]
     assert r["kept_passages"] == 5
     assert r["text_dedup"] == " ".join(f"w{i}" for i in range(20))
+
+
+def test_mixture_rates_math(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)], "k int, s string"
+    )
+    # counts: a=80, b=20; target 50/50 -> T = min(80/.5, 20/.5) = 40
+    rates = sampling.mixture_rates(df, "s", {"a": 0.5, "b": 0.5})
+    assert abs(rates["a"] - (0.5 * 40 / 80)) < 1e-12  # 0.25
+    assert abs(rates["b"] - 1.0) < 1e-12              # binding stratum
+    # zero share -> stratum dropped entirely
+    r2 = sampling.mixture_rates(df, "s", {"a": 1.0, "b": 0.0})
+    assert r2["b"] == 0.0 and abs(r2["a"] - 1.0) < 1e-12
+
+
+def test_mixture_rates_missing_share_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    with pytest.raises(ValueError, match="without a target share"):
+        sampling.mixture_rates(df, "s", {"a": 1.0})
+
+
+def test_mix_to_shares_hits_target_mix(spark):
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, s string")  # 4500 / 500
+    out = sampling.mix_to_shares(df, "s", {"big": 0.5, "small": 0.5}, "k")
+    by = {r["s"]: r["n"] for r in
+          out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # T = min(4500/.5, 500/.5) = 1000 -> ~500 each (hash noise)
+    assert by["small"] == 500                 # binding stratum kept whole
+    assert 400 < by["big"] < 600
+    # nested: a larger 'big' share strictly grows its sample
+    bigger = sampling.mix_to_shares(df, "s", {"big": 0.7, "small": 0.3}, "k")
+    kb = {r["k"] for r in out.where(F.col("s") == "big").collect()}
+    kb2 = {r["k"] for r in bigger.where(F.col("s") == "big").collect()}
+    assert kb <= kb2
