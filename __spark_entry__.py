@@ -1421,6 +1421,20 @@ def q_hash_split_balance(spark, sf):
     return split_balance(sp, "split", "lang")
 
 
+def q_embedding_drift_labels(spark, sf):
+    """Representation drift between two embedding snapshots
+    (similarity.embedding_drift): per label, cosine between old and new
+    centroids + norm ratio, where 'new' deterministically drops vec_id%5.
+    Two fused centroid aggregates (64 avg-aggs in ONE groupBy each), a
+    dimension-sized join, fold-arithmetic cosine. The oracle recomputes
+    per-dim averages and the same sequential-fold cosine in SQL; 4-dp
+    rounds absorb the engines' sum-order noise (~1e-16 relative)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.embedding_drift(
+        e, e.where(F.col("vec_id") % 5 != 0), label_col="label"
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Corpus mixture resampling (sampling.mix_to_shares): downsample
     documents toward target language shares (en 40%, others 15% each) at
@@ -1628,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift_events": q_windowed_drift_events,
         "per_source_cap": q_per_source_cap,
         "hash_split_balance": q_hash_split_balance,
+        "embedding_drift_labels": q_embedding_drift_labels,
         "mixture_sample": q_mixture_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "curation_funnel": q_curation_funnel,
@@ -2222,6 +2237,8 @@ def oracle_sql() -> dict[str, str]:
             "delta_rows, u2 FROM a"
         ),
 
+        "embedding_drift_labels": _embedding_drift_oracle(),
+
         "mixture_sample": (
             # rates recomputed from counts with the SAME binary float ops
             # mixture_rates folds into the Spark plan: T = min(n/share),
@@ -2646,6 +2663,30 @@ def _hash_split_oracle() -> str:
         'SELECT split, lang, n AS "rows", '
         "round(n::DOUBLE / sum(n) OVER (PARTITION BY split), 6) "
         "AS frac_of_split FROM g"
+    )
+
+
+def _embedding_drift_oracle() -> str:
+    """Replay similarity.embedding_drift: per-label 64-dim centroids
+    (plain per-dim avg) for both snapshots, cosine/norms via the SAME
+    sequential left-folds the Spark plan uses (_fold_dot); round(4)
+    absorbs the engines' partial-sum-order noise (~1e-16 relative)."""
+    cent = ", ".join(
+        f"avg(embedding[{i}]::DOUBLE)" for i in range(1, 65)
+    )
+    dotc = _fold_dot("c_old", "c_new")
+    no = _fold_dot("c_old", "c_old")
+    nn = _fold_dot("c_new", "c_new")
+    return (
+        f"WITH o AS (SELECT label, count(*)::BIGINT AS n_old, "
+        f"list_value({cent}) AS c_old FROM embeddings GROUP BY label), "
+        f"n2 AS (SELECT label, count(*)::BIGINT AS n_new, "
+        f"list_value({cent}) AS c_new FROM embeddings "
+        "WHERE vec_id % 5 <> 0 GROUP BY label) "
+        f"SELECT o.label, n_old, n_new, "
+        f"round({dotc} / (sqrt({no}) * sqrt({nn})), 4) AS centroid_cos, "
+        f"round(sqrt({nn}) / sqrt({no}), 4) AS norm_ratio "
+        "FROM o JOIN n2 USING (label) ORDER BY label"
     )
 
 

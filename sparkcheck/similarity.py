@@ -758,3 +758,78 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str | None = None,
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_EMBEDDING_DIM,
+) -> DataFrame:
+    """Per-label centroid of an embedding column: (label, n, centroid)
+    where centroid[i] = avg(vec[i]). ALL dims aggregate in ONE groupBy
+    pass (dim avg-aggregates, map-side partial sums), so a 10^12-vector
+    snapshot costs one narrow shuffle of (label, dim) partial sums — the
+    per-label result frame is dimension-sized."""
+    key = F.col(label_col) if label_col else F.lit("__all__")
+    v = F.col(vec_col)
+    return (
+        df.groupBy(key.alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.avg(v[i].cast("double")).alias(f"__c{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "label",
+            "n",
+            F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+        )
+    )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str | None = None,
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_EMBEDDING_DIM,
+) -> DataFrame:
+    """Representation drift between two embedding snapshots: per label,
+    the cosine between the old and new centroids plus the centroid-norm
+    ratio and count shift — the cheap early-warning that an embedding
+    model, preprocessing step, or upstream filter changed what a label's
+    region of space looks like. (Per-pair distance distributions are the
+    expensive follow-up; centroid drift is the one-pass triage.)
+
+    Two fused centroid aggregates (one per snapshot), a label-keyed join
+    of two dimension-sized frames, and pure Column fold arithmetic for
+    the cosine — nothing wide ever joins. Labels present in only one
+    snapshot surface with NULL drift fields (full outer join): a
+    vanished or new label IS drift."""
+    co = embedding_centroids(old, label_col, vec_col, dim).select(
+        "label", F.col("n").alias("n_old"), F.col("centroid").alias("c_old")
+    )
+    cn = embedding_centroids(new, label_col, vec_col, dim).select(
+        "label", F.col("n").alias("n_new"), F.col("centroid").alias("c_new")
+    )
+    j = co.join(cn, "label", "full_outer")
+    d = dot(F.col("c_old"), F.col("c_new"))
+    return j.select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(d / (norm(F.col("c_old")) * norm(F.col("c_new"))), 4).alias(
+            "centroid_cos"
+        ),
+        F.round(norm(F.col("c_new")) / norm(F.col("c_old")), 4).alias(
+            "norm_ratio"
+        ),
+    ).orderBy("label")

@@ -336,3 +336,35 @@ def test_mix_to_shares_hits_target_mix(spark):
     kb = {r["k"] for r in out.where(F.col("s") == "big").collect()}
     kb2 = {r["k"] for r in bigger.where(F.col("s") == "big").collect()}
     assert kb <= kb2
+
+
+def test_embedding_drift_detects_shift(spark):
+    from sparkcheck import similarity
+
+    dim = 4
+    rows_old = [(i, [1.0, 0.0, 0.0, 0.0], "a") for i in range(10)]
+    rows_new = [(i, [0.0, 1.0, 0.0, 0.0], "a") for i in range(10)] + [
+        (99, [1.0] * 4, "b")  # label only in the new snapshot
+    ]
+    old = spark.createDataFrame(
+        rows_old, "vec_id int, embedding array<float>, lab string")
+    new = spark.createDataFrame(
+        rows_new, "vec_id int, embedding array<float>, lab string")
+    got = {r["label"]: r for r in similarity.embedding_drift(
+        old, new, label_col="lab", dim=dim).collect()}
+    assert got["a"]["centroid_cos"] == 0.0   # orthogonal centroid swing
+    assert got["a"]["norm_ratio"] == 1.0
+    # new-only label surfaces with NULL drift (a new label IS drift)
+    assert got["b"]["n_old"] is None and got["b"]["centroid_cos"] is None
+
+
+def test_embedding_drift_identity(spark):
+    from sparkcheck import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 2.0], None) for i in range(9)],
+        "vec_id int, embedding array<float>, lab string",
+    )
+    r = similarity.embedding_drift(df, df, dim=3).collect()[0]
+    assert r["label"] == "__all__"
+    assert r["centroid_cos"] == 1.0 and r["norm_ratio"] == 1.0
