@@ -32,6 +32,7 @@ from . import referential as _referential  # noqa: F401
 from . import stats as _stats  # noqa: F401
 from . import keys as _keys  # noqa: F401
 from . import temporal as _temporal  # noqa: F401
+from . import text as _text  # noqa: F401
 
 __all__ = [
     "ExpectationConfiguration",

@@ -478,3 +478,51 @@ class FreshnessMonitor:
             and lag > self.max_lag_seconds
         ):
             self.on_lag(int(batch_id), float(lag))
+
+
+def streaming_group_cap(
+    stream_df: DataFrame, group_col: str, cap: int, id_col: str
+) -> DataFrame:
+    """Streaming per-group quota — the stateful twin of
+    sampling.per_group_cap: each group admits at most ``cap`` rows over
+    the stream's lifetime, in ARRIVAL order (streaming semantics; the
+    batch operator's deterministic hash order needs the whole corpus).
+    Emits one (group, id, accepted) row per input row, so downstream
+    keeps `accepted` and the reject stream stays auditable.
+
+    State is ONE long per group (rows admitted so far) — bounded by
+    distinct groups, not stream length. Groups hash-partition across
+    executors; a hot group serializes only its own tiny counter update.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "group string, id string, accepted boolean"
+    state_schema = "taken long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n = len(pdf)
+            if not n:
+                continue
+            k = max(0, min(cap - taken, n))
+            yield pd.DataFrame(
+                {
+                    "group": [key[0]] * n,
+                    "id": pdf["__gc_id"].astype(str).tolist(),
+                    "accepted": [True] * k + [False] * (n - k),
+                }
+            )
+            taken += k
+        state.update((taken,))
+
+    keyed = stream_df.select(
+        F.col(group_col).cast("string").alias("__gc_key"),
+        F.col(id_col).cast("string").alias("__gc_id"),
+    )
+    return keyed.groupBy("__gc_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

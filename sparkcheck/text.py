@@ -497,3 +497,76 @@ def class_balance(df, label_col: str):
             "imbalance_ratio"
         ),
     ).orderBy("label")
+
+
+class ClassBalanceExpectation:
+    """expect_column_class_balance_to_match(column=..., target_shares={...},
+    tolerance=0.05, allow_unexpected_labels=False): success iff every
+    target label's observed fraction (of non-null rows) is within
+    ``tolerance`` of its target share, and — unless
+    ``allow_unexpected_labels`` — no label outside the target set appears.
+    The suite-level form of the class-balance profile: "is the training
+    mix still the mix we shipped?" as a checkpointable expectation.
+
+    Rides the fused-eager ``column.value_counts`` metric (one groupBy,
+    driver-capped by its max_groups guard), so label cardinality stays
+    dimension-sized by construction. No reference analog
+    (expect_column_kl_divergence approximates it with a partition
+    object); registered as a sparkcheck extension."""
+
+    name = "expect_column_class_balance_to_match"
+    condition_name = None
+
+    def _metric_cfg(self, cfg):
+        from .expectations import build_domain
+        from .metrics import MetricConfiguration
+
+        return MetricConfiguration("column.value_counts", build_domain(cfg))
+
+    def metric_requests(self, cfg, rf):
+        return {"vc": self._metric_cfg(cfg)}
+
+    def stage2_requests(self, cfg, rf, resolver):
+        return {}
+
+    def validate(self, cfg, rf, resolver):
+        shares = cfg.get("target_shares")
+        if not shares:
+            raise ValueError(
+                "expect_column_class_balance_to_match needs target_shares"
+            )
+        tol = float(cfg.get("tolerance", 0.05))
+        allow_extra = bool(cfg.get("allow_unexpected_labels", False))
+        vc = resolver[self._metric_cfg(cfg)]
+        total = sum(c for _, c in vc)
+        fracs = {v: (c / total if total else 0.0) for v, c in vc}
+        deviations = {
+            str(label): round(fracs.get(label, 0.0) - float(want), 6)
+            for label, want in sorted(shares.items())
+        }
+        off = {k: d for k, d in deviations.items() if abs(d) > tol}
+        extra = sorted(str(v) for v in fracs if v not in shares)
+        success = not off and (allow_extra or not extra)
+        ret = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": {
+                    str(v): round(f, 6) for v, f in sorted(fracs.items())
+                },
+                "details": {
+                    "deviations": deviations,
+                    "out_of_tolerance": off,
+                    "unexpected_labels": extra,
+                    "n_rows": total,
+                },
+            }
+        return ret
+
+
+def _register_class_balance():
+    from .expectations import register_expectation
+
+    register_expectation(ClassBalanceExpectation())
+
+
+_register_class_balance()

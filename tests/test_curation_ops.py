@@ -368,3 +368,38 @@ def test_embedding_drift_identity(spark):
     r = similarity.embedding_drift(df, df, dim=3).collect()[0]
     assert r["label"] == "__all__"
     assert r["centroid_cos"] == 1.0 and r["norm_ratio"] == 1.0
+
+
+def test_class_balance_expectation(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de") for i in range(10)],
+        "k int, lang string",
+    )
+    s = ExpectationSuite("mix")
+    s.add("expect_column_class_balance_to_match", column="lang",
+          target_shares={"en": 0.8, "de": 0.2}, tolerance=0.05)
+    rep = validate_df(df, s, result_format="SUMMARY")
+    r = rep["results"][0]
+    assert r["success"], r
+    assert r["result"]["observed_value"] == {"de": 0.2, "en": 0.8}
+    # drift past tolerance fails, with the offending label named
+    s2 = ExpectationSuite("mix2")
+    s2.add("expect_column_class_balance_to_match", column="lang",
+           target_shares={"en": 0.5, "de": 0.5}, tolerance=0.1)
+    r2 = validate_df(df, s2, result_format="SUMMARY")["results"][0]
+    assert not r2["success"]
+    assert "en" in r2["result"]["details"]["out_of_tolerance"]
+    # an unexpected label fails unless explicitly allowed
+    s3 = ExpectationSuite("mix3")
+    s3.add("expect_column_class_balance_to_match", column="lang",
+           target_shares={"en": 0.8}, tolerance=0.05)
+    r3 = validate_df(df, s3, result_format="SUMMARY")["results"][0]
+    assert not r3["success"]
+    assert r3["result"]["details"]["unexpected_labels"] == ["de"]
+    s4 = ExpectationSuite("mix4")
+    s4.add("expect_column_class_balance_to_match", column="lang",
+           target_shares={"en": 0.8}, tolerance=0.05,
+           allow_unexpected_labels=True)
+    assert validate_df(df, s4, result_format="SUMMARY")["results"][0]["success"]

@@ -356,3 +356,42 @@ def test_streaming_sink_actions_and_fused(spark, tmp_path):
     fv = store.read(spark, "violations").where("partition_id = 'batch=0'")
     cv = store2.read(spark, "violations").where("partition_id = 'batch=0'")
     assert fv.count() == cv.count()
+
+
+def test_streaming_group_cap(spark, tmp_path):
+    from sparkcheck.streaming import streaming_group_cap
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "300").load()
+        .select((F.col("value") % 3).alias("g"), "value")
+    )
+    out = streaming_group_cap(stream, "g", 4, "value")
+    q = (out.writeStream.format("memory").queryName("sgc")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck_sgc"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT count(*) AS n FROM sgc WHERE NOT accepted"
+            ).collect()
+            if rows and rows[0]["n"] >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sgc").collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["group"], []).append(r)
+    assert set(per_group) <= {"0", "1", "2"}
+    for g, rs in per_group.items():
+        acc = [r for r in rs if r["accepted"]]
+        # the lifetime quota is never exceeded, and once rejections start
+        # the group has admitted exactly its cap
+        assert len(acc) <= 4
+        if any(not r["accepted"] for r in rs):
+            assert len(acc) == 4, g
+        # every emitted id is unique (one verdict per input row)
+        assert len({r["id"] for r in rs}) == len(rs)
