@@ -1462,6 +1462,18 @@ def q_boilerplate_ngrams(spark, sf):
     return boilerplate_ngrams(d, n=3, min_docs=5, top_k=50)
 
 
+def q_lm_quality_documents(spark, sf):
+    """Unigram-LM quality scoring (text.lm_quality, self-scored): per-doc
+    mean negative log-likelihood under the corpus's own add-0.5-smoothed
+    unigram model — the KenLM-style junk/boilerplate signal. One token
+    explode, a broadcast join against the vocab-sized logprob table, one
+    per-doc aggregate. The oracle rebuilds the identical probabilities
+    from the same counts (plain binary float ops, ln both engines)."""
+    from sparkcheck.text import lm_quality
+
+    return lm_quality(_t(spark, sf, "documents"))
+
+
 def q_curation_funnel(spark, sf):
     """Single-pass curation funnel (text.curation_funnel): four chained
     quality filters (length floor, token range, low bigram repetition,
@@ -1646,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "curation_funnel": q_curation_funnel,
+        "lm_quality_documents": q_lm_quality_documents,
     }
 
 
@@ -2266,6 +2279,23 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "curation_funnel": _curation_funnel_oracle(),
+
+        "lm_quality_documents": (
+            # probabilities rebuilt from counts with the SAME ops the Spark
+            # plan folds: denom = N + 0.5*(V+1), logp = ln((c+0.5)/denom);
+            # self-scoring means no token is OOV here (unit tests cover it)
+            f"{toks_cte}, "
+            "tok AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+            "c AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1), "
+            "s AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c), "
+            "lp AS (SELECT token, ln((c::DOUBLE + 0.5) / "
+            "(n + 0.5 * (v + 1.0))) AS logp FROM c, s), "
+            "sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(-avg(logp), 4) AS mean_nll "
+            "FROM tok JOIN lp USING (token) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens, "
+            "sc.mean_nll FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
 
         "corr_profile_lineitem": _corr_profile_oracle(),
         "spearman_quantity_price": (

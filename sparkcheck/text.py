@@ -570,3 +570,75 @@ def _register_class_balance():
 
 
 _register_class_balance()
+
+
+def unigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> "tuple[DataFrame, float]":
+    """Corpus unigram language model with add-k smoothing: returns
+    ``(logprobs, oov_logp)`` where logprobs is (token, logp) with
+    logp = ln((count + k) / (N + k*(V+1))) and oov_logp is the same
+    formula at count 0 — the reserved out-of-vocabulary mass.
+
+    One explode + one token-keyed groupBy (map-side combine; the vocab
+    frame is bounded by distinct tokens, not corpus size), plus a single
+    2-scalar aggregate for (N, V). The scalars fold into the plan as
+    literals via plain binary float ops, so any engine rebuilds the
+    identical probabilities from the same counts."""
+    tok = docs.select(F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    row = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n, v = float(row["n"] or 0), float(row["v"] or 0)
+    denom = n + float(add_k) * (v + 1.0)
+    logp = F.log((F.col("c").cast("double") + F.lit(float(add_k))) / F.lit(denom))
+    import math
+
+    return counts.select("token", logp.alias("logp")), math.log(
+        float(add_k) / denom
+    )
+
+
+def lm_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    model: "tuple[DataFrame, float] | None" = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM — the
+    KenLM-style quality signal: junk (gibberish, rare-token soup, wrong
+    language) scores far above the corpus mode, templated boilerplate far
+    below. ``model`` defaults to self-scoring (the corpus's own unigram
+    model, the standard curation setup); pass a held-out model to score a
+    delivery against a reference corpus.
+
+    Returns (id, n_tokens, mean_nll); empty docs come back with 0/NULL
+    via the left join. Scale shape: one token explode, one broadcast-able
+    join against the vocab-sized logprob table, one per-doc aggregate —
+    the document payload never shuffles."""
+    lp, oov = model if model is not None else unigram_model(
+        docs, text_col, add_k
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    scored = tok.join(F.broadcast(lp), "token", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg(F.coalesce(F.col("logp"), F.lit(oov))), 4).alias(
+            "mean_nll"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_nll",
+        )
+    )
