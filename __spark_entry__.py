@@ -1462,6 +1462,15 @@ def q_boilerplate_ngrams(spark, sf):
     return boilerplate_ngrams(d, n=3, min_docs=5, top_k=50)
 
 
+def q_containment_pairs(spark, sf):
+    """Directional containment near-dups (dedup.containment_pairs): pairs
+    where >= 80% of one doc's trigram shingles live inside the other's —
+    the quote/expansion duplication case symmetric Jaccard misses. Same
+    verification-tier machinery and hot-key guard as jaccard_pairs."""
+    d = _t(spark, sf, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.8)
+
+
 def q_lm_quality_documents(spark, sf):
     """Unigram-LM quality scoring (text.lm_quality, self-scored): per-doc
     mean negative log-likelihood under the corpus's own add-0.5-smoothed
@@ -1658,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "curation_funnel": q_curation_funnel,
+        "containment_pairs": q_containment_pairs,
         "lm_quality_documents": q_lm_quality_documents,
     }
 
@@ -2279,6 +2289,28 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "curation_funnel": _curation_funnel_oracle(),
+
+        "containment_pairs": (
+            # same shingle table + max_df guard as the jaccard oracle,
+            # directional denominator |S_inner|, threshold on the
+            # unrounded value like the Spark filter
+            f"{toks_cte}, "
+            f"sh0 AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) "
+            "AS shingle FROM t), "
+            "dfq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1), "
+            "sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 "
+            "JOIN dfq USING (shingle) WHERE dfq.c <= 50), "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, "
+            "count(*) AS i FROM sh a JOIN sh b USING (shingle) "
+            "WHERE a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_inner, doc_outer, "
+            "round(i::DOUBLE / si.sz, 4) AS containment, "
+            "round(i::DOUBLE / (si.sz + so.sz - i), 4) AS jaccard "
+            "FROM inter JOIN sz si ON si.doc_id = doc_inner "
+            "JOIN sz so ON so.doc_id = doc_outer "
+            "WHERE i::DOUBLE / si.sz >= 0.8"
+        ),
 
         "lm_quality_documents": (
             # probabilities rebuilt from counts with the SAME ops the Spark

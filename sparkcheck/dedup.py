@@ -253,6 +253,75 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Directional near-dup containment: pairs where one document's
+    shingle set is mostly INSIDE the other's —
+    containment(a in b) = |S_a ∩ S_b| / |S_a| >= threshold. Catches the
+    quote/expansion case symmetric Jaccard structurally misses: a short
+    doc fully embedded in a long one has tiny Jaccard (union is the long
+    doc) but containment 1.0. Returns (doc_inner, doc_outer, containment,
+    jaccard) with doc_inner the contained side; a mutual pair (both
+    directions >= threshold) emits one row per direction.
+
+    Same verification-tier shape and guards as ``jaccard_pairs``:
+    distinct-shingle self-join with the max_df hot-key cap, declared
+    O(n^2) on the candidate pairs — bucket with LSH first at discovery
+    scale, then verify candidates here."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(docs, n, text_col, id_col, max_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_inner"),
+            F.col("b.doc_id").alias("doc_outer"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_inner")
+            .withColumnRenamed("sz", "sz_inner"),
+            "doc_inner",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_outer")
+            .withColumnRenamed("sz", "sz_outer"),
+            "doc_outer",
+        )
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("sz_inner")
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.round("containment", 4).alias("containment"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_inner") + F.col("sz_outer") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -438,3 +438,30 @@ def test_lm_quality_oov_and_empty(spark):
     import math
     denom = 3.0 + 0.5 * (3.0 + 1.0)
     assert got[11][1] == round(-math.log(0.5 / denom), 4)
+
+
+def test_containment_catches_embedded_doc(spark):
+    # short doc fully inside a long one: containment 1.0 but tiny jaccard
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated text entirely here")],
+        "doc_id int, text string",
+    )
+    rows = {(r["doc_inner"], r["doc_outer"]):
+            (r["containment"], r["jaccard"])
+            for r in dedup.containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert (1, 2) in rows
+    c, j = rows[(1, 2)]
+    assert c == 1.0 and j < 0.1   # Jaccard would never have flagged this
+    assert (2, 1) not in rows     # the long doc is NOT inside the short one
+    assert not any(3 in k for k in rows)
+
+
+def test_containment_mutual_pair_both_directions(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id int, text string"
+    )
+    rows = {(r["doc_inner"], r["doc_outer"]) for r in
+            dedup.containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert rows == {(1, 2), (2, 1)}
