@@ -165,9 +165,15 @@ def per_group_cap(
     budget; past that, pre-filter the triplets with a per-group rate before
     the window (the kept set is always the hash-order prefix, so any
     pre-filter that provably retains >= cap rows per group is exact).
+
+    Rows with a NULL key are EXCLUDED (filtered explicitly, not dropped as
+    a join artifact): a quota selection needs a stable row identity, and
+    md5(NULL) has none. Filter or synthesize keys upstream if NULL-keyed
+    rows must participate.
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(key_col).isNotNull())
     h = hash_fraction(key_col, salt)
     triplets = df.select(
         F.col(group_col).alias("__g"),
@@ -196,7 +202,12 @@ def hash_split(
     across the boundary. Zero shuffle (pure Column projection).
 
     ``weights`` need not sum to 1; they are normalized. Split boundaries
-    follow the dict's insertion order."""
+    follow the dict's insertion order.
+
+    NULL keys have no hash (md5(NULL) is NULL, every threshold compare is
+    NULL) so they all fall through to the LAST split, deterministically —
+    acceptable for incidental nulls, but if NULL keys are common, assign
+    real keys first or the last split inherits them all."""
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -465,3 +465,20 @@ def test_containment_mutual_pair_both_directions(spark):
     rows = {(r["doc_inner"], r["doc_outer"]) for r in
             dedup.containment_pairs(df, n=3, threshold=0.9).collect()}
     assert rows == {(1, 2), (2, 1)}
+
+
+def test_per_group_cap_null_keys_excluded_explicitly(spark):
+    df = spark.createDataFrame(
+        [(1, "g"), (2, "g"), (None, "g"), (None, "g")], "k int, g string"
+    )
+    out = sampling.per_group_cap(df, "g", 10, "k").collect()
+    # both real keys kept (cap not binding); NULL-key rows excluded by
+    # the documented explicit filter, not silently by join mechanics
+    assert sorted(r["k"] for r in out) == [1, 2]
+
+
+def test_hash_split_null_keys_fall_to_last_split(spark):
+    df = spark.createDataFrame([(1,), (None,), (None,)], "k int")
+    got = {r["k"]: r["split"] for r in sampling.hash_split(
+        df, {"train": 0.5, "test": 0.5}, "k").collect()}
+    assert got[None] == "test"  # documented: NULL hash -> last split

@@ -395,3 +395,36 @@ def test_streaming_group_cap(spark, tmp_path):
             assert len(acc) == 4, g
         # every emitted id is unique (one verdict per input row)
         assert len({r["id"] for r in rs}) == len(rs)
+
+
+def test_hash_split_works_on_streams(spark, tmp_path):
+    # hash_split/stratified_sample are pure projections/filters, so they
+    # run unchanged on streaming DataFrames — and assign every key the
+    # SAME split a batch run assigns (engine- and mode-portable curation)
+    from sparkcheck import sampling
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(F.col("value").alias("k"))
+    )
+    w = {"train": 0.5, "test": 0.5}
+    out = sampling.hash_split(stream, w, "k")
+    q = (out.writeStream.format("memory").queryName("hsplit")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_hs"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM hsplit").collect()[0]["n"] >= 50:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    streamed = {r["k"]: r["split"]
+                for r in spark.sql("SELECT * FROM hsplit").collect()}
+    assert len(streamed) >= 50
+    batch = spark.createDataFrame([(k,) for k in streamed], "k long")
+    batch_assign = {r["k"]: r["split"]
+                    for r in sampling.hash_split(batch, w, "k").collect()}
+    assert streamed == batch_assign
