@@ -869,10 +869,10 @@ def q_passage_dedup_documents(spark, sf):
     """Corpus-wide passage dedup (dedup.drop_duplicate_passages, 8-token
     blocks): every passage keeps only its globally first occurrence and
     each document's text is rebuilt from the survivors — the removal half
-    of RefinedWeb-style line dedup. One 8-byte-key shuffle for the
+    of RefinedWeb-style line dedup. One passage-keyed shuffle for the
     first-occurrence argmin (groupBy MIN(struct), map-side combine — hot
-    passages collapse per input partition), one co-partitioned verdict
-    join, one rebuild groupBy."""
+    passages collapse per input partition; exact, no hash-collision
+    deletions), one co-partitioned verdict join, one rebuild groupBy."""
     d = _t(spark, sf, "documents")
     return dedup.drop_duplicate_passages(d, block_tokens=8)
 

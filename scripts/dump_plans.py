@@ -270,13 +270,15 @@ def main():
         "and TakeOrderedAndProject caps it at top_k.")
     add("Passage dedup removal (passage_dedup_documents)",
         qs["passage_dedup_documents"](spark, SF),
-        "The first-occurrence argmin is a HashAggregate(keys=[__h], "
+        "The first-occurrence argmin is a HashAggregate(keys=[passage], "
         "functions=[min(struct(...))]) with a partial_min below the "
         "Exchange — a passage duplicated across a billion documents "
         "collapses to one candidate row per input partition before any "
         "shuffle (a window over the passage key would instead pile every "
-        "occurrence onto one task). The verdict join and the rebuild "
-        "groupBy reuse the same hashpartitioning.")
+        "occurrence onto one task). Keyed on the passage string, not a "
+        "64-bit hash, so a collision can never silently delete a unique "
+        "passage. The verdict join and the rebuild groupBy reuse the "
+        "same hashpartitioning.")
     add("Incremental revalidation (incremental_validation_orders)",
         qs["incremental_validation_orders"](spark, SF),
         "Both table versions reduce to (key, xxhash64) before the "

@@ -119,21 +119,23 @@ def drop_duplicate_passages(
     removes duplicated lines corpus-wide); ``boilerplate_ngrams`` is the
     discovery half.
 
-    Scale shape: passages shuffle once on xxhash64(passage) (8-byte key;
-    the passage string rides only to the first-occurrence argmin, which is
-    a groupBy MIN(struct(id, idx)) — map-side combine collapses a
-    passage duplicated a billion times to one row per input partition, so
-    hot passages never pile onto one task the way a window would). The
-    keep-verdict join is co-partitioned on the same hash, and the rebuild
-    is one groupBy(id) over surviving passages."""
-    p = split_passages(docs, block_tokens, text_col, id_col).withColumn(
-        "__h", F.xxhash64("passage")
-    )
-    first = p.groupBy("__h").agg(
+    Scale shape: passages shuffle once, keyed on the passage STRING (the
+    first-occurrence argmin is a groupBy MIN(struct(id, idx)) — map-side
+    combine collapses a passage duplicated a billion times to one row per
+    input partition, so hot passages never pile onto one task the way a
+    window would; bytes/key are bounded by block_tokens). An 8-byte
+    xxhash64 key would shave the shuffle but a 64-bit collision then
+    silently deletes a unique passage — at corpus-scale passage counts
+    birthday collisions are expected, so exactness wins here (contrast
+    dataset_diff, where a collision needs the SAME join key and the trade
+    is documented). The keep-verdict join is co-partitioned on the same
+    key, and the rebuild is one groupBy(id) over surviving passages."""
+    p = split_passages(docs, block_tokens, text_col, id_col)
+    first = p.groupBy("passage").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__o")
     )
     kept = (
-        p.join(first, "__h")
+        p.join(first, "passage")
         .where(
             (F.col(f"__o.{id_col}") == F.col(id_col))
             & (F.col("__o.idx") == F.col("idx"))

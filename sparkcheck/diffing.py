@@ -126,21 +126,42 @@ def revalidate_delta(
 
     delta = diff_rows(old, new, key_cols, compare_cols).drop("status")
     masks, skipped = suite_masks(delta, suite)
+    drop_labels: set[str] = set()
     for cfg in suite.expectations:
-        from .expectations import get_expectation
+        from .expectations import ColumnMapExpectation, get_expectation
+        from .quarantine import _label
 
         try:
-            cond = getattr(
-                get_expectation(cfg.expectation_type), "condition_name", None
-            )
+            exp = get_expectation(cfg.expectation_type)
         except KeyError:
             continue
+        cond = getattr(exp, "condition_name", None)
         if cond in ("column_values.unique", "compound_columns.unique"):
             skipped[f"{cfg.expectation_type}:{cfg.get('column') or ''}"] = (
                 "uniqueness is not delta-local (a dup can pair a changed "
                 "row with an untouched one); run it exact over the full "
                 "table or via quarantine"
             )
+        # statistic-parameterized masks (z-score family) resolve mean/
+        # stddev from the DataFrame they run on — over the delta those
+        # are the DELTA's stats, silently different from full-table
+        # validation (a delta of pure outliers normalizes itself to
+        # zero violations). Refuse instead.
+        rck = getattr(type(exp), "resolved_condition_kwargs", None)
+        if (
+            cond is not None
+            and rck is not None
+            and rck is not ColumnMapExpectation.resolved_condition_kwargs
+        ):
+            lbl = _label(cfg)
+            drop_labels.add(lbl)
+            skipped[lbl] = (
+                "statistic-parameterized expectation: its mean/stddev "
+                "would be computed from the delta rows only, not the "
+                "full table; run it exact"
+            )
+    if drop_labels:
+        masks = [(lbl, m) for lbl, m in masks if lbl not in drop_labels]
     if not masks:
         # nothing row-local to run — an empty, correctly-typed report
         spark = delta.sparkSession

@@ -117,7 +117,19 @@ def mixture_rates(
     missing = sorted(s for s in counts if s not in shares)
     if missing:
         raise ValueError(f"strata without a target share: {missing}")
-    t = min(float(counts[s]) / float(shares[s]) for s in counts if shares[s] > 0)
+    absent = sorted(s for s, w in shares.items() if w > 0 and s not in counts)
+    if absent:
+        raise ValueError(
+            f"target shares for strata with zero rows: {absent} — the "
+            "requested mixture is infeasible by downsampling (nothing to "
+            "keep); drop those shares or fix the corpus"
+        )
+    feasible = [
+        float(counts[s]) / float(shares[s]) for s in counts if shares[s] > 0
+    ]
+    if not feasible:
+        raise ValueError("every target share is zero — empty mixture")
+    t = min(feasible)
     return {
         s: (float(shares[s]) * t / float(counts[s]) if shares[s] > 0 else 0.0)
         for s in sorted(counts)
@@ -168,8 +180,10 @@ def per_group_cap(
 
     Rows with a NULL key are EXCLUDED (filtered explicitly, not dropped as
     a join artifact): a quota selection needs a stable row identity, and
-    md5(NULL) has none. Filter or synthesize keys upstream if NULL-keyed
-    rows must participate.
+    md5(NULL) has none. ``key_col`` must identify rows within a group
+    (doc_id-like): copies sharing a (group, key) travel together through
+    the semi-join, so a within-group duplicate key counts once toward the
+    cap but returns every copy.
     """
     from pyspark.sql import Window
 
@@ -184,9 +198,16 @@ def per_group_cap(
     kept = (
         triplets.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
-        .select("__k")
+        .select("__g", "__k")
     )
-    return df.join(kept, df[key_col] == kept["__k"], "left_semi")
+    # match on (group, key), not key alone: a key value reused across
+    # groups (or duplicated within one) must not let another group's kept
+    # triplet smuggle extra rows past the cap
+    return df.join(
+        kept,
+        (df[group_col] == kept["__g"]) & (df[key_col] == kept["__k"]),
+        "left_semi",
+    )
 
 
 def hash_split(

@@ -429,8 +429,13 @@ def curation_funnel(
     acc = None
     for i, (_, cond) in enumerate(stages):
         acc = cond if acc is None else (acc & cond)
+        # sum over ZERO rows is NULL; an empty corpus has 0 survivors,
+        # not unknown — keep the documented "equals chained .where
+        # counts" invariant on empty input too
         aggs.append(
-            F.sum(F.coalesce(acc, F.lit(False)).cast("long")).alias(f"__s{i}")
+            F.coalesce(
+                F.sum(F.coalesce(acc, F.lit(False)).cast("long")), F.lit(0)
+            ).alias(f"__s{i}")
         )
     wide = docs.agg(*aggs)
     rows = F.array(
@@ -539,9 +544,13 @@ class ClassBalanceExpectation:
         allow_extra = bool(cfg.get("allow_unexpected_labels", False))
         vc = resolver[self._metric_cfg(cfg)]
         total = sum(c for _, c in vc)
-        fracs = {v: (c / total if total else 0.0) for v, c in vc}
+        # compare label identities as strings: suite JSON round-trips
+        # (checkpoint files) stringify dict keys, and int-labeled columns
+        # must still match their targets rather than all reading as 0.0
+        fracs = {str(v): (c / total if total else 0.0) for v, c in vc}
+        shares = {str(k): v for k, v in shares.items()}
         deviations = {
-            str(label): round(fracs.get(label, 0.0) - float(want), 6)
+            label: round(fracs.get(label, 0.0) - float(want), 6)
             for label, want in sorted(shares.items())
         }
         off = {k: d for k, d in deviations.items() if abs(d) > tol}
@@ -588,7 +597,13 @@ def unigram_model(
     literals via plain binary float ops, so any engine rebuilds the
     identical probabilities from the same counts."""
     tok = docs.select(F.explode(tokens(text_col)).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # persist the vocab-sized counts: both the (N, V) collect below and
+    # the returned logprob frame consume it — without this the corpus-wide
+    # explode+groupBy scan runs twice (same pattern as jaccard_pairs'
+    # shingle cache)
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     row = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -626,7 +641,11 @@ def lm_quality(
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    scored = tok.join(F.broadcast(lp), "token", "left")
+    # no forced broadcast: the logprob table is vocab-sized, which for a
+    # web corpus can run to billions of distinct tokens — let AQE
+    # broadcast it when it is actually small and shuffle-join otherwise
+    # (the same rule as the quarantine dup-key join)
+    scored = tok.join(lp, "token", "left")
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(-F.avg(F.coalesce(F.col("logp"), F.lit(oov))), 4).alias(

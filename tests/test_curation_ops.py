@@ -482,3 +482,79 @@ def test_hash_split_null_keys_fall_to_last_split(spark):
     got = {r["k"]: r["split"] for r in sampling.hash_split(
         df, {"train": 0.5, "test": 0.5}, "k").collect()}
     assert got[None] == "test"  # documented: NULL hash -> last split
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_per_group_cap_shared_key_across_groups(spark):
+    # the same key value in two groups must not smuggle rows past the cap
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "B"), (3, "B")], "k int, g string"
+    )
+    out = sampling.per_group_cap(df, "g", 1, "k").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append(r["k"])
+    assert len(by["A"]) == 1 and len(by["B"]) == 1
+
+
+def test_curation_funnel_empty_input_is_zero_not_null(spark):
+    df = spark.createDataFrame([], "doc_id int, text string")
+    rows = text.curation_funnel(
+        df, [("any", F.length("text") > 0)]).collect()
+    assert [(r["surviving"], r["dropped_here"]) for r in rows] == [(0, 0), (0, 0)]
+
+
+def test_mixture_rates_absent_stratum_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "en")], "k int, s string")
+    with pytest.raises(ValueError, match="zero rows"):
+        sampling.mixture_rates(df, "s", {"en": 0.5, "zh": 0.5})
+    with pytest.raises(ValueError, match="empty mixture"):
+        sampling.mixture_rates(df, "s", {"en": 0.0})
+
+
+def test_class_balance_expectation_int_labels_roundtrip(spark):
+    # suite JSON round-trips stringify dict keys; int-labeled columns must
+    # still match their targets
+    import json
+
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)],
+                               "k int, lab int")
+    s = ExpectationSuite("m")
+    s.add("expect_column_class_balance_to_match", column="lab",
+          target_shares={0: 0.5, 1: 0.5}, tolerance=0.01)
+    s2 = ExpectationSuite.from_json(json.dumps(json.loads(s.to_json())))
+    r = validate_df(df, s2, result_format="SUMMARY")["results"][0]
+    assert r["success"], r
+
+
+def test_revalidate_delta_refuses_stat_parameterized(spark):
+    from sparkcheck import ExpectationSuite
+
+    old = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                "k int, v double")
+    # delta = 5 extreme outliers; delta-local mean/std would normalize
+    # them away, so the engine must refuse rather than mislead
+    new = old.union(spark.createDataFrame(
+        [(100 + i, 1e9 + i) for i in range(5)], "k int, v double"))
+    s = ExpectationSuite("z")
+    s.add("expect_column_value_z_scores_to_be_less_than", column="v",
+          threshold=3, double_sided=True)
+    s.add("expect_column_values_to_not_be_null", column="v")
+    rep, skipped = diffing_revalidate(old, new, s)
+    labels = [r["expectation"] for r in rep.collect()]
+    assert labels == ["expect_column_values_to_not_be_null:v"]
+    assert any("statistic-parameterized" in v for v in skipped.values())
+
+
+def diffing_revalidate(old, new, s):
+    from sparkcheck import diffing
+
+    return diffing.revalidate_delta(old, new, ["k"], s)
