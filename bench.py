@@ -66,6 +66,7 @@ HEADLINE = [
     "per_source_cap",
     "curation_funnel",
     "passage_dedup_documents",
+    "lm_quality_documents",
 ]
 
 
@@ -122,7 +123,7 @@ def main() -> None:
                  # Catalyst+codegen compile (measured 3.3 vs 6.4s run-to-run
                  # on cold plans), same fixed-cost class as the dedup wides
                  "per_source_cap", "curation_funnel",
-                 "passage_dedup_documents"):
+                 "passage_dedup_documents", "lm_quality_documents"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

@@ -293,6 +293,21 @@ def main():
         "column, so funnel depth adds aggregate columns, never passes; "
         "the stage unpivot explodes the single aggregated row.")
 
+    add("Unigram-LM quality scoring (lm_quality_documents)",
+        qs["lm_quality_documents"](spark, SF),
+        "One token explode feeds a vocab-keyed join left UN-hinted (AQE "
+        "broadcasts the logprob table when it is actually small; a web "
+        "corpus's billion-token vocab shuffle-joins instead of OOMing the "
+        "driver) and one per-doc aggregate; the model's N/V scalars are "
+        "folded literals, so the scoring pass itself is scan + join + "
+        "agg with no Python anywhere.")
+    add("Mixture resampling (mixture_sample)",
+        qs["mixture_sample"](spark, SF),
+        "After the dimension-sized counts aggregate (collected, rates "
+        "re-embedded as literals), the data path is ONE narrow scan with "
+        "the md5 keep-filter evaluated in the scan stage — zero shuffle, "
+        "zero joins; resampling a 100 TB corpus costs a read pass.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
