@@ -1462,6 +1462,18 @@ def q_boilerplate_ngrams(spark, sf):
     return boilerplate_ngrams(d, n=3, min_docs=5, top_k=50)
 
 
+def q_domain_quality(spark, sf):
+    """Per-domain quality ranking (text.domain_quality_report): volume,
+    mean heuristic quality, repetition, PII-document rate, and exact-dup
+    load per source, worst first — the blocklist/downweight table of a
+    web-corpus curation loop. One pass, two-level aggregation (the
+    distinct-fingerprint count falls out of level two's row count, no
+    countDistinct Expand)."""
+    from sparkcheck.text import domain_quality_report
+
+    return domain_quality_report(_t(spark, sf, "documents"))
+
+
 def q_containment_pairs(spark, sf):
     """Directional containment near-dups (dedup.containment_pairs): pairs
     where >= 80% of one doc's trigram shingles live inside the other's —
@@ -1668,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "curation_funnel": q_curation_funnel,
         "containment_pairs": q_containment_pairs,
+        "domain_quality": q_domain_quality,
         "lm_quality_documents": q_lm_quality_documents,
     }
 
@@ -2290,6 +2303,8 @@ def oracle_sql() -> dict[str, str]:
 
         "curation_funnel": _curation_funnel_oracle(),
 
+        "domain_quality": _domain_quality_oracle(),
+
         "containment_pairs": (
             # same shingle table + max_df guard as the jaccard oracle,
             # directional denominator |S_inner|, threshold on the
@@ -2749,6 +2764,48 @@ def _embedding_drift_oracle() -> str:
         f"round({dotc} / (sqrt({no}) * sqrt({nn})), 4) AS centroid_cos, "
         f"round(sqrt({nn}) / sqrt({no}), 4) AS norm_ratio "
         "FROM o JOIN n2 USING (label) ORDER BY label"
+    )
+
+
+def _domain_quality_oracle() -> str:
+    """Replay text.domain_quality_report: the per-doc quality/repetition/
+    fingerprint formulas already proven by the text_profile oracle, summed
+    through the same two-level (group, fingerprint) -> group aggregation;
+    4-dp rounds absorb sum-order noise on the double means."""
+    sw = _sw_list("en")
+    q = (
+        "(least(len(toks)::DOUBLE / 20.0, 1.0) * 0.5 + "
+        f"least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+        f"x -> x IN ({sw})))::DOUBLE / len(toks) ELSE 0.0 END) * 5.0, 1.0) "
+        "* 0.25 + (1.0 - least((CASE WHEN length(lower(text)) > 0 THEN "
+        "(length(lower(text)) - length(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) "
+        "ELSE 1.0 END) * 2.0, 1.0)) * 0.25)"
+    )
+    d2 = (
+        "(CASE WHEN len(bg) > 0 THEN 1.0 - "
+        "len(list_distinct(bg))::DOUBLE / len(bg) ELSE 0.0 END)"
+    )
+    pii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))"
+        for p in text.PII_PATTERNS.values()
+    )
+    return (
+        f"WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents), "
+        f"b AS (SELECT source, text, toks, {_SHINGLES2} AS bg FROM t), "
+        f"l0 AS (SELECT source, md5(array_to_string(toks, ' ')) AS fp, "
+        f"{q} AS q, len(toks)::BIGINT AS tk, {d2} AS d2, "
+        f"(({pii}) > 0)::BIGINT AS pii FROM b), "
+        "l1 AS (SELECT source, fp, count(*)::BIGINT AS n, sum(q) AS sq, "
+        "sum(tk)::BIGINT AS stk, sum(d2) AS sd2, sum(pii)::BIGINT AS spii "
+        "FROM l0 GROUP BY 1, 2) "
+        "SELECT source, sum(n)::BIGINT AS n_docs, "
+        "sum(stk)::BIGINT AS total_tokens, "
+        "round(sum(sq) / sum(n), 4) AS mean_quality, "
+        "round(sum(sd2) / sum(n), 4) AS mean_dup_2gram, "
+        "round(sum(spii)::DOUBLE / sum(n), 4) AS pii_doc_rate, "
+        "(sum(n) - count(*))::BIGINT AS exact_dup_docs "
+        "FROM l1 GROUP BY source ORDER BY mean_quality, source"
     )
 
 

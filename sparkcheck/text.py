@@ -661,3 +661,61 @@ def lm_quality(
             "mean_nll",
         )
     )
+
+
+def domain_quality_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quality ranking — the "which sources do we blocklist or
+    downweight?" table every web-corpus curation loop maintains: one row
+    per group with document/token volume, mean heuristic quality, mean
+    bigram repetition (NULL ratios count as 0, like the profile), the
+    fraction of documents containing PII, and the exact-duplicate load
+    (docs minus distinct content fingerprints). Sorted worst-quality
+    first.
+
+    One pass, TWO-LEVEL aggregation (groupBy (group, fingerprint) then
+    groupBy group): every metric is a sum that composes through both
+    levels, and the distinct-fingerprint count falls out of level two's
+    row count — no countDistinct Expand, no second scan. The level-one
+    frame is bounded by distinct (group, content) pairs."""
+    from functools import reduce
+
+    pii_total = reduce(
+        lambda a, b: a + b,
+        [F.regexp_count(F.col(text_col), F.lit(p)) for p in PII_PATTERNS.values()],
+    )
+    lvl1 = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            fingerprint(text_col).alias("fp"),
+            quality_score(text_col).alias("q"),
+            token_count(text_col).cast("long").alias("tk"),
+            F.coalesce(dup_ngram_frac(text_col, 2), F.lit(0.0)).alias("d2"),
+            (pii_total > 0).cast("long").alias("pii"),
+        )
+        .groupBy("grp", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum("tk").alias("stk"),
+            F.sum("d2").alias("sd2"),
+            F.sum("pii").alias("spii"),
+        )
+    )
+    n_docs = F.sum("n")
+    return (
+        lvl1.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("stk").alias("total_tokens"),
+            F.round(F.sum("sq") / n_docs, 4).alias("mean_quality"),
+            F.round(F.sum("sd2") / n_docs, 4).alias("mean_dup_2gram"),
+            F.round(F.sum("spii") / n_docs, 4).alias("pii_doc_rate"),
+            (n_docs - F.count(F.lit(1))).alias("exact_dup_docs"),
+        )
+        .orderBy("mean_quality", group_col)
+    )

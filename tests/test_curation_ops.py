@@ -558,3 +558,26 @@ def diffing_revalidate(old, new, s):
     from sparkcheck import diffing
 
     return diffing.revalidate_delta(old, new, ["k"], s)
+
+
+def test_domain_quality_report_ranks_and_counts_dups(spark):
+    good = "the cat and the dog sat on a mat in the sun and the rain it is"
+    df = spark.createDataFrame(
+        [
+            (1, "siteA", good),
+            (2, "siteA", good),                # exact dup within siteA
+            (3, "siteB", "zz zz zz zz"),       # repetitive junk
+            (4, "siteB", "mail me bob@x.co"),  # PII doc
+        ],
+        "doc_id int, source string, text string",
+    )
+    rep = {r["source"]: r for r in text.domain_quality_report(df).collect()}
+    a, b = rep["siteA"], rep["siteB"]
+    assert a["n_docs"] == 2 and a["exact_dup_docs"] == 1
+    assert b["n_docs"] == 2 and b["exact_dup_docs"] == 0
+    assert a["mean_quality"] > b["mean_quality"]   # junk site ranks worse
+    assert b["pii_doc_rate"] == 0.5 and a["pii_doc_rate"] == 0.0
+    assert b["mean_dup_2gram"] > a["mean_dup_2gram"]
+    # worst-first ordering
+    order = [r["source"] for r in text.domain_quality_report(df).collect()]
+    assert order == ["siteB", "siteA"]
