@@ -308,6 +308,16 @@ def main():
         "the md5 keep-filter evaluated in the scan stage — zero shuffle, "
         "zero joins; resampling a 100 TB corpus costs a read pass.")
 
+    add("Per-domain quality ranking (domain_quality)",
+        qs["domain_quality"](spark, SF),
+        "TWO chained HashAggregates — keys (grp, fp) then (grp), each "
+        "with a partial_* combine below its Exchange — and NO Expand "
+        "node anywhere: the distinct-fingerprint count falls out of "
+        "level two's row count instead of a countDistinct rewrite. The "
+        "token/bigram arrays materialize once in their own Project "
+        "(multiply-referenced non-cheap aliases), so the five per-doc "
+        "metrics share one tokenization.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

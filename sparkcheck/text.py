@@ -667,7 +667,6 @@ def domain_quality_report(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-domain quality ranking — the "which sources do we blocklist or
     downweight?" table every web-corpus curation loop maintains: one row
@@ -681,20 +680,67 @@ def domain_quality_report(
     groupBy group): every metric is a sum that composes through both
     levels, and the distinct-fingerprint count falls out of level two's
     row count — no countDistinct Expand, no second scan. The level-one
-    frame is bounded by distinct (group, content) pairs."""
-    from functools import reduce
+    frame is bounded by distinct (group, content) pairs. The token and
+    bigram arrays are pre-projected ONCE and every per-doc metric reads
+    the alias (the curation_funnel re-tokenization trap; same arithmetic
+    as quality_score/dup_ngram_frac, shared arrays)."""
+    from .sources import ensure_parallelism
 
-    pii_total = reduce(
-        lambda a, b: a + b,
-        [F.regexp_count(F.col(text_col), F.lit(p)) for p in PII_PATTERNS.values()],
+    docs = ensure_parallelism(docs)
+    toks = F.col("__toks")
+    bg = F.col("__bg")
+    pre = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "grp",
+        "__text",
+        "__toks",
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.size(toks)),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("__bg"),
     )
+    n = F.size(toks).cast("double")
+    sw = F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, _member_of(DEFAULT_QUALITY_STOPWORDS)))
+        .cast("double")
+        / F.size(toks),
+    )
+    quality = (
+        F.least(n / F.lit(20.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(F.coalesce(sw, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
+        * F.lit(0.25)
+        + (
+            F.lit(1.0)
+            - F.least(
+                F.coalesce(non_alnum_ratio("__text"), F.lit(1.0))
+                * F.lit(2.0),
+                F.lit(1.0),
+            )
+        )
+        * F.lit(0.25)
+    )
+    d2 = F.when(
+        F.size(bg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+    )
+    pii_total = None
+    for c in pii_counts("__text"):
+        pii_total = c if pii_total is None else pii_total + c
     lvl1 = (
-        docs.select(
-            F.col(group_col).alias("grp"),
-            fingerprint(text_col).alias("fp"),
-            quality_score(text_col).alias("q"),
-            token_count(text_col).cast("long").alias("tk"),
-            F.coalesce(dup_ngram_frac(text_col, 2), F.lit(0.0)).alias("d2"),
+        pre.select(
+            "grp",
+            F.md5(F.array_join(toks, " ")).alias("fp"),
+            quality.alias("q"),
+            F.size(toks).cast("long").alias("tk"),
+            F.coalesce(d2, F.lit(0.0)).alias("d2"),
             (pii_total > 0).cast("long").alias("pii"),
         )
         .groupBy("grp", "fp")
