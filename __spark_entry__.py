@@ -1495,6 +1495,19 @@ def q_lm_quality_documents(spark, sf):
     return lm_quality(_t(spark, sf, "documents"))
 
 
+def q_bigram_lm_quality(spark, sf):
+    """Bigram-LM quality scoring (text.bigram_lm_quality, self-scored):
+    per-doc mean NLL of the add-0.5-smoothed conditional P(w2|w1) — one
+    order deeper than the unigram filter; catches word-salad whose
+    unigrams are common but never co-occur. Bigram stream joins two
+    vocabulary-sized count tables (AQE-sized, no forced broadcast), then
+    one per-doc aggregate; the smoothed conditional is computed after the
+    joins from raw counts, so unseen pairs need no OOV branch."""
+    from sparkcheck.text import bigram_lm_quality
+
+    return bigram_lm_quality(_t(spark, sf, "documents"))
+
+
 def q_curation_funnel(spark, sf):
     """Single-pass curation funnel (text.curation_funnel): four chained
     quality filters (length floor, token range, low bigram repetition,
@@ -1682,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "domain_quality": q_domain_quality,
         "lm_quality_documents": q_lm_quality_documents,
+        "bigram_lm_quality": q_bigram_lm_quality,
     }
 
 
@@ -2325,6 +2339,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz si ON si.doc_id = doc_inner "
             "JOIN sz so ON so.doc_id = doc_outer "
             "WHERE i::DOUBLE / si.sz >= 0.8"
+        ),
+
+        "bigram_lm_quality": (
+            # smoothed conditional rebuilt from raw counts with the same
+            # ops the Spark plan folds: (c12+0.5) / (c1 + 0.5*(V+1));
+            # self-scoring makes c12/c1 never null here, coalesce kept
+            # for formula parity anyway
+            f"{toks_cte}, "
+            f"bgs AS (SELECT doc_id, unnest({_SHINGLES2}) AS bg FROM t), "
+            "uni AS (SELECT token, count(*)::BIGINT AS c1 FROM "
+            "(SELECT unnest(toks) AS token FROM t) GROUP BY 1), "
+            "s AS (SELECT count(*)::DOUBLE AS v FROM uni), "
+            "big AS (SELECT bg, count(*)::BIGINT AS c12 FROM bgs GROUP BY 1), "
+            "sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "round(-avg(ln((coalesce(c12, 0)::DOUBLE + 0.5) / "
+            "(coalesce(c1, 0)::DOUBLE + 0.5 * (v + 1.0)))), 4) AS mean_nll "
+            "FROM bgs LEFT JOIN big USING (bg) "
+            "LEFT JOIN uni ON uni.token = split_part(bg, ' ', 1), s "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS "
+            "n_bigrams, sc.mean_nll FROM documents d "
+            "LEFT JOIN sc USING (doc_id)"
         ),
 
         "lm_quality_documents": (

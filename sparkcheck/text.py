@@ -765,3 +765,86 @@ def domain_quality_report(
         )
         .orderBy("mean_quality", group_col)
     )
+
+
+def bigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> "tuple[DataFrame, DataFrame, float]":
+    """Corpus bigram language model with add-k smoothing on the
+    conditional: returns ``(bigram_counts, context_counts, vocab)`` where
+    bigram_counts is (bg, c12) over the "w1 w2" strings, context_counts
+    is (token, c1) unigram counts, and vocab is V (distinct unigrams).
+    P(w2|w1) = (c12 + k) / (c1 + k*(V+1)) — one formula covers seen and
+    unseen pairs uniformly (c12 or c1 default to 0 at scoring time), so
+    scoring needs no special OOV branch.
+
+    Two groupBys (bigram- and token-keyed, map-side combine); both result
+    frames are vocabulary-sized, not corpus-sized."""
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    v = float(uni.count())
+    big = (
+        docs.select(F.explode(shingles(text_col, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return big, uni, v
+
+
+def bigram_lm_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    model: "tuple[DataFrame, DataFrame, float] | None" = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a bigram LM — one
+    order deeper than ``lm_quality``: word-salad documents whose unigrams
+    are individually common but never co-occur (shuffled text, keyword
+    stuffing) score high here while passing the unigram filter. Returns
+    (id, n_bigrams, mean_nll); docs with fewer than two tokens come back
+    with 0/NULL.
+
+    Scale shape: the per-doc bigram stream joins the vocabulary-sized
+    bigram-count and context-count tables (both left UN-hinted — AQE
+    broadcasts them while they fit and shuffle-joins a web corpus's
+    billions of bigrams), then one per-doc aggregate. The smoothed
+    conditional is computed AFTER the joins from raw counts, so unseen
+    bigrams and unseen contexts need no second lookup path."""
+    big, uni, v = model if model is not None else bigram_model(
+        docs, text_col, add_k
+    )
+    k = float(add_k)
+    stream = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, 2)).alias("bg")
+    ).withColumn("__w1", F.substring_index("bg", " ", 1))
+    joined = (
+        stream.join(big, "bg", "left")
+        .join(uni.withColumnRenamed("token", "__w1"), "__w1", "left")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(k))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(k) * F.lit(v + 1.0)
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg(logp), 4).alias("mean_nll"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_nll",
+        )
+    )

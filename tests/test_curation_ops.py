@@ -581,3 +581,35 @@ def test_domain_quality_report_ranks_and_counts_dups(spark):
     # worst-first ordering
     order = [r["source"] for r in text.domain_quality_report(df).collect()]
     assert order == ["siteB", "siteA"]
+
+
+def test_bigram_lm_flags_word_salad(spark):
+    # same unigram distribution, different co-occurrence: the shuffled doc
+    # must score a strictly higher bigram NLL while its unigram NLL ties
+    rows = [(i, "the cat sat on the mat") for i in range(20)] + [
+        (99, "mat the on cat the sat")  # same words, novel bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    big = {r["doc_id"]: r["mean_nll"]
+           for r in text.bigram_lm_quality(df).collect()}
+    uni = {r["doc_id"]: r["mean_nll"] for r in text.lm_quality(df).collect()}
+    assert big[99] > big[0]
+    assert uni[99] == uni[0]  # unigram filter is blind to the shuffle
+
+
+def test_bigram_lm_short_and_heldout(spark):
+    train = spark.createDataFrame([(1, "a b c a b")], "doc_id int, text string")
+    model = text.bigram_model(train)
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z q"), (12, "a")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+           for r in text.bigram_lm_quality(score, model=model).collect()}
+    assert got[12] == (0, None)         # <2 tokens: no bigrams
+    assert got[10][0] == 1 and got[11][0] == 1
+    assert got[11][1] > got[10][1]      # unseen context + pair scores worst
+    import math
+    # "a b": c12=2, c1(a)=2, V=3 -> ln(2.5 / (2 + 0.5*4))
+    assert got[10][1] == round(-math.log(2.5 / 4.0), 4)
+    # "z q": c12=0, c1(z)=0 -> ln(0.5 / (0 + 2.0))
+    assert got[11][1] == round(-math.log(0.5 / 2.0), 4)
