@@ -1495,6 +1495,22 @@ def q_lm_quality_documents(spark, sf):
     return lm_quality(_t(spark, sf, "documents"))
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental dedup against the historical fingerprint store
+    (dedup.incremental_dedup): the 'delivery' (all documents) dedups
+    within-batch (min doc_id per fingerprint) then anti-joins the store
+    (fingerprints of doc_id%3==0) — day N+1 never rescans history's
+    text, only its 16-byte fingerprint column."""
+    d = _t(spark, sf, "documents")
+    from sparkcheck.text import fingerprint
+
+    seen = d.where(F.col("doc_id") % 3 == 0).select(
+        fingerprint("text").alias("fingerprint")
+    ).distinct()
+    kept, _new_fps = dedup.incremental_dedup(d, seen)
+    return kept.select("doc_id", "fingerprint")
+
+
 def q_bigram_lm_quality(spark, sf):
     """Bigram-LM quality scoring (text.bigram_lm_quality, self-scored):
     per-doc mean NLL of the add-0.5-smoothed conditional P(w2|w1) — one
@@ -1696,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "lm_quality_documents": q_lm_quality_documents,
         "bigram_lm_quality": q_bigram_lm_quality,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2339,6 +2356,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz si ON si.doc_id = doc_inner "
             "JOIN sz so ON so.doc_id = doc_outer "
             "WHERE i::DOUBLE / si.sz >= 0.8"
+        ),
+
+        "incremental_dedup": (
+            f"{toks_cte}, "
+            "f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp "
+            "FROM t), "
+            "seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0), "
+            "fst AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1) "
+            "SELECT f.doc_id, f.fp AS fingerprint FROM f "
+            "JOIN fst ON f.fp = fst.fp AND f.doc_id = fst.keep_id "
+            "WHERE f.fp NOT IN (SELECT fp FROM seen)"
         ),
 
         "bigram_lm_quality": (

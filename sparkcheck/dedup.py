@@ -843,3 +843,42 @@ def contamination(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[DataFrame, DataFrame]":
+    """Dedup a NEW delivery against the historical corpus without touching
+    it: ``seen`` is the running fingerprint store (one 'fingerprint'
+    column — 16-byte md5 of the normalized token stream, the same
+    ``text.fingerprint`` every batch writes), and the delivery keeps only
+    documents that are (a) first within the batch (min id per
+    fingerprint) and (b) absent from the store. Returns
+    ``(kept, new_fingerprints)`` — append new_fingerprints to the store
+    and the loop is closed; day N+1 never rescans days 1..N's text.
+
+    Scale shape: one fingerprint-keyed groupBy over the delivery (batch
+    self-dedup, map-side combine), one LEFT ANTI join against the
+    store's fingerprint column (un-hinted: AQE broadcasts a small store,
+    shuffle-joins a 10^12-row one on the 16-byte key — the document
+    payload rides only the delivery side, the store contributes keys
+    alone)."""
+    from .text import fingerprint
+
+    tagged = new_docs.withColumn("__fp", fingerprint(text_col))
+    batch_first = tagged.groupBy("__fp").agg(
+        F.min(F.col(id_col)).alias("__keep_id")
+    )
+    firsts = tagged.join(batch_first, "__fp").where(
+        F.col(id_col) == F.col("__keep_id")
+    )
+    kept = firsts.join(
+        seen.select(F.col("fingerprint").alias("__fp")),
+        "__fp",
+        "left_anti",
+    ).drop("__keep_id")
+    new_fps = kept.select(F.col("__fp").alias("fingerprint"))
+    return kept.withColumnRenamed("__fp", "fingerprint"), new_fps

@@ -613,3 +613,27 @@ def test_bigram_lm_short_and_heldout(spark):
     assert got[10][1] == round(-math.log(2.5 / 4.0), 4)
     # "z q": c12=0, c1(z)=0 -> ln(0.5 / (0 + 2.0))
     assert got[11][1] == round(-math.log(0.5 / 2.0), 4)
+
+
+def test_incremental_dedup_against_store(spark):
+    seen_docs = spark.createDataFrame(
+        [(1, "old content here")], "doc_id int, text string"
+    )
+    store = seen_docs.select(text.fingerprint("text").alias("fingerprint"))
+    new = spark.createDataFrame(
+        [
+            (10, "old content here"),    # already in the store -> dropped
+            (11, "fresh content one"),
+            (12, "fresh content one"),   # batch dup of 11 -> dropped
+            (13, "fresh content two"),
+        ],
+        "doc_id int, text string",
+    )
+    kept, new_fps = dedup.incremental_dedup(new, store)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [11, 13]
+    # the returned fingerprints close the loop: appending them makes a
+    # second identical delivery come back empty
+    store2 = store.union(new_fps)
+    kept2, _ = dedup.incremental_dedup(new, store2)
+    assert kept2.count() == 0
