@@ -1495,6 +1495,21 @@ def q_lm_quality_documents(spark, sf):
     return lm_quality(_t(spark, sf, "documents"))
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (sampling.pack_sequences): every document's exact
+    position on the deterministic global token stream — start offset,
+    256-token training-bin id, offset within the bin — via a DISTRIBUTED
+    prefix sum (range-partitioned narrow triplets, per-partition running
+    sums, driver-folded partition offsets) instead of a one-task global
+    window. Pure integer arithmetic, so the single-window DuckDB replay
+    is bit-exact."""
+    from sparkcheck.sampling import pack_sequences
+    from sparkcheck.text import token_count
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, 256, token_count("text"), "doc_id")
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental dedup against the historical fingerprint store
     (dedup.incremental_dedup): the 'delivery' (all documents) dedups
@@ -1713,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_documents": q_lm_quality_documents,
         "bigram_lm_quality": q_bigram_lm_quality,
         "incremental_dedup": q_incremental_dedup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2356,6 +2372,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz si ON si.doc_id = doc_inner "
             "JOIN sz so ON so.doc_id = doc_outer "
             "WHERE i::DOUBLE / si.sz >= 0.8"
+        ),
+
+        "pack_sequences": (
+            # single-window replay of the distributed prefix sum; same
+            # (hash, key) total order (int hv ordering == scaled-double
+            # ordering), all-integer arithmetic -> bit-exact
+            f"{toks_cte}, "
+            "f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+            + _hex32("md5('pack' || doc_id::VARCHAR)")
+            + " AS hv FROM t), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "sum(n_tokens) OVER (ORDER BY hv, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
+            "AS start_offset FROM f) "
+            "SELECT doc_id, n_tokens, start_offset::BIGINT AS start_offset, "
+            "(start_offset // 256)::BIGINT AS bin_id, "
+            "(start_offset % 256)::BIGINT AS offset_in_bin FROM r"
         ),
 
         "incremental_dedup": (

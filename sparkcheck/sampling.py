@@ -349,3 +349,76 @@ def sampled_violation_estimate(
         ),
     ).orderBy("expectation")
     return est, skipped
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str | Column,
+    key_col: str,
+    salt: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training: lay every document out on one
+    deterministic global token stream (hash order — reproducible across
+    runs, engines, and cluster sizes) and assign each its starting
+    offset, training-bin id (``start_offset // seq_len``), and offset
+    within the bin. This is the batch-construction step that turns a
+    curated corpus into fixed-capacity training sequences; documents
+    straddling a boundary are the trainer's split/pad decision — the
+    engine's job is the exact, reproducible layout.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a global
+    ``sum() over (order by ...)`` puts the whole corpus through ONE task.
+    Instead (1) range-partition the narrow (key, hash, n_tokens) triplets
+    by the global order, (2) run the running sum per partition (window
+    partitioned by spark_partition_id — parallel, because range
+    partitioning makes partitions order-disjoint), (3) collect the
+    per-partition totals (one row per partition), prefix-sum them on the
+    driver, and fold the offsets back in as a literal map. All integer
+    arithmetic — the oracle replays it with one SQL window, bit-exact."""
+    from itertools import chain
+
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = hash_fraction(key_col, salt)
+    narrow = df.select(
+        F.col(key_col).alias("__k"),
+        h.alias("__h"),
+        tok.cast("long").alias("n_tokens"),
+    )
+    if num_partitions:
+        narrow = narrow.repartitionByRange(
+            num_partitions, F.col("__h"), F.col("__k")
+        )
+    else:
+        narrow = narrow.repartitionByRange(F.col("__h"), F.col("__k"))
+    narrow = narrow.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("__h", "__k")
+    local = narrow.withColumn("__run", F.sum("n_tokens").over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in local.groupBy("__pid")
+        .agg(F.max("__run").alias("t"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    off_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(int(p)), F.lit(int(o))) for p, o in offsets.items()
+        )
+    ) if offsets else F.create_map()
+    start = F.col("__run") - F.col("n_tokens") + F.coalesce(
+        off_map[F.col("__pid")], F.lit(0)
+    )
+    return local.select(
+        F.col("__k").alias(key_col),
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(int(seq_len))).cast("long").alias("bin_id"),
+        (start % F.lit(int(seq_len))).alias("offset_in_bin"),
+    )

@@ -637,3 +637,34 @@ def test_incremental_dedup_against_store(spark):
     store2 = store.union(new_fps)
     kept2, _ = dedup.incremental_dedup(new, store2)
     assert kept2.count() == 0
+
+
+def test_pack_sequences_contiguous_layout(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "k int, n int"
+    ).repartition(16)  # force the prefix sum across many partitions
+    out = sampling.pack_sequences(df, 10, "n", "k").collect()
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    pos = 0
+    for r in rows:
+        # contiguous, gap-free global stream — the partition-offset fold
+        # is exact across an arbitrary partitioning
+        assert r["start_offset"] == pos, (r, pos)
+        assert r["bin_id"] == pos // 10
+        assert r["offset_in_bin"] == pos % 10
+        pos += r["n_tokens"]
+    assert pos == sum(r["n_tokens"] for r in rows)
+    # deterministic independent of input partitioning
+    again = sampling.pack_sequences(df.repartition(3), 10, "n", "k").collect()
+    assert {(r["k"], r["start_offset"]) for r in again} == {
+        (r["k"], r["start_offset"]) for r in out}
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    df = spark.createDataFrame([(1, 0), (2, 5), (3, 0)], "k int, n int")
+    out = {r["k"]: r for r in
+           sampling.pack_sequences(df, 4, "n", "k").collect()}
+    # zero-token docs occupy a position but consume no stream
+    starts = sorted(r["start_offset"] for r in out.values())
+    assert starts[0] == 0 and starts[-1] <= 5
+    assert sum(r["n_tokens"] for r in out.values()) == 5
