@@ -868,7 +868,13 @@ def incremental_dedup(
     alone)."""
     from .text import fingerprint
 
-    tagged = new_docs.withColumn("__fp", fingerprint(text_col))
+    # Recompute the fingerprint even when the delivery already carries one
+    # (a previous batch's `kept` output fed back in): dropping stale
+    # 'fingerprint'/reserved temporaries first keeps the output schema
+    # single-valued instead of duplicating the column name.
+    tagged = new_docs.drop("fingerprint", "__fp", "__keep_id").withColumn(
+        "__fp", fingerprint(text_col)
+    )
     batch_first = tagged.groupBy("__fp").agg(
         F.min(F.col(id_col)).alias("__keep_id")
     )

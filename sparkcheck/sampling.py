@@ -386,7 +386,9 @@ def pack_sequences(
     narrow = df.select(
         F.col(key_col).alias("__k"),
         h.alias("__h"),
-        tok.cast("long").alias("n_tokens"),
+        # NULL token counts occupy zero stream positions instead of
+        # poisoning a whole partition's running sum.
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"),
     )
     if num_partitions:
         narrow = narrow.repartitionByRange(
@@ -394,31 +396,50 @@ def pack_sequences(
         )
     else:
         narrow = narrow.repartitionByRange(F.col("__h"), F.col("__k"))
-    narrow = narrow.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy("__h", "__k")
-    local = narrow.withColumn("__run", F.sum("n_tokens").over(w))
+    # Persist the partitioned triplets: the driver-folded offsets map is
+    # keyed by physical partition id, so the totals job and the output job
+    # must see the same materialization (and the range shuffle is paid
+    # once, not twice). Rows are ~40 B, so the cache stays tiny relative
+    # to the corpus it lays out.
+    narrow = narrow.withColumn("__pid", F.spark_partition_id()).persist()
     totals = sorted(
-        (r["__pid"], r["t"])
-        for r in local.groupBy("__pid")
-        .agg(F.max("__run").alias("t"))
+        (r["__pid"], int(r["t"] or 0))
+        for r in narrow.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("t"))
         .collect()
     )
     offsets, acc = {}, 0
     for pid, t in totals:
         offsets[pid] = acc
         acc += t
-    off_map = F.create_map(
-        *chain.from_iterable(
-            (F.lit(int(p)), F.lit(int(o))) for p, o in offsets.items()
+    if offsets:
+        off_map = F.create_map(
+            *chain.from_iterable(
+                (F.lit(int(p)), F.lit(int(o))) for p, o in offsets.items()
+            )
         )
-    ) if offsets else F.create_map()
-    start = F.col("__run") - F.col("n_tokens") + F.coalesce(
-        off_map[F.col("__pid")], F.lit(0)
+        off = F.coalesce(off_map[F.col("__pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    # Explicit ROWS frame: the default RANGE frame groups ties on
+    # (__h, __k), which would hand duplicate keys overlapping offsets.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__h", "__k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return local.select(
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens") + off
+    laid = narrow.select(
         F.col("__k").alias(key_col),
         "n_tokens",
         start.alias("start_offset"),
-        F.floor(start / F.lit(int(seq_len))).cast("long").alias("bin_id"),
-        (start % F.lit(int(seq_len))).alias("offset_in_bin"),
+    )
+    # Integer DIV, not floor(float /): the double mantissa runs out past
+    # 2^53 stream positions and would disagree with the oracle's `//`.
+    return laid.select(
+        key_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(seq_len)}").alias("bin_id"),
+        (F.col("start_offset") % F.lit(int(seq_len))).alias("offset_in_bin"),
     )

@@ -84,18 +84,37 @@ def non_alnum_ratio(col: str | Column = "text") -> Column:
     )
 
 
+def _quality_from_tokens(
+    toks: Column,
+    raw: str | Column,
+    stopwords: tuple[str, ...] = DEFAULT_QUALITY_STOPWORDS,
+) -> Column:
+    """The quality formula over a PRE-BUILT token array — the single copy
+    of the weights, shared by ``quality_score`` (which tokenizes for you)
+    and ``domain_quality_report`` (which reuses one projected array for
+    several metrics). ``raw`` is the untokenized text for the
+    punctuation-noise term."""
+    n = F.size(toks).cast("double")
+    length_term = F.least(n / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
+    sw_ratio = F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, _member_of(stopwords))).cast("double")
+        / F.size(toks),
+    )
+    sw_term = F.least(
+        F.coalesce(sw_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0)
+    )  # saturates at 20% stopwords
+    noise_term = F.lit(1.0) - F.least(
+        F.coalesce(non_alnum_ratio(raw), F.lit(1.0)) * F.lit(2.0), F.lit(1.0)
+    )
+    return length_term * F.lit(0.5) + sw_term * F.lit(0.25) + noise_term * F.lit(0.25)
+
+
 def quality_score(col: str | Column = "text") -> Column:
     """Composite [0,1] quality score: length sweet-spot x stopword presence
     x low punctuation noise. Weights are arbitrary but fixed; what the
     engine guarantees is a deterministic, fully vectorized scalar per doc."""
-    n = token_count(col).cast("double")
-    length_term = F.least(n / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
-    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
-    sw_term = F.least(sw * F.lit(5.0), F.lit(1.0))  # saturates at 20% stopwords
-    noise_term = F.lit(1.0) - F.least(
-        F.coalesce(non_alnum_ratio(col), F.lit(1.0)) * F.lit(2.0), F.lit(1.0)
-    )
-    return length_term * F.lit(0.5) + sw_term * F.lit(0.25) + noise_term * F.lit(0.25)
+    return _quality_from_tokens(tokens(col), col)
 
 
 def langid_scores(col: str | Column = "text") -> list[Column]:
@@ -147,7 +166,13 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     null filter. This is O(n) array passes; the obvious
     ``transform(i -> array_join(slice(toks, i, n)))`` form is O(len)
     slice-copies *per element* (quadratic per doc) and measured ~5x slower."""
-    toks = tokens(col)
+    return _shingles_from_tokens(tokens(col), n)
+
+
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
+    """``shingles`` over a PRE-BUILT token array — the single copy of the
+    zip_with construction, for callers that project the token array once
+    and feed it to several metrics."""
     acc = toks
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.size(toks))
@@ -270,7 +295,12 @@ def dup_ngram_frac(col: str | Column = "text", n: int = 1) -> Column:
 
     Doc-local by construction — array_distinct over the shingle array, no
     explode, no shuffle; scales embarrassingly with executors."""
-    g = tokens(col) if n == 1 else shingles(col, n)
+    return _dup_frac_of(tokens(col) if n == 1 else shingles(col, n))
+
+
+def _dup_frac_of(g: Column) -> Column:
+    """1 - distinct/total over a PRE-BUILT n-gram array (NULL when empty) —
+    the single copy of the repeat-fraction formula."""
     total = F.size(g)
     return F.when(
         total > 0,
@@ -682,13 +712,14 @@ def domain_quality_report(
     row count — no countDistinct Expand, no second scan. The level-one
     frame is bounded by distinct (group, content) pairs. The token and
     bigram arrays are pre-projected ONCE and every per-doc metric reads
-    the alias (the curation_funnel re-tokenization trap; same arithmetic
-    as quality_score/dup_ngram_frac, shared arrays)."""
+    the alias (the curation_funnel re-tokenization trap); the quality /
+    repeat-fraction arithmetic is the SAME helper the per-doc profile
+    uses (_quality_from_tokens / _dup_frac_of), so the weights cannot
+    desynchronize between the two reports."""
     from .sources import ensure_parallelism
 
     docs = ensure_parallelism(docs)
     toks = F.col("__toks")
-    bg = F.col("__bg")
     pre = docs.select(
         F.col(group_col).alias("grp"),
         F.col(text_col).alias("__text"),
@@ -697,40 +728,10 @@ def domain_quality_report(
         "grp",
         "__text",
         "__toks",
-        F.filter(
-            F.zip_with(
-                toks,
-                F.slice(toks, 2, F.size(toks)),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-            lambda x: x.isNotNull(),
-        ).alias("__bg"),
+        _shingles_from_tokens(toks, 2).alias("__bg"),
     )
-    n = F.size(toks).cast("double")
-    sw = F.when(
-        F.size(toks) > 0,
-        F.size(F.filter(toks, _member_of(DEFAULT_QUALITY_STOPWORDS)))
-        .cast("double")
-        / F.size(toks),
-    )
-    quality = (
-        F.least(n / F.lit(20.0), F.lit(1.0)) * F.lit(0.5)
-        + F.least(F.coalesce(sw, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
-        * F.lit(0.25)
-        + (
-            F.lit(1.0)
-            - F.least(
-                F.coalesce(non_alnum_ratio("__text"), F.lit(1.0))
-                * F.lit(2.0),
-                F.lit(1.0),
-            )
-        )
-        * F.lit(0.25)
-    )
-    d2 = F.when(
-        F.size(bg) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
-    )
+    quality = _quality_from_tokens(toks, "__text")
+    d2 = _dup_frac_of(F.col("__bg"))
     pii_total = None
     for c in pii_counts("__text"):
         pii_total = c if pii_total is None else pii_total + c
@@ -770,18 +771,21 @@ def domain_quality_report(
 def bigram_model(
     docs: DataFrame,
     text_col: str = "text",
-    add_k: float = 0.5,
 ) -> "tuple[DataFrame, DataFrame, float]":
-    """Corpus bigram language model with add-k smoothing on the
-    conditional: returns ``(bigram_counts, context_counts, vocab)`` where
-    bigram_counts is (bg, c12) over the "w1 w2" strings, context_counts
-    is (token, c1) unigram counts, and vocab is V (distinct unigrams).
-    P(w2|w1) = (c12 + k) / (c1 + k*(V+1)) — one formula covers seen and
-    unseen pairs uniformly (c12 or c1 default to 0 at scoring time), so
-    scoring needs no special OOV branch.
+    """Corpus bigram language model: returns ``(bigram_counts,
+    context_counts, vocab)`` where bigram_counts is (bg, c12) over the
+    "w1 w2" strings, context_counts is (token, c1) unigram counts, and
+    vocab is V (distinct unigrams). The model is RAW counts — add-k
+    smoothing is applied at scoring time (``bigram_lm_quality``'s
+    ``add_k``), so one stored model serves any smoothing strength:
+    P(w2|w1) = (c12 + k) / (c1 + k*(V+1)) covers seen and unseen pairs
+    uniformly (c12 or c1 default to 0 at scoring time), no OOV branch.
 
     Two groupBys (bigram- and token-keyed, map-side combine); both result
-    frames are vocabulary-sized, not corpus-sized."""
+    frames are vocabulary-sized, not corpus-sized. The context-count
+    frame stays persisted (it feeds both the V count here and the
+    scoring join later); call ``.unpersist()`` on it when the model is
+    retired."""
     uni = (
         docs.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
@@ -818,7 +822,7 @@ def bigram_lm_quality(
     conditional is computed AFTER the joins from raw counts, so unseen
     bigrams and unseen contexts need no second lookup path."""
     big, uni, v = model if model is not None else bigram_model(
-        docs, text_col, add_k
+        docs, text_col
     )
     k = float(add_k)
     stream = docs.select(

@@ -668,3 +668,55 @@ def test_pack_sequences_zero_token_docs(spark):
     starts = sorted(r["start_offset"] for r in out.values())
     assert starts[0] == 0 and starts[-1] <= 5
     assert sum(r["n_tokens"] for r in out.values()) == 5
+
+
+def test_pack_sequences_empty_and_null_inputs(spark):
+    # an empty delivery (a normal day-N batch) returns an empty layout,
+    # not an AnalysisException from an untyped empty offsets map
+    empty = spark.createDataFrame([], "k int, n int")
+    assert sampling.pack_sequences(empty, 4, "n", "k").collect() == []
+    # NULL token counts occupy zero stream positions instead of poisoning
+    # the partition running sum (or the driver fold) with None
+    df = spark.createDataFrame(
+        [(1, None), (2, 3), (3, None), (4, 2)], "k int, n int"
+    )
+    out = sorted(
+        sampling.pack_sequences(df, 4, "n", "k").collect(),
+        key=lambda r: r["start_offset"],
+    )
+    pos = 0
+    for r in out:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+    assert pos == 5
+
+
+def test_pack_sequences_duplicate_keys_disjoint(spark):
+    # duplicate key values tie on the (hash, key) order; the explicit ROWS
+    # frame must still hand each row a disjoint token range
+    df = spark.createDataFrame(
+        [(1, 5), (1, 3), (1, 4), (2, 2), (2, 6)], "k int, n int"
+    )
+    out = sorted(
+        sampling.pack_sequences(df, 4, "n", "k").collect(),
+        key=lambda r: r["start_offset"],
+    )
+    pos = 0
+    for r in out:
+        assert r["start_offset"] == pos, out
+        pos += r["n_tokens"]
+    assert pos == 20
+
+
+def test_incremental_dedup_kept_batch_feeds_back(spark):
+    # the kept output carries a 'fingerprint' column; feeding such a batch
+    # back in must not produce a duplicate column name
+    store = spark.createDataFrame([], "fingerprint string")
+    new = spark.createDataFrame(
+        [(1, "some text"), (2, "other text")], "doc_id int, text string"
+    )
+    kept, fps = dedup.incremental_dedup(new, store)
+    assert kept.columns.count("fingerprint") == 1
+    kept2, _ = dedup.incremental_dedup(kept, store.union(fps))
+    assert kept2.columns.count("fingerprint") == 1
+    assert kept2.count() == 0  # all already in the store
