@@ -1638,6 +1638,53 @@ def q_sampled_violation_estimate(spark, sf):
     return est
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication over the embedding column
+    (similarity.semantic_dedup): IVF-cluster the corpus against the 16
+    deterministic seed centroids, compare pairs only WITHIN a cluster
+    (candidate volume sum(|cluster|^2), never n^2), and drop every
+    vector with a lower-id near-duplicate at cosine >= 0.35 (threshold
+    sized to the synthetic corpus's near-random embedding geometry).
+    The oracle replays the centroid assignment (same argmax + tie-break
+    as the IVF oracle), the within-cluster pairs, and the lowest-id
+    keeper rule in SQL."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.35, n_centroids=16)
+
+
+def q_importance_resample(spark, sf):
+    """DSIR-style importance resampling (sampling.importance_resample):
+    per-doc mean NLL under the raw-corpus unigram model and under a
+    TARGET model (trained on the lang='en' slice), importance weight
+    exp(nll_corpus - nll_target) clipped at 4, deterministic md5
+    acceptance at min(1, w/clip). The oracle rebuilds both models from
+    counts (the lm_quality replay, plus the OOV logp for target-scoring
+    tokens outside the en vocabulary) and replays the accept/reject
+    decision from the identical rounded NLLs."""
+    from sparkcheck.sampling import importance_resample
+    from sparkcheck.text import unigram_model
+
+    d = _t(spark, sf, "documents")
+    target_model = unigram_model(d.where(F.col("lang") == "en"))
+    return importance_resample(d, target_model)
+
+
+def q_cluster_safe_split(spark, sf):
+    """Near-dup-leak-safe train/val/test split (sampling.cluster_safe_split):
+    every document splits by its dedup-cluster representative (connected
+    components over the Jaccard>=0.1 pair graph, same construction as
+    dedup_clusters), so near-identical docs can never straddle the
+    train/test boundary; singleton docs split exactly as plain
+    hash_split. The oracle replays the recursive-CTE clustering, the
+    min-id representative, and the md5 cumulative-threshold assignment."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.1, max_df=50)
+    clusters = dedup.duplicate_clusters(pairs)
+    return sampling.cluster_safe_split(
+        d, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -1729,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": q_bigram_lm_quality,
         "incremental_dedup": q_incremental_dedup,
         "pack_sequences": q_pack_sequences,
+        "semantic_dedup": q_semantic_dedup,
+        "importance_resample": q_importance_resample,
+        "cluster_safe_split": q_cluster_safe_split,
     }
 
 
@@ -2402,6 +2452,69 @@ def oracle_sql() -> dict[str, str]:
             "WHERE f.fp NOT IN (SELECT fp FROM seen)"
         ),
 
+        "semantic_dedup": (
+            # centroid assignment replayed exactly as the IVF oracle
+            # (argmax cosine, ties to the lowest centroid id), then
+            # within-cluster pairs at round-6 cosine >= 0.35 and the
+            # lowest-id keeper rule; the max_cluster guard never triggers
+            # at gate SFs (clusters are corpus/16-sized, cap 100k)
+            "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS centroid_id, embedding AS c_vec "
+            "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)), "
+            "ac AS (SELECT e.vec_id, e.embedding, cent.centroid_id, "
+            f"{_cos_sql('e.embedding', 'cent.c_vec', None)} AS c_cos "
+            "FROM embeddings e CROSS JOIN cent), "
+            "asg AS (SELECT vec_id, embedding, centroid_id FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY c_cos DESC, centroid_id ASC) AS r FROM ac) WHERE r = 1), "
+            "drp AS (SELECT DISTINCT a.vec_id AS dvid "
+            "FROM asg a JOIN asg b USING (centroid_id) "
+            "WHERE b.vec_id < a.vec_id AND "
+            f"{_cos_sql('a.embedding', 'b.embedding')} >= 0.35) "
+            "SELECT asg.vec_id, asg.centroid_id, "
+            "drp.dvid IS NULL AS kept "
+            "FROM asg LEFT JOIN drp ON asg.vec_id = drp.dvid"
+        ),
+
+        "importance_resample": (
+            # both unigram models rebuilt from counts (the lm_quality
+            # replay); target scoring coalesces OOV tokens to the model's
+            # reserved logp ln(0.5/denom) — same input double, so the ln
+            # agrees within the round-4 absorption; the accept test
+            # replays md5('dsir'||id) < min(1, round(exp(dNLL),6)/4)
+            f"{toks_cte}, "
+            "tok AS (SELECT doc_id, unnest(toks) AS token FROM t), "
+            "c AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1), "
+            "s AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c), "
+            "lp AS (SELECT token, ln((c::DOUBLE + 0.5) / "
+            "(n + 0.5 * (v + 1.0))) AS logp FROM c, s), "
+            "sc AS (SELECT doc_id, round(-avg(logp), 4) AS nll_corpus "
+            "FROM tok JOIN lp USING (token) GROUP BY doc_id), "
+            f"tt AS (SELECT doc_id, {_TOKS} AS toks FROM documents "
+            "WHERE lang = 'en'), "
+            "ttok AS (SELECT unnest(toks) AS token FROM tt), "
+            "tc AS (SELECT token, count(*)::BIGINT AS c FROM ttok GROUP BY 1), "
+            "ts AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM tc), "
+            "tlp AS (SELECT token, ln((c::DOUBLE + 0.5) / "
+            "(n + 0.5 * (v + 1.0))) AS logp FROM tc, ts), "
+            "tsc AS (SELECT tok.doc_id, round(-avg(coalesce(tlp.logp, "
+            "(SELECT ln(0.5 / (n + 0.5 * (v + 1.0))) FROM ts))), 4) "
+            "AS nll_target FROM tok LEFT JOIN tlp USING (token) "
+            "GROUP BY tok.doc_id), "
+            "j AS (SELECT d.doc_id, sc.nll_corpus, tsc.nll_target, "
+            "round(exp(sc.nll_corpus - tsc.nll_target), 6) AS wt "
+            "FROM documents d LEFT JOIN sc USING (doc_id) "
+            "LEFT JOIN tsc USING (doc_id)) "
+            "SELECT doc_id, nll_corpus, nll_target, wt AS weight, "
+            "CASE WHEN nll_corpus IS NULL OR nll_target IS NULL THEN FALSE "
+            "ELSE "
+            + _hex32("md5('dsir' || doc_id::VARCHAR)")
+            + "::DOUBLE / 4294967296.0 < least(1.0, wt / 4.0) END AS sampled "
+            "FROM j"
+        ),
+
+        "cluster_safe_split": _cluster_safe_split_oracle(),
+
         "bigram_lm_quality": (
             # smoothed conditional rebuilt from raw counts with the same
             # ops the Spark plan folds: (c12+0.5) / (c1 + 0.5*(V+1));
@@ -2838,6 +2951,49 @@ def _hash_split_oracle() -> str:
         "round(n::DOUBLE / sum(n) OVER (PARTITION BY split), 6) "
         "AS frac_of_split FROM g"
     )
+
+
+def _cluster_safe_split_oracle() -> str:
+    """Replay sampling.cluster_safe_split over the Jaccard>=0.1 cluster
+    graph: the dedup_clusters recursive CTE gives (doc_id, cluster_id);
+    every document hashes by its representative (cluster_id, or its own
+    id when unclustered) against the SAME cumulative thresholds
+    hash_split folds into the Spark plan (repr() round-trips the
+    accumulated doubles exactly)."""
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = float(sum(weights.values()))
+    acc, th = 0.0, []
+    for name in list(weights)[:-1]:
+        acc += float(weights[name]) / total
+        th.append(acc)
+    hv = _hex32("md5('split' || rep)")
+    return (
+        f"WITH RECURSIVE t AS (SELECT doc_id, text, {_TOKS} AS toks "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, unnest(list_distinct({SH})) AS shingle "
+        "FROM t), "
+        "dfq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1), "
+        "sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq "
+        "USING(shingle) WHERE dfq.c <= 50), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) "
+        "AS i FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON "
+        "sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lab) AS (SELECT a, a FROM edges UNION "
+        "SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a), "
+        "clus AS (SELECT node AS doc_id, min(lab) AS cluster_id "
+        "FROM reach GROUP BY node), "
+        "r AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id)::VARCHAR "
+        "AS rep FROM documents d LEFT JOIN clus c USING (doc_id)), "
+        f"h AS (SELECT doc_id, {hv}::DOUBLE / 4294967296.0 AS hvf FROM r) "
+        f"SELECT doc_id, CASE WHEN hvf < {th[0]!r} THEN 'train' "
+        f"WHEN hvf < {th[1]!r} THEN 'val' ELSE 'test' END AS split FROM h"
+    ).replace("{SH}", _SHINGLES3)
 
 
 def _embedding_drift_oracle() -> str:

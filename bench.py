@@ -67,6 +67,8 @@ HEADLINE = [
     "curation_funnel",
     "passage_dedup_documents",
     "lm_quality_documents",
+    "semantic_dedup",
+    "importance_resample",
 ]
 
 

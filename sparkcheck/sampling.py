@@ -443,3 +443,102 @@ def pack_sequences(
         F.expr(f"start_offset div {int(seq_len)}").alias("bin_id"),
         (F.col("start_offset") % F.lit(int(seq_len))).alias("offset_in_bin"),
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_model: "tuple[DataFrame, float]",
+    corpus_model: "tuple[DataFrame, float] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clip: float = 4.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance resampling (cf. Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document under a TARGET unigram LM (the distribution you want more
+    of — curated text, a domain corpus) and under the RAW corpus model,
+    weight by the likelihood ratio w = exp(nll_raw - nll_target), and
+    accept with probability min(1, w/clip) using the deterministic md5
+    hash — target-like documents survive at up to clip-times the rate of
+    corpus-typical ones, and the same delivery resamples identically on
+    any engine or cluster size. ``corpus_model`` defaults to the corpus's
+    own unigram model (the standard self-vs-target setup).
+
+    Returns (id, nll_corpus, nll_target, weight, sampled) over the full
+    input — filter on ``sampled`` for the resampled corpus, keep the
+    full frame for the selection audit.
+
+    Scale shape: two ``lm_quality`` passes (token explode + vocab-sized
+    join + per-doc agg each — the document payload never shuffles) and a
+    final id-keyed join of the two per-doc NLL frames; the acceptance
+    test is a pure Column expression. The weight is computed from the
+    ROUNDED (4 dp) NLLs, which both engines reproduce bit-identically, so
+    the oracle replays the accept/reject decision exactly."""
+    from .text import lm_quality, unigram_model
+
+    if corpus_model is None:
+        corpus_model = unigram_model(docs, text_col)
+    raw = lm_quality(docs, text_col, id_col, model=corpus_model).select(
+        id_col, F.col("mean_nll").alias("nll_corpus")
+    )
+    tgt = lm_quality(docs, text_col, id_col, model=target_model).select(
+        id_col, F.col("mean_nll").alias("nll_target")
+    )
+    j = raw.join(tgt, id_col)
+    # the acceptance test uses the ROUNDED weight: exp() may differ by an
+    # ulp between libms, and rounding to 6 dp first makes the compared
+    # threshold bit-identical across engines except at astronomically
+    # unlikely rounding boundaries
+    w = F.round(F.exp(F.col("nll_corpus") - F.col("nll_target")), 6)
+    keep_p = F.least(F.lit(1.0), w / F.lit(float(clip)))
+    return j.select(
+        id_col,
+        "nll_corpus",
+        "nll_target",
+        w.alias("weight"),
+        # empty docs (NULL NLL) carry no evidence either way: never
+        # sampled. The guard must be explicit — least(1.0, NULL) IGNORES
+        # the NULL (both engines), so keep_p alone would accept them.
+        F.when(
+            F.col("nll_corpus").isNull() | F.col("nll_target").isNull(),
+            F.lit(False),
+        )
+        .otherwise(hash_fraction(id_col, salt) < keep_p)
+        .alias("sampled"),
+    )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    cluster_key: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Leak-safe train/val/test split in the presence of NEAR-duplicates:
+    every document is assigned the split of its dedup-cluster
+    representative (``clusters`` = (doc_id, cluster_id) from
+    ``dedup.duplicate_clusters``), so two near-identical documents can
+    never straddle the train/test boundary — the contamination plain
+    ``hash_split`` cannot see, because near-dups have different keys.
+    Documents in no cluster split by their own key, which makes the
+    assignment IDENTICAL to ``hash_split`` for them (same salt, same
+    hash): running dedup first changes only the entangled docs.
+
+    Returns df + a ``split`` column. Scale shape: the clusters frame is
+    pair-graph-sized (orders of magnitude smaller than the corpus), so
+    the left join broadcasts under AQE while it fits and shuffle-joins
+    otherwise; the split assignment itself is the same zero-shuffle
+    cumulative-threshold projection as ``hash_split``."""
+    rep = clusters.select(
+        F.col(cluster_key).alias("__ck"), F.col(cluster_col).alias("__cl")
+    )
+    joined = df.join(rep, F.col(key_col) == F.col("__ck"), "left").drop("__ck")
+    tagged = joined.withColumn(
+        "__rep",
+        F.coalesce(F.col("__cl").cast("string"), F.col(key_col).cast("string")),
+    )
+    return hash_split(tagged, weights, "__rep", salt=salt).drop("__rep", "__cl")

@@ -761,6 +761,80 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then near-dup within clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = 100_000,
+    scorer: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (cf. Abbas et al. 2023): cluster the corpus (IVF assignment against
+    deterministic seed centroids — ``ivf_centroids``), compare pairs only
+    WITHIN a cluster, and drop every vector that has a lower-id
+    near-duplicate (cosine >= threshold) in its cluster. Lowest id is the
+    canonical keeper — the same deterministic argmin rule as
+    ``drop_duplicate_passages``, so the result is reproducible across
+    runs, engines, and cluster sizes. Returns
+    (id, centroid_id, kept boolean) over the full corpus; filter on kept
+    for the surviving set, or anti-filter for the removal audit.
+
+    Scale shape: the all-pairs comparison SemDeDup's semantics demand is
+    confined to clusters — candidate volume is sum(|cluster|^2), not
+    n^2, and the per-cluster self-join shuffles on centroid_id only.
+    ``max_cluster`` is the quadratic-hot-key guard (same role as
+    lsh_near_duplicates' max_bucket): oversize clusters are skipped
+    (every member kept) rather than detonating a quadratic stage —
+    production would re-cluster those with more centroids. The kept flag
+    falls out of one left-anti join on the dropped-id frame; the vector
+    payload crosses one exchange (the cluster self-join), never more."""
+    _, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, scorer=scorer)
+    if max_cluster is not None:
+        ok = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_cluster)
+            .select("centroid_id")
+        )
+        comparable = assigned.join(ok, "centroid_id", "left_semi")
+    else:
+        comparable = assigned
+    a = comparable.select(
+        "centroid_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = comparable.select(
+        "centroid_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("__idb") < F.col("__ida"))
+        .select(
+            "__ida",
+            F.round(cosine(F.col("__va"), F.col("__vb"), scorer), 6).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding drift between corpus snapshots
 # ---------------------------------------------------------------------------
 

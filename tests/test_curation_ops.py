@@ -720,3 +720,92 @@ def test_incremental_dedup_kept_batch_feeds_back(spark):
     kept2, _ = dedup.incremental_dedup(kept, store.union(fps))
     assert kept2.columns.count("fingerprint") == 1
     assert kept2.count() == 0  # all already in the store
+
+
+def test_semantic_dedup_within_cluster(spark):
+    from sparkcheck import similarity
+    # 4-dim toy space: ids 0,1 seed two centroids along orthogonal axes;
+    # 10 is a near-copy of 0's direction, 11 is orthogonal to everything
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.99, 0.05, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (11, [0.0, 0.0, 1.0, 0.0]),     # lone direction -> kept
+        (12, [0.0, 0.98, 0.1, 0.0]),    # near-dup of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, threshold=0.9, n_centroids=2).collect()}
+    assert len(got) == 5  # full corpus comes back flagged
+    assert got[0]["kept"] and got[1]["kept"] and got[11]["kept"]
+    assert not got[10]["kept"] and not got[12]["kept"]
+    # canonical keeper is the LOWEST id of the near-dup set
+    assert got[10]["centroid_id"] == got[0]["centroid_id"]
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    from sparkcheck import similarity
+    # every vector identical -> one cluster of 6; with max_cluster=5 the
+    # quadratic stage is skipped and everything is kept (documented escape)
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.semantic_dedup(df, threshold=0.9, n_centroids=1,
+                                    max_cluster=5).collect()
+    assert all(r["kept"] for r in out)
+    # without the guard the near-dups collapse to the single lowest id
+    out2 = similarity.semantic_dedup(df, threshold=0.9, n_centroids=1,
+                                     max_cluster=None).collect()
+    assert sorted(r["vec_id"] for r in out2 if r["kept"]) == [0]
+
+
+def test_importance_resample_directionality(spark):
+    # target model trained on "clean prose"; docs resembling it must get
+    # weight > 1 relative to the mixed corpus model, junk weight < 1
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zzz qqq xxx vvv kkk jjj"),
+         (3, "the cat sat on the mat"),
+         (4, "")],
+        "doc_id int, text string",
+    )
+    tmodel = text.unigram_model(target)
+    got = {r["doc_id"]: r for r in
+           sampling.importance_resample(corpus, tmodel).collect()}
+    assert got[1]["weight"] > 1.0 > got[2]["weight"]
+    assert got[1]["weight"] == got[3]["weight"]
+    # empty doc: NULL NLLs, never sampled, weight NULL
+    assert got[4]["weight"] is None and got[4]["sampled"] is False
+    # determinism: same inputs, same decisions
+    again = {r["doc_id"]: r["sampled"] for r in
+             sampling.importance_resample(corpus, tmodel).collect()}
+    assert again == {k: v["sampled"] for k, v in got.items()}
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id int, text string"
+    )
+    # chain 0-1-2 ... every triple (3k, 3k+1, 3k+2) is one near-dup cluster
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(100)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(100)],
+        "doc_a int, doc_b int",
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    out = sampling.cluster_safe_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert len(split) == 300
+    for k in range(100):
+        assert split[3 * k] == split[3 * k + 1] == split[3 * k + 2], k
+    # singleton docs (none here) would match plain hash_split; check the
+    # representative rule: the cluster splits by its min id's hash
+    ref = {r["doc_id"]: r["split"] for r in sampling.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id").collect()}
+    for k in range(100):
+        assert split[3 * k] == ref[3 * k]  # rep IS the min id
