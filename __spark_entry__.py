@@ -1685,6 +1685,70 @@ def q_cluster_safe_split(spark, sf):
     ).select("doc_id", "split")
 
 
+def q_robust_stats_quantity(spark, sf):
+    """Exact robust statistics of l_quantity over the distinct-value
+    spine (stats.robust_profile): median/q25/q75/IQR/MAD as exact rank
+    lookups (no percentile_approx sketch error — reproducible at any
+    cluster size) plus 5%-trimmed and winsorized means from the same
+    spine. The oracle replays the cumulative-count rank arithmetic in
+    SQL windows; the two sum-based means are rounded to 6dp on both
+    sides."""
+    li = _t(spark, sf, "lineitem")
+    return stats.robust_profile(li, "l_quantity", trim=0.05)
+
+
+def q_segment_quantiles_returnflag(spark, sf):
+    """Per-segment EXACT quantiles (stats.exact_quantiles with by=):
+    p25/p50/p75/p95 of l_quantity per l_returnflag, each an exact data
+    value at rank ceil(p*n) — one narrow per-value-count shuffle + a
+    window over the (flag, value) spine, never a sort of the data."""
+    li = _t(spark, sf, "lineitem")
+    return stats.exact_quantiles(
+        li, "l_quantity", [0.25, 0.5, 0.75, 0.95], by=["l_returnflag"]
+    )
+
+
+def q_kmeans_refine(spark, sf):
+    """Distributed Lloyd k-means over the embedding column
+    (similarity.kmeans): two refinement rounds from the deterministic
+    IVF seeds — per round one narrow literal-fold argmax scan plus one
+    64-avg fused groupBy; updated centroids are rounded to 6dp before
+    re-embedding as literals so every assignment is bit-reproducible.
+    Returns the final per-vector assignment (vec_id, centroid_id,
+    c_cos). The oracle replays both rounds in SQL (argmax with the
+    lowest-id tie-break, per-dimension round(avg,6) centroid update,
+    empty clusters keeping their seed)."""
+    e = _t(spark, sf, "embeddings")
+    _, assigned = similarity.kmeans(e, k=8, iters=2)
+    return assigned
+
+
+def q_novelty_documents(spark, sf):
+    """Per-doc n-gram novelty of a delivery against the existing corpus
+    (text.novelty_scores): fraction of each doc's distinct trigram
+    shingles absent from the reference slice (doc_id % 3 == 0 plays the
+    corpus, the rest the delivery). Docs with < 3 tokens keep a NULL
+    novelty (n_shingles = 0). One distinct per side + one shingle-keyed
+    left join; the oracle rebuilds both shingle sets with the shared
+    tokenization CTE."""
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 3 == 0)
+    delivery = d.where(F.col("doc_id") % 3 != 0)
+    return text.novelty_scores(delivery, ref, n=3)
+
+
+def q_cluster_balanced_sample(spark, sf):
+    """Diversity-preserving subsample (sampling.cluster_balanced_sample):
+    IVF-assign every embedding to its nearest deterministic seed
+    centroid, then keep at most 100 rows per cluster by md5 hash order —
+    flattens mode imbalance where uniform sampling preserves it. The
+    oracle replays the centroid argmax and the per-cluster hash-rank
+    quota."""
+    e = _t(spark, sf, "embeddings")
+    kept = sampling.cluster_balanced_sample(e, cap=100, n_centroids=8)
+    return kept.select("vec_id", "centroid_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -1779,6 +1843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "importance_resample": q_importance_resample,
         "cluster_safe_split": q_cluster_safe_split,
+        "robust_stats_quantity": q_robust_stats_quantity,
+        "segment_quantiles_returnflag": q_segment_quantiles_returnflag,
+        "kmeans_refine": q_kmeans_refine,
+        "novelty_documents": q_novelty_documents,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 
@@ -2514,6 +2583,16 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "cluster_safe_split": _cluster_safe_split_oracle(),
+
+        "robust_stats_quantity": _robust_stats_oracle(),
+
+        "segment_quantiles_returnflag": _segment_quantiles_oracle(),
+
+        "kmeans_refine": _kmeans_oracle(),
+
+        "novelty_documents": _novelty_oracle(),
+
+        "cluster_balanced_sample": _cluster_balanced_oracle(),
 
         "bigram_lm_quality": (
             # smoothed conditional rebuilt from raw counts with the same
@@ -3332,4 +3411,142 @@ def _ivf_oracle() -> str:
         "FROM scored) "
         "SELECT query_id, neighbor_id, cos, rnk::INT AS rnk FROM ranked "
         "WHERE rnk <= 5"
+    )
+
+
+def _spine_rank_sql(p: float, v: str = "v") -> str:
+    """Type-1 rank lookup over a cumulative-count spine CTE — the SQL
+    twin of stats._rank_stat (min value whose cum reaches ceil(p*n))."""
+    return f"min(CASE WHEN cum >= ceil({p!r} * n) THEN {v} END)"
+
+
+def _robust_stats_oracle() -> str:
+    """Replay stats.robust_profile on l_quantity: the distinct-value
+    spine, type-1 rank lookups, the trim-window membership counts, and
+    the |x - median| spine for MAD. The two sum-based means round to 6dp
+    on both sides (summation-order noise); every order statistic is an
+    exact data value."""
+    k = "floor(0.05 * n)"
+    mid = f"greatest(0, least(cum, n - {k}) - greatest(cum - c, {k}))"
+    return (
+        "WITH sp AS (SELECT l_quantity AS v, count(*)::BIGINT AS c "
+        "FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1), "
+        "r AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, "
+        "sum(c) OVER () AS n FROM sp), "
+        "s AS (SELECT max(n)::BIGINT AS n, "
+        f"{_spine_rank_sql(0.5)} AS median, "
+        f"{_spine_rank_sql(0.25)} AS q25, "
+        f"{_spine_rank_sql(0.75)} AS q75, "
+        f"max({k})::BIGINT AS k, "
+        f"sum(v * {mid}) AS mid_sum, "
+        f"min(CASE WHEN cum >= {k} + 1 THEN v END) AS vlo, "
+        f"min(CASE WHEN cum >= n - {k} THEN v END) AS vhi "
+        "FROM r), "
+        "dsp AS (SELECT abs(v - (SELECT median FROM s)) AS d, "
+        "sum(c)::BIGINT AS c FROM sp GROUP BY 1), "
+        "dr AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum, "
+        "sum(c) OVER () AS n FROM dsp), "
+        "m AS (SELECT min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) "
+        "AS mad FROM dr) "
+        "SELECT n, median, mad, q75 - q25 AS iqr, "
+        "round(mid_sum / (n - 2 * k), 6) AS trimmed_mean, "
+        "round((mid_sum + k * (vlo + vhi)) / n, 6) AS winsorized_mean "
+        "FROM s, m"
+    )
+
+
+def _segment_quantiles_oracle() -> str:
+    return (
+        "WITH sp AS (SELECT l_returnflag AS g, l_quantity AS v, "
+        "count(*)::BIGINT AS c FROM lineitem "
+        "WHERE l_quantity IS NOT NULL GROUP BY 1, 2), "
+        "r AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum, "
+        "sum(c) OVER (PARTITION BY g) AS n FROM sp) "
+        "SELECT g AS l_returnflag, max(n)::BIGINT AS n, "
+        f"{_spine_rank_sql(0.25)} AS p25, "
+        f"{_spine_rank_sql(0.5)} AS p50, "
+        f"{_spine_rank_sql(0.75)} AS p75, "
+        f"{_spine_rank_sql(0.95)} AS p95 "
+        "FROM r GROUP BY 1"
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Replay similarity.kmeans: seed centroids = the k lowest-id
+    vectors; each round an argmax-cosine assignment (lowest centroid id
+    breaks ties) followed by a per-dimension round(avg, 6) centroid
+    update, empty clusters keeping their previous centroid (coalesce).
+    The rounding is what makes the replay exact — both engines feed the
+    same 6dp decimals into the next round's fold arithmetic."""
+    cos0 = _cos_sql("e.embedding", "c.c_vec", None)
+    parts = [
+        "WITH cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cid, list_transform(embedding, x -> x::DOUBLE) AS c_vec "
+        f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT e.vec_id, e.embedding, c.cid, {cos0} AS c_cos "
+            f"FROM embeddings e CROSS JOIN cent{i} c), "
+            f"asg{i} AS (SELECT vec_id, embedding, cid FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY c_cos DESC, cid ASC) AS rr FROM a{i}) WHERE rr = 1), "
+            f"pe{i} AS (SELECT cid, r.range AS dim, "
+            "embedding[(r.range + 1)::INT]::DOUBLE AS val "
+            f"FROM asg{i} CROSS JOIN range({dim}) r), "
+            f"cd{i} AS (SELECT cid, dim, round(avg(val), 6) AS vv "
+            f"FROM pe{i} GROUP BY 1, 2), "
+            f"cl{i} AS (SELECT cid, list(vv ORDER BY dim) AS c_vec "
+            f"FROM cd{i} GROUP BY 1), "
+            f"cent{i + 1} AS (SELECT p.cid, coalesce(u.c_vec, p.c_vec) "
+            f"AS c_vec FROM cent{i} p LEFT JOIN cl{i} u USING (cid))"
+        )
+    parts.append(
+        f"af AS (SELECT e.vec_id, c.cid, {cos0} AS c_cos "
+        f"FROM embeddings e CROSS JOIN cent{iters} c)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT vec_id, cid AS centroid_id, round(c_cos, 6) AS c_cos "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY c_cos DESC, cid ASC) AS rr FROM af) WHERE rr = 1"
+    )
+
+
+def _novelty_oracle() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents), "
+        "dsh AS (SELECT doc_id, unnest(list_distinct({SH})) AS shingle "
+        "FROM t WHERE doc_id % 3 <> 0), "
+        "rsh AS (SELECT DISTINCT unnest(list_distinct({SH})) AS shingle "
+        "FROM t WHERE doc_id % 3 = 0), "
+        "pd AS (SELECT d.doc_id, count(*)::BIGINT AS ns, "
+        "sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn "
+        "FROM dsh d LEFT JOIN rsh r ON d.shingle = r.shingle GROUP BY 1) "
+        "SELECT t.doc_id, coalesce(pd.ns, 0)::BIGINT AS n_shingles, "
+        "coalesce(pd.nn, 0)::BIGINT AS n_novel, "
+        # 0/0 -> NULL in both engines (Spark Divide and DuckDB agree)
+        "round(coalesce(pd.nn, 0)::DOUBLE / coalesce(pd.ns, 0), 4) "
+        "AS novelty "
+        "FROM t LEFT JOIN pd USING (doc_id) WHERE t.doc_id % 3 <> 0"
+    ).replace("{SH}", _SHINGLES3)
+
+
+def _cluster_balanced_oracle(k: int = 8, cap: int = 100) -> str:
+    cos0 = _cos_sql("e.embedding", "c.c_vec", None)
+    hv = _hex32("md5('cbal' || vec_id::VARCHAR)")
+    return (
+        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cid, embedding AS c_vec "
+        f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})), "
+        f"ac AS (SELECT e.vec_id, c.cid, {cos0} AS c_cos "
+        "FROM embeddings e CROSS JOIN cent c), "
+        "asg AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rr FROM ac) "
+        "WHERE rr = 1), "
+        # per_group_cap orders by (hash_fraction, key); int-hash order ==
+        # scaled-double order, ties by key
+        f"rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid "
+        f"ORDER BY {hv}, vec_id) AS rr FROM asg) "
+        f"SELECT vec_id, cid AS centroid_id FROM rk WHERE rr <= {cap}"
     )

@@ -69,6 +69,9 @@ HEADLINE = [
     "lm_quality_documents",
     "semantic_dedup",
     "importance_resample",
+    "robust_stats_quantity",
+    "novelty_documents",
+    "kmeans_refine",
 ]
 
 
@@ -125,7 +128,15 @@ def main() -> None:
                  # Catalyst+codegen compile (measured 3.3 vs 6.4s run-to-run
                  # on cold plans), same fixed-cost class as the dedup wides
                  "per_source_cap", "curation_funnel",
-                 "passage_dedup_documents", "lm_quality_documents"):
+                 "passage_dedup_documents", "lm_quality_documents",
+                 # late round-4 pipelines (same fixed-cost rationale): the
+                 # semantic-dedup cluster self-join, the DSIR double-LM
+                 # scorer, the spine window, the shingle novelty join and
+                 # the k-means argmax fold all carry 1-3s of one-time plan
+                 # compile
+                 "semantic_dedup", "importance_resample",
+                 "robust_stats_quantity", "novelty_documents",
+                 "kmeans_refine"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

@@ -318,6 +318,35 @@ def main():
         "(multiply-referenced non-cheap aliases), so the five per-doc "
         "metrics share one tokenization.")
 
+    from sparkcheck.stats import exact_quantiles
+    add("Exact grouped quantiles over the distinct-value spine "
+        "(segment_quantiles_returnflag)",
+        qs["segment_quantiles_returnflag"](spark, SF),
+        "The data is never globally sorted: a keyed HashAggregate "
+        "(map-side partial_count) reduces it to the (flag, value) spine, "
+        "the rank window runs over that spine only, and every quantile is "
+        "a min(CASE WHEN cum >= ceil(p*n)) in one final aggregate. The "
+        "single wide exchange carries per-value counts, not rows — the "
+        "documented applicability condition is distinct values << rows.")
+    from sparkcheck.similarity import kmeans as _kmeans
+    _, kassigned = _kmeans(emb, k=8, iters=1)
+    add("Lloyd k-means final assignment (kmeans_refine)",
+        kassigned,
+        "Assignment is the same literal-fold argmax as the IVF plan — a "
+        "single Project over the scan, no Exchange, no Window, no corpus "
+        "replication; each refinement round adds one dim-wide fused-avg "
+        "HashAggregate (k rows out) and nothing else. Centroids re-embed "
+        "as 6dp-rounded literals, so the plan is identical at any "
+        "parallelism.")
+    add("N-gram novelty vs reference corpus (novelty_documents)",
+        qs["novelty_documents"](spark, SF),
+        "Both sides reduce to shingle keys BEFORE any join — "
+        "array_distinct runs inside the per-document Project, the "
+        "reference set dedups with map-side partial aggregation, and the "
+        "verdict is one shingle-keyed join (AQE broadcast when the "
+        "reference is small) plus one per-doc count aggregate. Document "
+        "payloads never ride an exchange.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

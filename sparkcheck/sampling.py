@@ -542,3 +542,31 @@ def cluster_safe_split(
         F.coalesce(F.col("__cl").cast("string"), F.col(key_col).cast("string")),
     )
     return hash_split(tagged, weights, "__rep", salt=salt).drop("__rep", "__cl")
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    cap: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity-preserving subsample over an embedding column: assign
+    every vector to its nearest deterministic IVF seed centroid
+    (similarity.ivf_assign — one narrow scan, zero shuffle) and keep at
+    most ``cap`` rows per cluster via the hash-order quota
+    (``per_group_cap``). Uniform hash sampling preserves the corpus's
+    mode imbalance; capping per embedding-cluster flattens it — the
+    cheap version of the cluster-balanced selection step in
+    SemDeDup/DCLM-style curation pipelines.
+
+    Deterministic end to end (seed centroids + literal-fold argmax +
+    md5-order quotas), so the selection is reproducible at any
+    parallelism and superset-stable as the corpus grows. Returns the
+    surviving rows with their ``centroid_id``; the only wide exchange is
+    the quota's narrow (cluster, id, hash) triplet shuffle."""
+    from .similarity import ivf_assign  # local: sampling is import-light
+
+    _, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    return per_group_cap(assigned, "centroid_id", cap, id_col, salt=salt)

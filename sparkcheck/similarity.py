@@ -907,3 +907,79 @@ def embedding_drift(
             "norm_ratio"
         ),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd refinement of the IVF seeds)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_centroid_scored(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """struct(c_cos, neg_cid) of the best centroid — same literal-fold
+    argmax as _nearest_centroid but keeping the winning cosine, for
+    callers that report assignment quality."""
+    scored = [
+        F.struct(
+            cosine(vec_col, F.array(*[F.lit(x) for x in cvec]), "hof").alias(
+                "c_cos"
+            ),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    return F.array_max(F.array(*scored))
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd k-means over an embedding column, refining the deterministic
+    ``ivf_centroids`` seeds for ``iters`` rounds. Returns
+    (final centroids, assignment DataFrame(id, centroid_id, c_cos)).
+
+    Shape per round: ONE narrow corpus scan for assignment (literal-fold
+    cosine argmax — zero shuffle, zero corpus replication) and one
+    groupBy(centroid_id) with dim fused avg-aggregates (map-side combined;
+    k*dim doubles cross to the driver, nothing else). The corpus is never
+    collected, cached, or re-keyed; at 10^12 rows each round is exactly
+    one scan + one k-row shuffle. An empty cluster keeps its previous
+    centroid (no re-seeding — keeps the trajectory deterministic).
+
+    Updated centroids are rounded to ``round_dp`` decimals before being
+    re-embedded as plan literals: the mean of a partitioned sum is only
+    reproducible to the last ulp, and rounding makes every subsequent
+    assignment bit-identical across engines and cluster sizes (the same
+    determinism contract as hash_fraction sampling). Cluster quality
+    metrics (per-cluster counts / mean cosine) fall out of one extra
+    groupBy over the returned assignment."""
+    cents = ivf_centroids(corpus, k, id_col, vec_col)
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), cents).alias("centroid_id"),
+        )
+        aggs = [
+            F.round(F.avg(F.col(vec_col)[i]), round_dp).alias(f"d{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
+        new = {
+            int(r["centroid_id"]): [float(r[f"d{i}"]) for i in range(dim)]
+            for r in rows
+        }
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    best = _nearest_centroid_scored(F.col(vec_col), cents)
+    assigned = corpus.select(
+        F.col(id_col),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        F.round(best["c_cos"], 6).alias("c_cos"),
+    )
+    return cents, assigned

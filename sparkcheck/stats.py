@@ -817,3 +817,235 @@ class ColumnPairCorrelationExpectation(Expectation):
 
 
 register_expectation(ColumnPairCorrelationExpectation())
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles / robust statistics over the distinct-value spine
+# ---------------------------------------------------------------------------
+#
+# percentile_approx is the right tool for arbitrary columns at 10^12 rows,
+# but its sketch error makes it useless as an *oracle-exact* statistic and
+# as the basis of robust estimators (MAD, trimmed means) whose whole point
+# is insensitivity to a few extreme rows. For bounded-cardinality numeric
+# columns (quantities, ratings, bucketed sizes, ages — anything where
+# distinct values << rows) exact order statistics are cheap if computed
+# over the DISTINCT-VALUE SPINE instead of the data: groupBy(value) ->
+# per-value counts (map-side combined, one narrow shuffle of the spine
+# only) -> cumulative counts over the spine ordering -> every order
+# statistic is a rank lookup. The same trick powers spearman_correlation's
+# midranks above. For near-unique columns (prices, ids) the spine IS the
+# data — use the sketch quantiles in metrics.py instead; that trade-off is
+# the caller's, and it is documented rather than silently approximated.
+
+
+def _spine(df, col: str, by: list[str] | None = None):
+    """(group cols..., value, __c, __cum, __n) over distinct values of
+    ``col`` (nulls dropped). __cum is the cumulative count in value order
+    (rank of the LAST occurrence of the value), __n the group row count.
+    The window runs over the spine, not the data: its single-task hazard
+    is bounded by the distinct-value count, which is the documented
+    applicability condition of this module."""
+    from pyspark.sql import Window
+
+    groups = list(by) if by else []
+    spine = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*(groups + [col]))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*groups)
+    return spine.select(
+        *groups,
+        F.col(col),
+        F.col("__c"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+
+
+def _q_name(p: float) -> str:
+    return "p" + ("%g" % (p * 100)).replace(".", "_").replace("-", "m")
+
+
+def _rank_stat(col: str, p: float):
+    """Type-1 (lower) quantile as an aggregate over the spine: the smallest
+    value whose cumulative count reaches ceil(p*n). All-integer rank
+    arithmetic (ceil of an exact double product), so any engine replays it
+    bit-for-bit."""
+    k = F.ceil(F.lit(float(p)) * F.col("__n"))
+    return F.min(F.when(F.col("__cum") >= k, F.col(col)))
+
+
+def exact_quantiles(
+    df,
+    col: str,
+    ps: list[float],
+    by: list[str] | None = None,
+):
+    """EXACT type-1 quantiles of ``col`` (optionally per group): one row
+    per group with columns (``by``..., n, p<ps>...). Unlike
+    percentile_approx there is no sketch error — the result is an actual
+    data value at a deterministic rank, reproducible across engines and
+    cluster sizes. Cost: one narrow shuffle of per-value counts + a window
+    over the distinct-value spine; intended for bounded-cardinality
+    columns (see module note above)."""
+    groups = list(by) if by else []
+    sp = _spine(df, col, groups)
+    aggs = [F.max("__n").alias("n")]
+    for p in ps:
+        aggs.append(_rank_stat(col, p).alias(_q_name(p)))
+    return sp.groupBy(*groups).agg(*aggs) if groups else sp.agg(*aggs)
+
+
+def robust_profile(df, col: str, trim: float = 0.05):
+    """One-row DataFrame of exact robust statistics of ``col``:
+
+      n, median, q25, q75, iqr            — exact rank lookups (type-1)
+      mad                                  — median(|x - median|), exact
+      trimmed_mean (trim fraction each tail) and winsorized_mean — from
+        the same spine via rank-window membership counts
+
+    All order statistics are exact data values (bit-reproducible across
+    engines and cluster sizes); the two means are double sums over the
+    spine rounded to 6dp to absorb summation-order noise. Two spine
+    passes total (the MAD pass needs the median as a literal), each a
+    narrow per-value-count shuffle — the data itself is scanned twice and
+    never sorted globally. Rows where ``col`` is null are excluded
+    (n counts non-null rows), matching the aggregate-metric convention
+    everywhere else in this engine. Returns an eager 1-row frame (the
+    statistics are scalars; holding the plan lazy would just re-run both
+    passes per downstream action)."""
+    from pyspark.sql import Window
+
+    sp = _spine(df, col)
+    k = F.floor(F.lit(float(trim)) * F.col("__n"))
+    prev = F.col("__cum") - F.col("__c")
+    # per-value membership count of the middle rank window (k, n-k] — the
+    # rows neither tail claims; constant-k per row because n is a window
+    # constant
+    mid = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - k) - F.greatest(prev, k),
+    )
+    v = F.col(col).cast("double")
+    srow = sp.agg(
+        F.max("__n").alias("n"),
+        _rank_stat(col, 0.5).alias("median"),
+        _rank_stat(col, 0.25).alias("q25"),
+        _rank_stat(col, 0.75).alias("q75"),
+        F.max(k).alias("k"),
+        F.sum(v * mid).alias("mid_sum"),
+        # winsorization replacements: the (k+1)-th and (n-k)-th order stats
+        F.min(F.when(F.col("__cum") >= k + 1, v)).alias("vlo"),
+        F.min(F.when(F.col("__cum") >= F.col("__n") - k, v)).alias("vhi"),
+    ).collect()[0]
+    spark = df.sparkSession
+    if srow["median"] is None:  # empty or all-null column
+        return spark.range(1).select(
+            F.lit(int(srow["n"] or 0)).alias("n"),
+            *[
+                F.lit(None).cast("double").alias(c)
+                for c in (
+                    "median",
+                    "mad",
+                    "iqr",
+                    "trimmed_mean",
+                    "winsorized_mean",
+                )
+            ],
+        )
+    # MAD: distinct |x - median| values derive from the distinct-value
+    # spine, so the second pass re-aggregates per-value counts over the
+    # distance and takes the same type-1 rank lookup
+    dsp = (
+        sp.select(
+            F.abs(v - F.lit(float(srow["median"]))).alias("__d"), F.col("__c")
+        )
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    wd = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dr = dsp.select(
+        "__d",
+        F.sum("__c").over(wd).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    mad = dr.agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__n")),
+                F.col("__d"),
+            )
+        ).alias("mad")
+    ).collect()[0]["mad"]
+    n, kk = int(srow["n"]), int(srow["k"])
+    # assemble via JVM arithmetic (F.round half-up matches the oracle's
+    # round; Python round() is half-even and would not)
+    return spark.range(1).select(
+        F.lit(n).alias("n"),
+        F.lit(float(srow["median"])).alias("median"),
+        F.lit(float(mad)).alias("mad"),
+        (F.lit(float(srow["q75"])) - F.lit(float(srow["q25"]))).alias("iqr"),
+        F.round(F.lit(float(srow["mid_sum"])) / F.lit(float(n - 2 * kk)), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (
+                F.lit(float(srow["mid_sum"]))
+                + F.lit(float(kk)) * (F.lit(float(srow["vlo"])) + F.lit(float(srow["vhi"])))
+            )
+            / F.lit(float(n)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+def _mad_metric_cfg(cfg):
+    d = build_domain(cfg)
+    dom = Domain(row_condition=d.row_condition, column=d.column)
+    return MetricConfiguration("column.mad", dom)
+
+
+@eager_metric("column.mad")
+def _mad(resolver, ddf, cfg: MetricConfiguration, _):
+    """Exact median absolute deviation via robust_profile's spine (two
+    narrow per-value-count passes; bounded-cardinality columns — see the
+    spine module note)."""
+    row = robust_profile(ddf, cfg.domain.column).collect()[0]
+    return None if row["mad"] is None else float(row["mad"])
+
+
+class ColumnMadExpectation(Expectation):
+    """expect_column_median_absolute_deviation_to_be_between(column,
+    min_value, max_value, strict_min, strict_max) — engine extension (no
+    reference counterpart): the robust spread check that outliers cannot
+    game the way they game stdev. observed_value is the exact MAD."""
+
+    name = "expect_column_median_absolute_deviation_to_be_between"
+
+    def metric_requests(self, cfg, rf):
+        return {"mad": _mad_metric_cfg(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        observed = resolver[_mad_metric_cfg(cfg)]
+        success = validate_value_between(
+            observed,
+            min_value=cfg.get("min_value"),
+            max_value=cfg.get("max_value"),
+            strict_min=bool(cfg.get("strict_min", False)),
+            strict_max=bool(cfg.get("strict_max", False)),
+        )
+        ret: dict[str, Any] = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {"observed_value": observed}
+        return ret
+
+
+register_expectation(ColumnMadExpectation())

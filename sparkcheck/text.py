@@ -852,3 +852,59 @@ def bigram_lm_quality(
             "mean_nll",
         )
     )
+
+
+def novelty_scores(
+    delivery,
+    reference,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of each delivery doc's DISTINCT word n-grams that appear
+    nowhere in ``reference``. The inverse of decontamination's question —
+    contamination asks "does this doc overlap the eval set", novelty asks
+    "does tomorrow's crawl add anything the corpus doesn't already have"
+    (near-zero novelty = recrawled boilerplate; use it to drop stale
+    deliveries before the expensive dedup stages).
+
+    Shape: both sides reduce to (shingle) / (doc, shingle) keys —
+    array_distinct BEFORE explode so a doc's repeated n-gram costs one
+    key, then one distinct on the reference side (map-side combined) and
+    one shingle-keyed left join (AQE broadcasts when the reference set is
+    small; at 100 TB it is a plain shuffle join on string keys, no
+    payload). Every delivery doc comes back: docs with fewer than n
+    tokens have n_shingles=0 and a NULL novelty (no evidence either
+    way — callers decide the policy, we refuse to invent a score)."""
+    ref_sh = (
+        reference.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+        )
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    del_sh = delivery.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    per_doc = (
+        del_sh.join(ref_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        delivery.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )

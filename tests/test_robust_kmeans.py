@@ -1,0 +1,160 @@
+"""Round-4 late additions: exact spine quantiles / robust stats,
+Lloyd k-means refinement, n-gram novelty, cluster-balanced sampling."""
+
+import pyspark.sql.functions as F
+
+from sparkcheck import ExpectationSuite, sampling, similarity, text, validate_df
+from sparkcheck.stats import exact_quantiles, robust_profile
+
+
+def test_exact_quantiles_ungrouped(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)] + [(None,)], "x double"
+    )
+    r = exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.75, 1.0]).collect()[0]
+    # type-1 (lower) quantiles at ranks ceil(p*10); nulls excluded
+    assert r["n"] == 10
+    assert (r["p0"], r["p25"], r["p50"], r["p75"], r["p100"]) == (
+        1.0, 3.0, 5.0, 8.0, 10.0,
+    )
+
+
+def test_exact_quantiles_grouped_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 7.0)],
+        "g string, x double",
+    )
+    got = {
+        r["g"]: (r["n"], r["p50"])
+        for r in exact_quantiles(df, "x", [0.5], by=["g"]).collect()
+    }
+    # group a: ranks over [1,1,2], ceil(1.5)=2 -> 1.0 (tie mass counted)
+    assert got == {"a": (3, 1.0), "b": (2, 5.0)}
+
+
+def test_robust_profile_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)] + [(None,)], "x double"
+    )
+    r = robust_profile(df, "x", trim=0.1).collect()[0]
+    assert r["n"] == 10
+    assert r["median"] == 5.0
+    assert r["mad"] == 2.0  # median of |x-5| over [0,1,1,2,2,3,3,4,4,5]
+    assert r["iqr"] == 5.0  # q75=8, q25=3
+    # k=1: trim drops {1,10} -> mean(2..9)=5.5; winsor replaces them with
+    # the rank-2 / rank-9 values (2 and 9) -> 55/10 = 5.5
+    assert r["trimmed_mean"] == 5.5
+    assert r["winsorized_mean"] == 5.5
+
+
+def test_robust_profile_all_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    r = robust_profile(df, "x").collect()[0]
+    assert r["n"] == 0
+    assert r["median"] is None and r["mad"] is None
+
+
+def test_mad_expectation(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    suite = ExpectationSuite("mad")
+    suite.add(
+        "expect_column_median_absolute_deviation_to_be_between",
+        column="x", min_value=1.5, max_value=2.5,
+    )
+    res = validate_df(df, suite)
+    evr = res["results"][0]
+    assert evr["success"] is True
+    assert evr["result"]["observed_value"] == 2.0
+
+
+def _clustered_vectors():
+    a = [1.0, 0.05, 0.0, 0.0]
+    b = [0.0, 0.05, 1.0, 0.0]
+    rows = []
+    for i in range(1, 7):
+        base = a if i % 2 == 1 else b  # ids 1,2 (the seeds) straddle both
+        vec = [x + 0.01 * i for x in base]
+        rows.append((i, vec))
+    return rows
+
+
+def test_kmeans_separates_clusters(spark):
+    df = spark.createDataFrame(_clustered_vectors(), "vec_id long, embedding array<float>")
+    cents, assigned = similarity.kmeans(df, k=2, iters=2)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert {got[1], got[3], got[5]} == {got[1]}  # odd ids share a cluster
+    assert {got[2], got[4], got[6]} == {got[2]}
+    assert got[1] != got[2]
+    assert len(cents) == 2 and len(cents[0][1]) == 4
+    assert all(r["c_cos"] > 0.99 for r in assigned.collect())
+
+
+def test_kmeans_deterministic(spark):
+    df = spark.createDataFrame(_clustered_vectors(), "vec_id long, embedding array<float>")
+    _, a1 = similarity.kmeans(df, k=2, iters=2)
+    _, a2 = similarity.kmeans(df, k=2, iters=2)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # seed 3 duplicates seed 1's vector: every tie resolves to the lower
+    # centroid id, so cluster 2 goes empty and must keep its old centroid
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.0]),
+        (4, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assigned = similarity.kmeans(df, k=3, iters=1)
+    assert cents[2][1] == [1.0, 0.0]  # kept verbatim, not re-averaged
+    # the kept seed stays a live centroid: the final assignment hands the
+    # exact-match vectors back to it (cos 1.0 beats the averaged c0)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert got[1] == 2 and got[3] == 2
+
+
+def test_novelty_scores(spark):
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    delivery = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),  # both trigrams known -> 0.0
+            (2, "completely novel words appear here"),  # all novel -> 1.0
+            (3, "hi there"),  # < 3 tokens -> no evidence
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in text.novelty_scores(delivery, ref).collect()
+    }
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (0, 0, None)
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark):
+    rows = []
+    for i in range(1, 41):
+        # ids 1 and 2 (the deterministic seeds) straddle the two groups;
+        # the rest are imbalanced 30/8
+        in_a = i == 1 or (i >= 3 and i <= 32)
+        base = [1.0, 0.0] if in_a else [0.0, 1.0]
+        rows.append((i, [x + 0.001 * i for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sampling.cluster_balanced_sample(df, cap=5, n_centroids=2)
+    counts = {
+        r["centroid_id"]: r["n"]
+        for r in kept.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 5 for n in counts.values())
+    assert sum(counts.values()) == 10  # both clusters hit the cap
+    ids1 = sorted(r["vec_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in sampling.cluster_balanced_sample(df, cap=5, n_centroids=2).collect()
+    )
+    assert ids1 == ids2
+    assert set(ids1) <= set(range(1, 41))
