@@ -3416,8 +3416,17 @@ def _ivf_oracle() -> str:
 
 def _spine_rank_sql(p: float, v: str = "v") -> str:
     """Type-1 rank lookup over a cumulative-count spine CTE — the SQL
-    twin of stats._rank_stat (min value whose cum reaches ceil(p*n))."""
-    return f"min(CASE WHEN cum >= ceil({p!r} * n) THEN {v} END)"
+    twin of stats._rank_stat: rank ceil(p*n) in ALL-INTEGER arithmetic
+    ((num*n + den-1) // den with p as the exact rational of its decimal
+    literal); float ceil is off by one whenever p*n rounds across an
+    integer (0.07*100 -> 7.000000000000001)."""
+    from fractions import Fraction
+
+    f = Fraction(str(p))
+    return (
+        f"min(CASE WHEN cum >= ({f.numerator} * n + {f.denominator - 1}) "
+        f"// {f.denominator} THEN {v} END)"
+    )
 
 
 def _robust_stats_oracle() -> str:
@@ -3426,7 +3435,7 @@ def _robust_stats_oracle() -> str:
     the |x - median| spine for MAD. The two sum-based means round to 6dp
     on both sides (summation-order noise); every order statistic is an
     exact data value."""
-    k = "floor(0.05 * n)"
+    k = "((1 * n) // 20)"  # floor(0.05*n) in integers, replaying Spark
     mid = f"greatest(0, least(cum, n - {k}) - greatest(cum - c, {k}))"
     return (
         "WITH sp AS (SELECT l_quantity AS v, count(*)::BIGINT AS c "
@@ -3446,9 +3455,9 @@ def _robust_stats_oracle() -> str:
         "sum(c)::BIGINT AS c FROM sp GROUP BY 1), "
         "dr AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum, "
         "sum(c) OVER () AS n FROM dsp), "
-        "m AS (SELECT min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) "
+        "m AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN d END) "
         "AS mad FROM dr) "
-        "SELECT n, median, mad, q75 - q25 AS iqr, "
+        "SELECT n, median, q25, q75, mad, q75 - q25 AS iqr, "
         "round(mid_sum / (n - 2 * k), 6) AS trimmed_mean, "
         "round((mid_sum + k * (vlo + vhi)) / n, 6) AS winsorized_mean "
         "FROM s, m"

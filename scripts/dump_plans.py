@@ -318,7 +318,6 @@ def main():
         "(multiply-referenced non-cheap aliases), so the five per-doc "
         "metrics share one tokenization.")
 
-    from sparkcheck.stats import exact_quantiles
     add("Exact grouped quantiles over the distinct-value spine "
         "(segment_quantiles_returnflag)",
         qs["segment_quantiles_returnflag"](spark, SF),

@@ -648,6 +648,14 @@ def ivf_centroids(
         .select(F.col(vec_col).alias("v"))
         .collect()
     )
+    for r in rows:
+        if r["v"] is None or any(x is None for x in r["v"]):
+            raise ValueError(
+                f"seed vector has null elements or vectors shorter than "
+                f"the embedding dimension — {vec_col!r} must be "
+                f"fixed-width and null-free (clean the column before "
+                f"clustering)"
+            )
     return [(cid, [float(x) for x in r["v"]]) for cid, r in enumerate(rows)]
 
 
@@ -658,14 +666,9 @@ def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]])
     previous formulation cross-joined the corpus with the centroid table and
     ran a row_number window partitioned by vec_id, i.e. shuffled a
     n_centroids-times-replicated corpus; this one is a narrow map."""
-    scored = [
-        F.struct(
-            cosine(vec_col, F.array(*[F.lit(x) for x in cvec]), "hof").alias("c_cos"),
-            F.lit(-cid).alias("neg_cid"),
-        )
-        for cid, cvec in centroids
-    ]
-    return (-F.array_max(F.array(*scored))["neg_cid"]).cast("int")
+    return (-_nearest_centroid_scored(vec_col, centroids)["neg_cid"]).cast(
+        "int"
+    )
 
 
 def ivf_assign(
@@ -971,6 +974,16 @@ def kmeans(
             for i in range(dim)
         ]
         rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
+        for r in rows:
+            bad = [i for i in range(dim) if r[f"d{i}"] is None]
+            if bad:
+                raise ValueError(
+                    f"kmeans: cluster {r['centroid_id']} averaged NULL at "
+                    f"dimension(s) {bad[:5]} — the {vec_col!r} column has "
+                    f"null elements or vectors shorter than the seed "
+                    f"dimension {dim}; fix the embeddings (they must be "
+                    f"fixed-width, null-free) before clustering"
+                )
         new = {
             int(r["centroid_id"]): [float(r[f"d{i}"]) for i in range(dim)]
             for r in rows

@@ -872,12 +872,28 @@ def _q_name(p: float) -> str:
     return "p" + ("%g" % (p * 100)).replace(".", "_").replace("-", "m")
 
 
+def _p_fraction(p: float) -> tuple[int, int]:
+    """p as the exact rational of its DECIMAL literal (Fraction of str(p)):
+    0.07 means 7/100, not the nearest IEEE double. Rank arithmetic must be
+    integral — ceil(0.07 * 100) on doubles is 8, not 7 (the product
+    evaluates to 7.000000000000001), which would silently return the wrong
+    order statistic while an oracle replaying the same float math agrees."""
+    from fractions import Fraction
+
+    f = Fraction(str(p))
+    if not 0 <= f <= 1:
+        raise ValueError(f"quantile p must be in [0, 1], got {p!r}")
+    return f.numerator, f.denominator
+
+
 def _rank_stat(col: str, p: float):
     """Type-1 (lower) quantile as an aggregate over the spine: the smallest
-    value whose cumulative count reaches ceil(p*n). All-integer rank
-    arithmetic (ceil of an exact double product), so any engine replays it
-    bit-for-bit."""
-    k = F.ceil(F.lit(float(p)) * F.col("__n"))
+    value whose cumulative count reaches ceil(p*n) = (num*n + den-1) DIV
+    den — ALL-INTEGER rank arithmetic (see _p_fraction), so any engine
+    replays it exactly at any n."""
+    num, den = _p_fraction(p)
+    # DIV is Spark's integer (bigint) division — no double rounding at any n
+    k = F.expr(f"({num} * __n + {den - 1}) DIV {den}")
     return F.min(F.when(F.col("__cum") >= k, F.col(col)))
 
 
@@ -905,7 +921,7 @@ def exact_quantiles(
 def robust_profile(df, col: str, trim: float = 0.05):
     """One-row DataFrame of exact robust statistics of ``col``:
 
-      n, median, q25, q75, iqr            — exact rank lookups (type-1)
+      n, median, q25, q75, iqr           — exact rank lookups (type-1)
       mad                                  — median(|x - median|), exact
       trimmed_mean (trim fraction each tail) and winsorized_mean — from
         the same spine via rank-window membership counts
@@ -919,11 +935,20 @@ def robust_profile(df, col: str, trim: float = 0.05):
     (n counts non-null rows), matching the aggregate-metric convention
     everywhere else in this engine. Returns an eager 1-row frame (the
     statistics are scalars; holding the plan lazy would just re-run both
-    passes per downstream action)."""
+    passes per downstream action). ``trim`` must lie in [0, 0.5): at 0.5
+    both tails claim everything and the trimmed mean is undefined."""
     from pyspark.sql import Window
 
+    if not 0 <= trim < 0.5:
+        raise ValueError(
+            f"trim must be in [0, 0.5) (fraction removed from EACH tail); "
+            f"got {trim!r}"
+        )
     sp = _spine(df, col)
-    k = F.floor(F.lit(float(trim)) * F.col("__n"))
+    t_num, t_den = _p_fraction(trim)
+    # k = floor(trim*n), all-integer (floor on the double product is off
+    # by one whenever trim*n lands just below an integer, e.g. 0.29*100)
+    k = F.expr(f"({t_num} * __n) DIV {t_den}")
     prev = F.col("__cum") - F.col("__c")
     # per-value membership count of the middle rank window (k, n-k] — the
     # rows neither tail claims; constant-k per row because n is a window
@@ -952,6 +977,8 @@ def robust_profile(df, col: str, trim: float = 0.05):
                 F.lit(None).cast("double").alias(c)
                 for c in (
                     "median",
+                    "q25",
+                    "q75",
                     "mad",
                     "iqr",
                     "trimmed_mean",
@@ -980,7 +1007,8 @@ def robust_profile(df, col: str, trim: float = 0.05):
     mad = dr.agg(
         F.min(
             F.when(
-                F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__n")),
+                # ceil(n/2) in integers
+                F.col("__cum") >= F.expr("(__n + 1) DIV 2"),
                 F.col("__d"),
             )
         ).alias("mad")
@@ -991,6 +1019,8 @@ def robust_profile(df, col: str, trim: float = 0.05):
     return spark.range(1).select(
         F.lit(n).alias("n"),
         F.lit(float(srow["median"])).alias("median"),
+        F.lit(float(srow["q25"])).alias("q25"),
+        F.lit(float(srow["q75"])).alias("q75"),
         F.lit(float(mad)).alias("mad"),
         (F.lit(float(srow["q75"])) - F.lit(float(srow["q25"]))).alias("iqr"),
         F.round(F.lit(float(srow["mid_sum"])) / F.lit(float(n - 2 * kk)), 6).alias(

@@ -47,6 +47,42 @@ def test_robust_profile_hand_computed(spark):
     assert r["winsorized_mean"] == 5.5
 
 
+def test_exact_quantiles_integer_rank_arithmetic(spark):
+    # float ceil(0.07*100) is 8 (product rounds to 7.000000000000001);
+    # the rank must be the true ceil(7) = 7 -> value 7.0
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    r = exact_quantiles(df, "x", [0.07, 0.29]).collect()[0]
+    assert r["p7"] == 7.0
+    # floor(0.29*100) on doubles is 28 (28.999999999999996) — the trim
+    # arithmetic shares the integer fix; rank ceil(29) -> 29.0
+    assert r["p29"] == 29.0
+
+
+def test_robust_profile_rejects_bad_trim(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    for bad in (0.5, -0.1, 1.0):
+        with _pytest.raises(ValueError, match="trim"):
+            robust_profile(df, "x", trim=bad)
+
+
+def test_robust_profile_exposes_quartiles(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    r = robust_profile(df, "x").collect()[0]
+    assert (r["q25"], r["q75"]) == (3.0, 8.0)
+
+
+def test_kmeans_rejects_ragged_embeddings(spark):
+    import pytest as _pytest
+
+    # every vector null at dim 1 -> the centroid update averages NULL
+    rows = [(1, [1.0, None]), (2, [0.5, None])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="null elements or vectors shorter"):
+        similarity.kmeans(df, k=2, iters=1)
+
+
 def test_robust_profile_all_null(spark):
     df = spark.createDataFrame([(None,), (None,)], "x double")
     r = robust_profile(df, "x").collect()[0]
