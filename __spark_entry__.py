@@ -1749,6 +1749,25 @@ def q_cluster_balanced_sample(spark, sf):
     return kept.select("vec_id", "centroid_id")
 
 
+def q_wasserstein_drift_quantity(spark, sf):
+    """EXACT two-sample drift distances between the 'R'-returnflag slice
+    and the rest of lineitem on l_quantity
+    (distribution.two_sample_distances): the exact KS statistic
+    (max |F_a - F_b| over the merged distinct-value spine) and the exact
+    1-Wasserstein distance (the ECDF-difference integral) — the
+    binning-free complement to the PSI/KL histogram drift checks, with
+    no bin edges to game and no eps-clip artifacts. The oracle replays
+    the merged spine, the cumulative ratios, and the gap-weighted sum."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.distribution import two_sample_distances
+
+    return two_sample_distances(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") != "R"),
+        "l_quantity",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -1848,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine": q_kmeans_refine,
         "novelty_documents": q_novelty_documents,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "wasserstein_drift_quantity": q_wasserstein_drift_quantity,
     }
 
 
@@ -2593,6 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         "novelty_documents": _novelty_oracle(),
 
         "cluster_balanced_sample": _cluster_balanced_oracle(),
+
+        "wasserstein_drift_quantity": _wasserstein_oracle(),
 
         "bigram_lm_quality": (
             # smoothed conditional rebuilt from raw counts with the same
@@ -3558,4 +3580,32 @@ def _cluster_balanced_oracle(k: int = 8, cap: int = 100) -> str:
         f"rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid "
         f"ORDER BY {hv}, vec_id) AS rr FROM asg) "
         f"SELECT vec_id, cid AS centroid_id FROM rk WHERE rr <= {cap}"
+    )
+
+
+def _wasserstein_oracle() -> str:
+    """Replay two_sample_distances: merged distinct-value spine, exact
+    cumulative ECDF ratios (integer counts, one double division — the
+    same IEEE value both engines), KS as the max gap, W1 as the
+    lead-gap-weighted sum; W1's summation order is absorbed by the
+    shared round-6."""
+    return (
+        "WITH ca AS (SELECT l_quantity AS v, count(*)::BIGINT AS c "
+        "FROM lineitem WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL "
+        "GROUP BY 1), "
+        "cb AS (SELECT l_quantity AS v, count(*)::BIGINT AS c "
+        "FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity IS NOT NULL "
+        "GROUP BY 1), "
+        "m AS (SELECT coalesce(ca.v, cb.v) AS v, "
+        "coalesce(ca.c, 0)::BIGINT AS cca, coalesce(cb.c, 0)::BIGINT AS ccb "
+        "FROM ca FULL OUTER JOIN cb ON ca.v = cb.v), "
+        "r AS (SELECT v, sum(cca) OVER (ORDER BY v) AS cuma, "
+        "sum(ccb) OVER (ORDER BY v) AS cumb, "
+        "sum(cca) OVER () AS na, sum(ccb) OVER () AS nb, "
+        "lead(v) OVER (ORDER BY v) AS nv FROM m) "
+        "SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b, "
+        "round(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)), 6) "
+        "AS ks_stat, "
+        "round(sum(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nv - v)), 6) "
+        "AS wasserstein FROM r"
     )

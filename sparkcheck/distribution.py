@@ -481,3 +481,72 @@ def two_sample_drift(df_a, df_b, column: str, bins: "list[float]"):
         F.round(psi_e, 6).alias("psi"),
         F.round(kl_e, 6).alias("kl_ab"),
     )
+
+
+def two_sample_distances(df_a, df_b, column: str):
+    """EXACT two-sample KS statistic and 1-Wasserstein (earth-mover)
+    distance between the distributions of ``column`` in two frames —
+    the binning-free complement to ``two_sample_drift``: PSI/KL answer
+    "how surprised is a fixed-bin histogram", these answer "how far
+    apart are the full ECDFs" with no bin-edge choice to game and no
+    eps-clip artifacts on empty bins.
+
+    Both reduce to the merged distinct-value spine: per-value counts
+    for each side (map-side combined), one full-outer join on the
+    value, then cumulative counts in value order. KS is
+    max |F_a - F_b| over the spine; W1 is sum |F_a - F_b| * gap between
+    consecutive distinct values (the exact integral of the ECDF
+    difference). One narrow shuffle per side + a window over the spine
+    only — the data never sorts; same bounded-cardinality applicability
+    note as stats.exact_quantiles. Nulls are excluded per side; an
+    empty side yields NULL distances (no evidence, not zero drift).
+
+    Returns one row: (n_a, n_b, ks_stat, wasserstein), both rounded to
+    6dp (every per-row term is exact integer-ratio arithmetic; only
+    W1's summation order is engine-dependent)."""
+    from pyspark.sql import Window
+
+    def counts(df, tag):
+        return (
+            df.where(F.col(column).isNotNull())
+            .groupBy(F.col(column).cast("double").alias("__v"))
+            .agg(F.count(F.lit(1)).alias(tag))
+        )
+
+    merged = (
+        counts(df_a, "__ca")
+        .join(counts(df_b, "__cb"), "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    wc = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    wlead = Window.orderBy("__v")
+    r = merged.select(
+        "__v",
+        F.sum("__ca").over(wc).alias("__cuma"),
+        F.sum("__cb").over(wc).alias("__cumb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+        F.lead("__v").over(wlead).alias("__nv"),
+    )
+    # try_divide: an empty side has n=0 and must yield NULL (ANSI mode
+    # would throw DIVIDE_BY_ZERO; DuckDB's x/0 is NULL, so the oracle
+    # agrees)
+    diff = F.abs(
+        F.try_divide(F.col("__cuma"), F.col("__na"))
+        - F.try_divide(F.col("__cumb"), F.col("__nb"))
+    )
+    return r.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        F.round(F.sum(diff * (F.col("__nv") - F.col("__v"))), 6).alias(
+            "wasserstein"
+        ),
+    )

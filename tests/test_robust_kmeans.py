@@ -194,3 +194,27 @@ def test_cluster_balanced_sample_cap_and_determinism(spark):
     )
     assert ids1 == ids2
     assert set(ids1) <= set(range(1, 41))
+
+
+def test_two_sample_distances_hand_computed(spark):
+    from sparkcheck.distribution import two_sample_distances
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "x double")
+    r = two_sample_distances(a, b, "x").collect()[0]
+    # spine 1,2,3: F_a = .5,1,1; F_b = 0,.5,1 -> KS .5;
+    # W1 = .5*(2-1) + .5*(3-2) = 1.0 (each point moves one unit)
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["ks_stat"] == 0.5
+    assert r["wasserstein"] == 1.0
+
+
+def test_two_sample_distances_identical_and_empty(spark):
+    from sparkcheck.distribution import two_sample_distances
+
+    a = spark.createDataFrame([(1.0,), (5.0,), (5.0,)], "x double")
+    r = two_sample_distances(a, a, "x").collect()[0]
+    assert r["ks_stat"] == 0.0 and r["wasserstein"] == 0.0
+    empty = spark.createDataFrame([], "x double")
+    r2 = two_sample_distances(a, empty, "x").collect()[0]
+    assert r2["n_b"] == 0 and r2["ks_stat"] is None and r2["wasserstein"] is None
