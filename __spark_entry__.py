@@ -1645,9 +1645,14 @@ def q_semantic_dedup(spark, sf):
     (candidate volume sum(|cluster|^2), never n^2), and drop every
     vector with a lower-id near-duplicate at cosine >= 0.35 (threshold
     sized to the synthetic corpus's near-random embedding geometry).
-    The oracle replays the centroid assignment (same argmax + tie-break
-    as the IVF oracle), the within-cluster pairs, and the lowest-id
-    keeper rule in SQL."""
+    Cluster count must scale with the corpus (SemDeDup's k grows with
+    n) to bound per-cluster pair volume; the pair stage runs as a
+    per-cluster blocked numpy gemm (one Arrow pass, no vector join —
+    measured 19 s as a fold-cosine self-join at sf0.1, and raising k
+    just moved the cost into the k-wide interpreted argmax). The
+    oracle replays the centroid
+    assignment (same argmax + tie-break as the IVF oracle), the
+    within-cluster pairs, and the lowest-id keeper rule in SQL."""
     e = _t(spark, sf, "embeddings")
     return similarity.semantic_dedup(e, threshold=0.35, n_centroids=16)
 

@@ -768,6 +768,48 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _cluster_pair_drops(
+    comparable: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Within-cluster near-duplicate ids via a per-cluster BLOCKED numpy
+    gemm (applyInPandas): each cluster's vectors cross the Arrow boundary
+    ONCE, rows compare against all lower-id rows in 512-row blocks
+    (peak block memory 512 * |cluster| doubles — ~400 MB at the 100k
+    max_cluster cap), cosines round to 6dp before the threshold so the
+    verdict matches the fold-arithmetic oracle (same round-absorbs-ulp
+    contract as the mapInArrow ANN scorer). Replaces the fold-cosine
+    self-join pair stage, which materialized sum(|cluster|^2) vector
+    pairs through interpreted HOFs — measured 19 s vs ~1 s at sf0.1."""
+    import numpy as np  # noqa: PLC0415
+
+    def drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt(np.einsum("ij,ij->i", v, v))
+        dropped = np.zeros(m, dtype=bool)
+        block = 512
+        for s in range(1, m, block):
+            e = min(s + block, m)
+            # rows s..e-1 against ALL columns 0..e-2, masked to j < i
+            sims = v[s:e] @ v[: e - 1].T
+            sims /= np.outer(norms[s:e], norms[: e - 1])
+            sims = np.round(sims, 6)
+            hit = sims >= threshold
+            col_idx = np.arange(e - 1)
+            for r in range(e - s):
+                i = s + r
+                if hit[r, col_idx < i].any():
+                    dropped[i] = True
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    out_schema = f"{id_col} long"
+    return comparable.groupBy("centroid_id").applyInPandas(drops, out_schema)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -776,6 +818,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int | None = 100_000,
     scorer: str | None = None,
+    pair_impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (cf. Abbas et al. 2023): cluster the corpus (IVF assignment against
@@ -790,14 +833,25 @@ def semantic_dedup(
 
     Scale shape: the all-pairs comparison SemDeDup's semantics demand is
     confined to clusters — candidate volume is sum(|cluster|^2), not
-    n^2, and the per-cluster self-join shuffles on centroid_id only.
+    n^2. The default ``pair_impl="arrow"`` scores each cluster with one
+    blocked numpy gemm (vectors cross the Arrow boundary once, shuffled
+    on centroid_id only); ``pair_impl="join"`` keeps the pure-DataFrame
+    fold-cosine self-join for differential testing — identical verdicts
+    (both round to 6dp before the threshold), ~20x slower at sf0.1.
     ``max_cluster`` is the quadratic-hot-key guard (same role as
     lsh_near_duplicates' max_bucket): oversize clusters are skipped
     (every member kept) rather than detonating a quadratic stage —
     production would re-cluster those with more centroids. The kept flag
     falls out of one left-anti join on the dropped-id frame; the vector
-    payload crosses one exchange (the cluster self-join), never more."""
+    payload crosses one exchange (the centroid_id group shuffle), never
+    more."""
     _, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, scorer=scorer)
+    # the assignment feeds three consumers (the cap count, the pair
+    # stage, the final kept join); localCheckpoint pins one materialized
+    # copy so the 16-fold interpreted argmax runs ONCE (same pattern as
+    # lsh_near_duplicates' signature frame). The production analog is
+    # ivf_assign's documented write-once/re-cluster step.
+    assigned = assigned.localCheckpoint(eager=False)
     if max_cluster is not None:
         ok = (
             assigned.groupBy("centroid_id")
@@ -808,23 +862,36 @@ def semantic_dedup(
         comparable = assigned.join(ok, "centroid_id", "left_semi")
     else:
         comparable = assigned
-    a = comparable.select(
-        "centroid_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
-    )
-    b = comparable.select(
-        "centroid_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
-    )
-    dropped = (
-        a.join(b, "centroid_id")
-        .where(F.col("__idb") < F.col("__ida"))
-        .select(
-            "__ida",
-            F.round(cosine(F.col("__va"), F.col("__vb"), scorer), 6).alias("__cos"),
+    if pair_impl == "arrow":
+        dropped = _cluster_pair_drops(comparable, threshold, id_col, vec_col)
+    elif pair_impl == "join":
+        a = comparable.select(
+            "centroid_id",
+            F.col(id_col).alias("__ida"),
+            F.col(vec_col).alias("__va"),
         )
-        .where(F.col("__cos") >= threshold)
-        .select(F.col("__ida").alias(id_col))
-        .distinct()
-    )
+        b = comparable.select(
+            "centroid_id",
+            F.col(id_col).alias("__idb"),
+            F.col(vec_col).alias("__vb"),
+        )
+        dropped = (
+            a.join(b, "centroid_id")
+            .where(F.col("__idb") < F.col("__ida"))
+            .select(
+                "__ida",
+                F.round(
+                    cosine(F.col("__va"), F.col("__vb"), scorer), 6
+                ).alias("__cos"),
+            )
+            .where(F.col("__cos") >= threshold)
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(
+            f"pair_impl must be 'arrow' or 'join', got {pair_impl!r}"
+        )
     return (
         assigned.join(
             dropped.withColumn("__dropped", F.lit(True)), id_col, "left"

@@ -218,3 +218,28 @@ def test_two_sample_distances_identical_and_empty(spark):
     empty = spark.createDataFrame([], "x double")
     r2 = two_sample_distances(a, empty, "x").collect()[0]
     assert r2["n_b"] == 0 and r2["ks_stat"] is None and r2["wasserstein"] is None
+
+
+def test_semantic_dedup_arrow_matches_join(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1, 81):
+        if i % 7 == 0:  # plant near-duplicates of the previous vector
+            base = rows[-1][1]
+            vec = [x + 0.001 for x in base]
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    arrow = similarity.semantic_dedup(
+        df, threshold=0.9, n_centroids=4, pair_impl="arrow"
+    )
+    join = similarity.semantic_dedup(
+        df, threshold=0.9, n_centroids=4, pair_impl="join"
+    )
+    a = sorted(map(tuple, arrow.collect()))
+    j = sorted(map(tuple, join.collect()))
+    assert a == j
+    assert any(not kept for _, _, kept in a)  # the planted dups are caught
