@@ -671,28 +671,93 @@ def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]])
     )
 
 
+def _arrow_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    with_cos: bool = False,
+) -> DataFrame:
+    """Centroid assignment as one mapInPandas gemm pass: each Arrow batch
+    computes sims = V @ C.T / (|V| |C|) in float64 and takes the row
+    argmax (np.argmax returns the FIRST maximal index — the same
+    lowest-id tie-break as the fold argmax on exact ties, e.g. duplicate
+    centroids). The production-scale alternative to the literal-fold
+    argmax: the fold is bit-replayable by a SQL oracle but interpreted
+    and allocation-bound (thread-scales poorly — BENCH/BASELINE.md HOF
+    findings), and its flat-codegen rewrite explodes Catalyst's tree at
+    k*dim ("Code grows beyond 64 KB" + minutes of optimizer time,
+    measured). The gemm differs from the fold only in summation order
+    (last-ulp); a near-tie closer than ~1e-15 cosine could flip — use
+    the default fold path when exact cross-engine replay of the
+    assignment is required (the oracle gate does)."""
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.array([cvec for _, cvec in centroids], dtype=np.float64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int32)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    # fresh StructType — StructType.add mutates, and df.schema is the
+    # DataFrame's cached object
+    fields = list(df.schema.fields) + [
+        StructField("centroid_id", IntegerType())
+    ]
+    if with_cos:
+        fields.append(StructField("c_cos", DoubleType()))
+    schema = StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            sims = v @ cmat.T
+            sims /= np.outer(np.sqrt(np.einsum("ij,ij->i", v, v)), cnorm)
+            best = np.argmax(sims, axis=1)
+            out = pdf.assign(centroid_id=cids[best])
+            if with_cos:
+                out = out.assign(c_cos=sims[np.arange(len(best)), best])
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str | None = None,
+    assign_impl: str = "fold",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Assign every vector to its nearest centroid. Returns
     (centroids list, assigned DataFrame(corpus + centroid_id)). One narrow
     scan; at Iceberg scale the assignment would be written once and the
     table re-clustered by centroid_id (the IVF index build).
 
-    ``scorer`` is accepted for signature symmetry; the centroid argmax
-    always uses the literal-fold form (16 tiny folds beat 16 Arrow UDF
-    round-trips, and the fold keeps assignment bit-identical to the
-    oracle's replay)."""
+    ``scorer`` is accepted for signature symmetry. ``assign_impl``
+    picks the argmax implementation: "fold" (default) is the
+    literal-fold form — bit-identical to the SQL oracle's replay, the
+    right choice wherever cross-engine reproducibility of the assignment
+    is part of the contract; "arrow" is the mapInPandas gemm
+    (_arrow_assign) — the scale path, ~ulp-equivalent (measured 2.2-3x
+    faster and better thread-scaling on the 200k-vector scaling leg)."""
     centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_centroid(F.col(vec_col), centroids).alias("centroid_id"),
-    )
+    narrow = corpus.select(F.col(id_col), F.col(vec_col))
+    if assign_impl == "arrow":
+        assigned = _arrow_assign(narrow, centroids, vec_col)
+    elif assign_impl == "fold":
+        assigned = narrow.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+        )
+    else:
+        raise ValueError(
+            f"assign_impl must be 'fold' or 'arrow', got {assign_impl!r}"
+        )
     return centroids, assigned
 
 
@@ -819,6 +884,7 @@ def semantic_dedup(
     max_cluster: int | None = 100_000,
     scorer: str | None = None,
     pair_impl: str = "arrow",
+    assign_impl: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (cf. Abbas et al. 2023): cluster the corpus (IVF assignment against
@@ -845,7 +911,10 @@ def semantic_dedup(
     falls out of one left-anti join on the dropped-id frame; the vector
     payload crosses one exchange (the centroid_id group shuffle), never
     more."""
-    _, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, scorer=scorer)
+    _, assigned = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, scorer=scorer,
+        assign_impl=assign_impl,
+    )
     # the assignment feeds three consumers (the cap count, the pair
     # stage, the final kept join); localCheckpoint pins one materialized
     # copy so the 16-fold interpreted argmax runs ONCE (same pattern as
@@ -1009,6 +1078,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    assign_impl: str = "fold",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Lloyd k-means over an embedding column, refining the deterministic
     ``ivf_centroids`` seeds for ``iters`` rounds. Returns
@@ -1028,14 +1098,24 @@ def kmeans(
     assignment bit-identical across engines and cluster sizes (the same
     determinism contract as hash_fraction sampling). Cluster quality
     metrics (per-cluster counts / mean cosine) fall out of one extra
-    groupBy over the returned assignment."""
+    groupBy over the returned assignment. ``assign_impl="arrow"`` swaps
+    the literal-fold argmax for the mapInPandas gemm (_arrow_assign) —
+    the scale path; keep the default "fold" when the assignment must
+    replay bit-identically in another engine."""
+    if assign_impl not in ("fold", "arrow"):
+        raise ValueError(
+            f"assign_impl must be 'fold' or 'arrow', got {assign_impl!r}"
+        )
     cents = ivf_centroids(corpus, k, id_col, vec_col)
     dim = len(cents[0][1]) if cents else 0
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col),
-            _nearest_centroid(F.col(vec_col), cents).alias("centroid_id"),
-        )
+        if assign_impl == "arrow":
+            assigned = _arrow_assign(corpus.select(F.col(vec_col)), cents, vec_col)
+        else:
+            assigned = corpus.select(
+                F.col(vec_col),
+                _nearest_centroid(F.col(vec_col), cents).alias("centroid_id"),
+            )
         aggs = [
             F.round(F.avg(F.col(vec_col)[i]), round_dp).alias(f"d{i}")
             for i in range(dim)
@@ -1056,10 +1136,22 @@ def kmeans(
             for r in rows
         }
         cents = [(cid, new.get(cid, old)) for cid, old in cents]
-    best = _nearest_centroid_scored(F.col(vec_col), cents)
-    assigned = corpus.select(
-        F.col(id_col),
-        (-best["neg_cid"]).cast("int").alias("centroid_id"),
-        F.round(best["c_cos"], 6).alias("c_cos"),
-    )
+    if assign_impl == "arrow":
+        assigned = _arrow_assign(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            cents,
+            vec_col,
+            with_cos=True,
+        ).select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.round(F.col("c_cos"), 6).alias("c_cos"),
+        )
+    else:
+        best = _nearest_centroid_scored(F.col(vec_col), cents)
+        assigned = corpus.select(
+            F.col(id_col),
+            (-best["neg_cid"]).cast("int").alias("centroid_id"),
+            F.round(best["c_cos"], 6).alias("c_cos"),
+        )
     return cents, assigned

@@ -243,3 +243,24 @@ def test_semantic_dedup_arrow_matches_join(spark):
     j = sorted(map(tuple, join.collect()))
     assert a == j
     assert any(not kept for _, _, kept in a)  # the planted dups are caught
+
+
+def test_arrow_assignment_matches_fold(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from sparkcheck.similarity import ivf_assign
+
+    _, fold = ivf_assign(df, n_centroids=8)
+    _, arrow = ivf_assign(df, n_centroids=8, assign_impl="arrow")
+    f = {r["vec_id"]: r["centroid_id"] for r in fold.collect()}
+    a = {r["vec_id"]: r["centroid_id"] for r in arrow.collect()}
+    assert f == a
+    # kmeans end-to-end too (2 refinement rounds + scored final pass)
+    _, kf = similarity.kmeans(df, k=4, iters=2)
+    _, ka = similarity.kmeans(df, k=4, iters=2, assign_impl="arrow")
+    assert sorted(map(tuple, kf.collect())) == sorted(map(tuple, ka.collect()))
