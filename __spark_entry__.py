@@ -1773,6 +1773,23 @@ def q_wasserstein_drift_quantity(spark, sf):
     )
 
 
+def q_wasserstein_by_linestatus(spark, sf):
+    """Per-segment exact drift (distribution.two_sample_distances with
+    by=): the same 'R'-vs-rest two-sample KS + Wasserstein, computed PER
+    l_linestatus segment from one grouped spine — the "which segment
+    drifted" report. Groups observed on only one side keep NULL
+    distances (no evidence, not zero drift)."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.distribution import two_sample_distances
+
+    return two_sample_distances(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") != "R"),
+        "l_quantity",
+        by=["l_linestatus"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -1873,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_documents": q_novelty_documents,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "wasserstein_drift_quantity": q_wasserstein_drift_quantity,
+        "wasserstein_by_linestatus": q_wasserstein_by_linestatus,
     }
 
 
@@ -2620,6 +2638,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": _cluster_balanced_oracle(),
 
         "wasserstein_drift_quantity": _wasserstein_oracle(),
+
+        "wasserstein_by_linestatus": _wasserstein_grouped_oracle(),
 
         "bigram_lm_quality": (
             # smoothed conditional rebuilt from raw counts with the same
@@ -3613,4 +3633,35 @@ def _wasserstein_oracle() -> str:
         "AS ks_stat, "
         "round(sum(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nv - v)), 6) "
         "AS wasserstein FROM r"
+    )
+
+
+def _wasserstein_grouped_oracle() -> str:
+    """The _wasserstein_oracle construction with l_linestatus as a group
+    key: spine keyed (g, v), windows partitioned by g, one output row
+    per group observed on either side."""
+    return (
+        "WITH ca AS (SELECT l_linestatus AS g, l_quantity AS v, "
+        "count(*)::BIGINT AS c FROM lineitem "
+        "WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL "
+        "AND l_linestatus IS NOT NULL GROUP BY 1, 2), "
+        "cb AS (SELECT l_linestatus AS g, l_quantity AS v, "
+        "count(*)::BIGINT AS c FROM lineitem "
+        "WHERE l_returnflag <> 'R' AND l_quantity IS NOT NULL "
+        "AND l_linestatus IS NOT NULL GROUP BY 1, 2), "
+        "m AS (SELECT coalesce(ca.g, cb.g) AS g, coalesce(ca.v, cb.v) AS v, "
+        "coalesce(ca.c, 0)::BIGINT AS cca, coalesce(cb.c, 0)::BIGINT AS ccb "
+        "FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.v = cb.v), "
+        "r AS (SELECT g, v, "
+        "sum(cca) OVER (PARTITION BY g ORDER BY v) AS cuma, "
+        "sum(ccb) OVER (PARTITION BY g ORDER BY v) AS cumb, "
+        "sum(cca) OVER (PARTITION BY g) AS na, "
+        "sum(ccb) OVER (PARTITION BY g) AS nb, "
+        "lead(v) OVER (PARTITION BY g ORDER BY v) AS nv FROM m) "
+        "SELECT g AS l_linestatus, max(na)::BIGINT AS n_a, "
+        "max(nb)::BIGINT AS n_b, "
+        "round(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)), 6) "
+        "AS ks_stat, "
+        "round(sum(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nv - v)), 6) "
+        "AS wasserstein FROM r GROUP BY 1"
     )

@@ -483,7 +483,7 @@ def two_sample_drift(df_a, df_b, column: str, bins: "list[float]"):
     )
 
 
-def two_sample_distances(df_a, df_b, column: str):
+def two_sample_distances(df_a, df_b, column: str, by: "list[str] | None" = None):
     """EXACT two-sample KS statistic and 1-Wasserstein (earth-mover)
     distance between the distributions of ``column`` in two frames —
     the binning-free complement to ``two_sample_drift``: PSI/KL answer
@@ -501,33 +501,49 @@ def two_sample_distances(df_a, df_b, column: str):
     note as stats.exact_quantiles. Nulls are excluded per side; an
     empty side yields NULL distances (no evidence, not zero drift).
 
-    Returns one row: (n_a, n_b, ks_stat, wasserstein), both rounded to
-    6dp (every per-row term is exact integer-ratio arithmetic; only
-    W1's summation order is engine-dependent)."""
+    ``by`` computes the distances PER GROUP ("which segment drifted?"):
+    the spine keys on (group cols..., value), the windows partition by
+    the groups, and the result has one row per group observed on EITHER
+    side (a group missing from one side has that side's n at 0 and NULL
+    distances). Rows with a NULL group value are excluded — a drift
+    verdict needs a stable segment identity.
+
+    Returns (``by`` cols..., n_a, n_b, ks_stat, wasserstein), distances
+    rounded to 6dp (every per-row term is exact integer-ratio
+    arithmetic; only W1's summation order is engine-dependent)."""
     from pyspark.sql import Window
 
+    groups = list(by) if by else []
+
     def counts(df, tag):
+        cond = F.col(column).isNotNull()
+        for g in groups:
+            cond = cond & F.col(g).isNotNull()
         return (
-            df.where(F.col(column).isNotNull())
-            .groupBy(F.col(column).cast("double").alias("__v"))
+            df.where(cond)
+            .groupBy(*groups, F.col(column).cast("double").alias("__v"))
             .agg(F.count(F.lit(1)).alias(tag))
         )
 
     merged = (
         counts(df_a, "__ca")
-        .join(counts(df_b, "__cb"), "__v", "full_outer")
+        .join(counts(df_b, "__cb"), groups + ["__v"], "full_outer")
         .select(
+            *groups,
             "__v",
             F.coalesce("__ca", F.lit(0)).alias("__ca"),
             F.coalesce("__cb", F.lit(0)).alias("__cb"),
         )
     )
-    wc = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wc = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy()
-    wlead = Window.orderBy("__v")
+    wall = Window.partitionBy(*groups)
+    wlead = Window.partitionBy(*groups).orderBy("__v")
     r = merged.select(
+        *groups,
         "__v",
         F.sum("__ca").over(wc).alias("__cuma"),
         F.sum("__cb").over(wc).alias("__cumb"),
@@ -542,11 +558,12 @@ def two_sample_distances(df_a, df_b, column: str):
         F.try_divide(F.col("__cuma"), F.col("__na"))
         - F.try_divide(F.col("__cumb"), F.col("__nb"))
     )
-    return r.agg(
+    aggs = [
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
         F.round(F.max(diff), 6).alias("ks_stat"),
         F.round(F.sum(diff * (F.col("__nv") - F.col("__v"))), 6).alias(
             "wasserstein"
         ),
-    )
+    ]
+    return r.groupBy(*groups).agg(*aggs) if groups else r.agg(*aggs)

@@ -264,3 +264,25 @@ def test_arrow_assignment_matches_fold(spark):
     _, kf = similarity.kmeans(df, k=4, iters=2)
     _, ka = similarity.kmeans(df, k=4, iters=2, assign_impl="arrow")
     assert sorted(map(tuple, kf.collect())) == sorted(map(tuple, ka.collect()))
+
+
+def test_two_sample_distances_grouped(spark):
+    from sparkcheck.distribution import two_sample_distances
+
+    a = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 5.0), (None, 9.0)],
+        "g string, x double",
+    )
+    b = spark.createDataFrame(
+        [("g1", 2.0), ("g1", 3.0), ("g3", 7.0)], "g string, x double"
+    )
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["ks_stat"], r["wasserstein"])
+        for r in two_sample_distances(a, b, "x", by=["g"]).collect()
+    }
+    # g1 replays the ungrouped hand example; g2/g3 are one-sided (NULLs);
+    # the NULL-group row is excluded entirely
+    assert got["g1"] == (2, 2, 0.5, 1.0)
+    assert got["g2"] == (1, 0, None, None)
+    assert got["g3"] == (0, 1, None, None)
+    assert set(got) == {"g1", "g2", "g3"}
