@@ -3631,7 +3631,9 @@ def _wasserstein_oracle() -> str:
         "SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b, "
         "round(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)), 6) "
         "AS ks_stat, "
-        "round(sum(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nv - v)), 6) "
+        "round(CASE WHEN max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)) "
+        "IS NOT NULL THEN coalesce(sum(abs(cuma::DOUBLE / na - "
+        "cumb::DOUBLE / nb) * (nv - v)), 0.0) END, 6) "
         "AS wasserstein FROM r"
     )
 
@@ -3662,6 +3664,8 @@ def _wasserstein_grouped_oracle() -> str:
         "max(nb)::BIGINT AS n_b, "
         "round(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)), 6) "
         "AS ks_stat, "
-        "round(sum(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nv - v)), 6) "
+        "round(CASE WHEN max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)) "
+        "IS NOT NULL THEN coalesce(sum(abs(cuma::DOUBLE / na - "
+        "cumb::DOUBLE / nb) * (nv - v)), 0.0) END, 6) "
         "AS wasserstein FROM r GROUP BY 1"
     )

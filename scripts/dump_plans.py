@@ -346,6 +346,14 @@ def main():
         "reference is small) plus one per-doc count aggregate. Document "
         "payloads never ride an exchange.")
 
+    add("Exact two-sample distances (wasserstein_drift_quantity)",
+        qs["wasserstein_drift_quantity"](spark, SF),
+        "Each side reduces to per-value counts (HashAggregate with "
+        "map-side partial_count) BEFORE the full-outer merge, so the "
+        "join and the rank windows see only the distinct-value spine — "
+        "the data itself is scanned once per side and never sorted. KS "
+        "and W1 fall out of one final aggregate over the spine.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

@@ -558,12 +558,17 @@ def two_sample_distances(df_a, df_b, column: str, by: "list[str] | None" = None)
         F.try_divide(F.col("__cuma"), F.col("__na"))
         - F.try_divide(F.col("__cumb"), F.col("__nb"))
     )
+    # a single-value spine has no gaps: sum() over zero terms is NULL,
+    # but two non-empty one-point distributions are distance 0 — coalesce
+    # under a KS guard (KS non-null == both sides non-empty)
+    ks = F.max(diff)
+    w1 = F.sum(diff * (F.col("__nv") - F.col("__v")))
     aggs = [
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
-        F.round(F.max(diff), 6).alias("ks_stat"),
-        F.round(F.sum(diff * (F.col("__nv") - F.col("__v"))), 6).alias(
-            "wasserstein"
-        ),
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(
+            F.when(ks.isNotNull(), F.coalesce(w1, F.lit(0.0))), 6
+        ).alias("wasserstein"),
     ]
     return r.groupBy(*groups).agg(*aggs) if groups else r.agg(*aggs)

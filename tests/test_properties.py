@@ -238,3 +238,62 @@ def test_hash_split_invariants(spark, keys, w):
     # deterministic: a second run assigns identically
     again = {r["k"]: r["split"] for r in sampling.hash_split(df, w, "k").collect()}
     assert got == again
+
+
+@given(vals=NUMS, p=st.sampled_from([0.0, 0.07, 0.25, 0.29, 0.5, 0.75, 0.93, 1.0]))
+@_settings
+def test_exact_quantiles_match_numpy_type1(spark, vals, p):
+    """exact_quantiles == numpy's 'inverted_cdf' (type-1) quantile on any
+    int/null mix — sweeps the float-rank hazard zone (0.07, 0.29, ...)."""
+    import numpy as np
+
+    from sparkcheck.stats import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v) if v is not None else None,) for v in vals], "x double"
+    )
+    nonnull = sorted(v for v in vals if v is not None)
+    row = exact_quantiles(df, "x", [p]).collect()[0]
+    name = "p" + ("%g" % (p * 100)).replace(".", "_")
+    if not nonnull:
+        assert row[name] is None
+        return
+    n = len(nonnull)
+    from fractions import Fraction
+
+    f = Fraction(str(p))
+    k = max((f.numerator * n + f.denominator - 1) // f.denominator, 1)
+    assert row[name] == float(nonnull[k - 1])
+    if 0 < p <= 1:
+        # numpy's inverted_cdf agrees with the type-1 definition for p>0
+        assert row[name] == float(
+            np.quantile(np.array(nonnull, dtype=float), p, method="inverted_cdf")
+        )
+
+
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=25),
+    b_vals=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=25),
+)
+@_settings
+def test_two_sample_distances_match_scipy_formulas(spark, a_vals, b_vals):
+    """KS == max ECDF gap; W1 == mean absolute difference of sorted
+    quantile functions (computed here by the integral definition on the
+    merged support) — verified against a direct python computation."""
+    from sparkcheck.distribution import two_sample_distances
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "x double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "x double")
+    r = two_sample_distances(a, b, "x").collect()[0]
+    support = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    ks = 0.0
+    w1 = 0.0
+    for i, v in enumerate(support):
+        fa = sum(1 for x in a_vals if x <= v) / na
+        fb = sum(1 for x in b_vals if x <= v) / nb
+        ks = max(ks, abs(fa - fb))
+        if i + 1 < len(support):
+            w1 += abs(fa - fb) * (support[i + 1] - v)
+    assert abs(r["ks_stat"] - ks) < 1e-6
+    assert abs(r["wasserstein"] - w1) < 1e-6
