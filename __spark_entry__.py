@@ -1790,6 +1790,101 @@ def q_wasserstein_by_linestatus(spark, sf):
     )
 
 
+def q_entropy_profile_orders(spark, sf):
+    """Shannon entropy per categorical column (infotheory.entropy_profile):
+    one stack-melt + one groupBy(column, value) shuffle for ALL columns,
+    then H = ln N - (Σ c ln c)/N over the dimension-sized count frame —
+    no window over the data, no per-column pass. normalized_entropy is
+    the 0..1 evenness score H/ln(distinct). Extends the reference's
+    distribution family (expect_column_kl_divergence_to_be_less_than,
+    reference expectations/core/) with the standard profiling measure it
+    lacks. The oracle replays the melt + identity in SQL."""
+    od = _t(spark, sf, "orders")
+    from sparkcheck.infotheory import entropy_profile
+
+    return entropy_profile(od, ["o_orderstatus", "o_orderpriority"])
+
+
+def q_mutual_information_lineitem(spark, sf):
+    """Mutual information MI(l_returnflag, l_linestatus) in nats plus
+    normalized MI (infotheory.mutual_information): one groupBy(a, b)
+    shuffle; marginals are windows over the joint-count frame, whose
+    cardinality is capped with the same max_groups contract as the
+    chi-square crosstab (stats.py). The dependence analog of Cramér's φ
+    (reference expect_column_pair_cramers_phi_value_to_be_less_than.py:42)
+    on an information-theoretic scale. Oracle replays the windowed
+    identity MI = Σ (c/N) ln(N c / (c_a c_b)) in SQL."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.infotheory import mutual_information
+
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+def q_benford_extendedprice(spark, sf):
+    """Benford first-significant-digit conformity of l_extendedprice
+    (infotheory.benford_profile): 9 always-present digit rows with
+    observed vs expected proportions, the total Pearson χ² and Nigrini's
+    MAD. Digit extraction is string-based (first [1-9] of the decimal
+    rendering) so Spark and the oracle agree at power-of-ten boundaries
+    where floor(log10(x)) is libm-dependent. One groupBy(digit) over a
+    pushed-down positive filter; statistics are windows over 9 rows."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.infotheory import benford_profile
+
+    return benford_profile(li, "l_extendedprice")
+
+
+def q_merged_states_lineitem(spark, sf):
+    """Mergeable metric states (states.column_states + merge_states):
+    per-commit-unit aggregation states (n, Σx, mean, M2, min, max) over
+    8 synthetic hash partitions of lineitem, folded back to the
+    corpus-level profile with the generalized Chan identity in ONE
+    aggregation (M2 = Σm2 + Σs²/n − S²/N, no window, no second pass).
+    The result is partition-invariant — the oracle is a plain full-scan
+    avg/stddev_samp/min/max, proving merged == rescanned. This is the
+    metric half of the north rule's per-partition resume: committed
+    states mean corpus stats never rescan finished partitions
+    (states.update_states covers the incremental path in pytest)."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.states import column_states, merge_states
+
+    st = column_states(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        state_key="pmod(hash(l_orderkey), 8)",
+    )
+    # 5dp for mean/stddev (l_discount's mean sits exactly on a 6dp
+    # rounding boundary, where merge-order float noise flips the digit);
+    # variance coarser still — its ~9e8 magnitude puts noise at ~1e-6
+    merged = merge_states(st, round_to=5)
+    return merged.select(
+        "column",
+        "n",
+        "n_null",
+        "mean",
+        "stddev_samp",
+        F.round("variance_samp", 2).alias("variance_samp"),
+        "mn",
+        "mx",
+    )
+
+
+def q_information_gain_lineitem(spark, sf):
+    """Per-feature information gain vs the l_returnflag label
+    (infotheory.information_gain): every feature rides ONE stack-melt +
+    ONE groupBy(feature, value, label) shuffle; marginals are windows
+    over the joint-count frame partitioned by feature. The
+    feature-relevance / label-leakage ranking: gain_ratio ~ 1 means the
+    feature leaks the label, ~ 0 means uninformative. Oracle replays the
+    melt and the windowed MI identity in SQL."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.infotheory import information_gain
+
+    return information_gain(
+        li, "l_returnflag", ["l_linestatus", "l_linenumber", "l_quantity"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -1891,6 +1986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "wasserstein_drift_quantity": q_wasserstein_drift_quantity,
         "wasserstein_by_linestatus": q_wasserstein_by_linestatus,
+        "entropy_profile_orders": q_entropy_profile_orders,
+        "mutual_information_lineitem": q_mutual_information_lineitem,
+        "benford_extendedprice": q_benford_extendedprice,
+        "merged_states_lineitem": q_merged_states_lineitem,
+        "information_gain_lineitem": q_information_gain_lineitem,
     }
 
 
@@ -2640,6 +2740,117 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_drift_quantity": _wasserstein_oracle(),
 
         "wasserstein_by_linestatus": _wasserstein_grouped_oracle(),
+
+        "entropy_profile_orders": (
+            "WITH m AS ("
+            "SELECT 'o_orderstatus' AS col, o_orderstatus::VARCHAR AS value "
+            "FROM orders WHERE o_orderstatus IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'o_orderpriority', o_orderpriority::VARCHAR "
+            "FROM orders WHERE o_orderpriority IS NOT NULL), "
+            "c AS (SELECT col, value, count(*)::BIGINT AS c FROM m GROUP BY 1, 2) "
+            "SELECT col AS \"column\", sum(c)::BIGINT AS n, "
+            "count(*)::BIGINT AS distinct_values, "
+            "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy, "
+            "round(CASE WHEN count(*) > 1 THEN "
+            "(ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(count(*)) "
+            "ELSE 0.0 END, 6) AS normalized_entropy "
+            "FROM c GROUP BY col"
+        ),
+
+        "mutual_information_lineitem": (
+            "WITH j AS (SELECT l_returnflag::VARCHAR AS a, "
+            "l_linestatus::VARCHAR AS b, count(*)::BIGINT AS c FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT a, b, c, sum(c) OVER (PARTITION BY a) AS ca, "
+            "sum(c) OVER (PARTITION BY b) AS cb, sum(c) OVER () AS nn FROM j) "
+            "SELECT 'l_returnflag' AS column_a, 'l_linestatus' AS column_b, "
+            "max(nn)::BIGINT AS n, count(*)::BIGINT AS pair_cardinality, "
+            "round(sum((c / nn::DOUBLE) * ln(nn::DOUBLE * c / (ca * cb))), 6) AS mi, "
+            "round(CASE WHEN sum(-(c / nn::DOUBLE) * ln(ca / nn::DOUBLE)) * "
+            "sum(-(c / nn::DOUBLE) * ln(cb / nn::DOUBLE)) > 0 THEN "
+            "sum((c / nn::DOUBLE) * ln(nn::DOUBLE * c / (ca * cb))) / "
+            "sqrt(sum(-(c / nn::DOUBLE) * ln(ca / nn::DOUBLE)) * "
+            "sum(-(c / nn::DOUBLE) * ln(cb / nn::DOUBLE))) "
+            "ELSE 0.0 END, 6) AS nmi FROM s"
+        ),
+
+        "benford_extendedprice": (
+            # string-based first-digit extraction, matching the Spark
+            # plan exactly (floor(log10) is libm-dependent at boundaries)
+            "WITH c AS (SELECT CAST(regexp_extract(l_extendedprice::VARCHAR, "
+            "'[1-9]') AS INT) AS digit, count(*)::BIGINT AS n FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 "
+            "GROUP BY 1), "
+            "sp AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) "
+            "t(digit)), "
+            "f AS (SELECT sp.digit, coalesce(c.n, 0)::BIGINT AS n, "
+            "log10(1.0 + 1.0 / sp.digit) AS expected_p FROM sp "
+            "LEFT JOIN c USING (digit)), "
+            "w AS (SELECT digit, n, expected_p, "
+            "sum(n) OVER ()::DOUBLE AS tot FROM f) "
+            "SELECT digit, n, round(n / tot, 6) AS observed_p, "
+            "round(expected_p, 6) AS expected_p, "
+            "round(sum(pow(n - tot * expected_p, 2) / (tot * expected_p)) "
+            "OVER (), 6) AS chisq, "
+            "round(avg(abs(n / tot - expected_p)) OVER (), 6) AS mad "
+            "FROM w ORDER BY digit"
+        ),
+
+        "merged_states_lineitem": (
+            # merged-state fold must equal a plain full rescan — the
+            # oracle IS the rescan (partition invariance is the claim)
+            "SELECT 'l_quantity' AS \"column\", count(l_quantity)::BIGINT AS n, "
+            "(count(*) - count(l_quantity))::BIGINT AS n_null, "
+            "round(avg(l_quantity), 5) AS mean, "
+            "round(stddev_samp(l_quantity), 5) AS stddev_samp, "
+            "round(var_samp(l_quantity), 2) AS variance_samp, "
+            "min(l_quantity)::DOUBLE AS mn, max(l_quantity)::DOUBLE AS mx "
+            "FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT, "
+            "(count(*) - count(l_extendedprice))::BIGINT, "
+            "round(avg(l_extendedprice), 5), "
+            "round(stddev_samp(l_extendedprice), 5), "
+            "round(var_samp(l_extendedprice), 2), "
+            "min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE "
+            "FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_discount', count(l_discount)::BIGINT, "
+            "(count(*) - count(l_discount))::BIGINT, "
+            "round(avg(l_discount), 5), round(stddev_samp(l_discount), 5), "
+            "round(var_samp(l_discount), 2), "
+            "min(l_discount)::DOUBLE, max(l_discount)::DOUBLE FROM lineitem"
+        ),
+
+        "information_gain_lineitem": (
+            "WITH m AS ("
+            "SELECT 'l_linestatus' AS feature, l_linestatus::VARCHAR AS value, "
+            "l_returnflag::VARCHAR AS label FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'l_linenumber', l_linenumber::VARCHAR, l_returnflag::VARCHAR "
+            "FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'l_quantity', l_quantity::VARCHAR, l_returnflag::VARCHAR "
+            "FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL), "
+            "j AS (SELECT feature, value, label, count(*)::BIGINT AS c "
+            "FROM m GROUP BY 1, 2, 3), "
+            "s AS (SELECT feature, c, "
+            "sum(c) OVER (PARTITION BY feature, value) AS cv, "
+            "sum(c) OVER (PARTITION BY feature, label) AS cl, "
+            "sum(c) OVER (PARTITION BY feature) AS nn FROM j) "
+            "SELECT feature, max(nn)::BIGINT AS n, "
+            "round(sum(-(c / nn::DOUBLE) * ln(cl / nn::DOUBLE)), 6) AS label_entropy, "
+            "round(sum((c / nn::DOUBLE) * ln(nn::DOUBLE * c / (cv * cl))), 6) AS gain, "
+            "round(CASE WHEN sum(-(c / nn::DOUBLE) * ln(cl / nn::DOUBLE)) > 0 THEN "
+            "sum((c / nn::DOUBLE) * ln(nn::DOUBLE * c / (cv * cl))) / "
+            "sum(-(c / nn::DOUBLE) * ln(cl / nn::DOUBLE)) ELSE 0.0 END, 6) "
+            "AS gain_ratio FROM s GROUP BY feature"
+        ),
 
         "bigram_lm_quality": (
             # smoothed conditional rebuilt from raw counts with the same

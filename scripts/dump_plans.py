@@ -354,6 +354,43 @@ def main():
         "the data itself is scanned once per side and never sorted. KS "
         "and W1 fall out of one final aggregate over the spine.")
 
+    add("Entropy profile, all columns one shuffle (entropy_profile_orders)",
+        qs["entropy_profile_orders"](spark, SF),
+        "The stack melt stays inside the scan's WholeStageCodegen (no "
+        "Python boundary); ONE groupBy(column, value) Exchange with "
+        "map-side partial_count serves every profiled column, and the "
+        "entropy identity H = ln N - (sum c ln c)/N is evaluated by a "
+        "second HashAggregate over the dimension-sized count frame — "
+        "no window touches the raw data.")
+    add("Mutual information (mutual_information_lineitem)",
+        qs["mutual_information_lineitem"](spark, SF),
+        "One groupBy(a, b) shuffle over the pruned two-column scan; the "
+        "marginal windows and the final MI/NMI aggregate all run on the "
+        "joint-count frame (cardinality = distinct pairs, capped at "
+        "max_groups like the chi-square crosstab).")
+    add("Benford first-digit conformity (benford_extendedprice)",
+        qs["benford_extendedprice"](spark, SF),
+        "`PushedFilters` carries the >0 predicate to the parquet scan; "
+        "digit extraction is a codegen regexp on the string rendering "
+        "(engine-portable, unlike floor(log10)); the 9-row digit spine "
+        "joins AFTER aggregation so windows only ever see 9 rows.")
+    add("Information gain vs label (information_gain_lineitem)",
+        qs["information_gain_lineitem"](spark, SF),
+        "Three features share ONE melt and ONE groupBy(feature, value, "
+        "label) Exchange (map-side partial_count); the per-feature "
+        "marginal windows and the final MI aggregate run over the "
+        "joint-count frame only. Adding a feature adds zero extra "
+        "passes over the data.")
+    add("Mergeable metric states fold (merged_states_lineitem)",
+        qs["merged_states_lineitem"](spark, SF),
+        "column_states is ONE groupBy(state_key) HashAggregate over a "
+        "3-column pruned scan computing every column's (n, sum, mean, "
+        "M2, min, max) together; merge_states folds states with the "
+        "generalized Chan identity in ONE more aggregate — no window, "
+        "no second scan. The states frame is #partitions-sized, so the "
+        "merge is free at any corpus size: this is the resume path that "
+        "lets corpus stats skip already-committed partitions.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

@@ -1,0 +1,167 @@
+"""Mergeable per-partition metric states — incremental aggregation.
+
+The north rule wants per-partition lineage + metrics with resume from the
+last committed partition. The validation side of that lives in runner.py
+(checkpoint/resume of EVRs); this module is the *metric* side: algebraic
+aggregation states that can be computed per partition, persisted, and
+merged — so corpus-level column stats over 10^12 docs never rescan
+partitions that already committed a state. (Deequ calls these metric
+"states"; the reference GX has no analog — it recomputes from scratch.)
+
+State per (state_key, column):  n, n_null, s (=Σx), mean, m2, mn, mx
+— with m2 the centered second moment n·var_pop, merged exactly with the
+generalized Chan/Welford identity, evaluated in ONE aggregation pass via
+
+    N  = Σ n_i,   S = Σ s_i,   mean = S / N,
+    M2 = Σ m2_i + Σ (s_i² / n_i) − S² / N
+
+(the cross-partition correction term folded into sums, so no second pass
+and no window). Carrying mean_i and m2_i instead of raw Σx² keeps the
+merge numerically stable when |mean| ≫ σ — the regime where a naive
+sum-of-squares cancels catastrophically at 10^12 rows.
+
+An optional HLL sketch column (pyspark 4 hll_sketch_agg/hll_union_agg)
+rides along for mergeable approximate distinct counts; it is excluded
+from exact-oracle comparisons and tested against exact distinct within
+the sketch's rsd in pytest.
+
+Scale: column_states is one groupBy(state_key) with map-side combine
+over a pruned scan (only the profiled columns are read); states frames
+are dimension-sized (#partitions × #columns rows), so merge_states and
+persistence are free at any corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pyspark >= 3.5
+    from pyspark.sql.functions import hll_sketch_agg, hll_union_agg  # noqa: F401
+
+    _HAS_HLL = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAS_HLL = False
+
+STATE_FIELDS = ["n", "n_null", "s", "mean", "m2", "mn", "mx"]
+
+
+def column_states(
+    df: DataFrame,
+    columns: Sequence[str],
+    state_key: str | None = None,
+    include_hll: bool = False,
+) -> DataFrame:
+    """Aggregation states per (state_key, column), long format.
+
+    ``state_key`` is any Spark SQL expression naming the commit unit —
+    an Iceberg partition value, a date bucket, ``pmod(hash(id), k)``;
+    default ``spark_partition_id()`` (one state per input split).
+    Columns must be numeric (cast to double).
+
+    One wide groupBy computes every column's aggregates in a single
+    shuffle; the melt to long format runs on the dimension-sized result.
+    """
+    if not columns:
+        raise ValueError("column_states needs at least one column")
+    key = F.expr(state_key) if state_key else F.spark_partition_id()
+    aggs = []
+    for c in columns:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"__n_{c}"),
+            F.sum(F.when(x.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.sum(x).alias(f"__s_{c}"),
+            F.avg(x).alias(f"__mean_{c}"),
+            (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
+            F.min(x).alias(f"__mn_{c}"),
+            F.max(x).alias(f"__mx_{c}"),
+        ]
+        if include_hll:
+            if not _HAS_HLL:
+                raise RuntimeError("include_hll needs pyspark >= 3.5")
+            # sketch input must be int/bigint/string/binary; the string
+            # rendering preserves distinct identity for any numeric type
+            aggs.append(hll_sketch_agg(F.col(c).cast("string")).alias(f"__hll_{c}"))
+    wide = df.groupBy(key.alias("state_key")).agg(*aggs)
+    stack_args = []
+    per_col = 1 + len(STATE_FIELDS) + (1 if include_hll else 0)
+    for c in columns:
+        stack_args.append(F.lit(c))
+        stack_args += [F.col(f"__{f}_{c}") for f in ["n", "nn", "s", "mean", "m2", "mn", "mx"]]
+        if include_hll:
+            stack_args.append(F.col(f"__hll_{c}"))
+    out_cols = ["column"] + STATE_FIELDS + (["hll"] if include_hll else [])
+    melted = wide.select(
+        "state_key",
+        F.stack(F.lit(len(columns)), *stack_args).alias(*out_cols),
+    )
+    # an all-null column in a partition has n=0 and NULL m2 (var_pop of
+    # nothing); normalize so merges stay pure sums
+    return melted.withColumn(
+        "m2", F.when(F.col("n") > 0, F.col("m2")).otherwise(F.lit(0.0))
+    ).withColumn("s", F.coalesce("s", F.lit(0.0)))
+
+
+def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
+    """Fold states into the corpus-level profile, exactly.
+
+    Returns (column, n, n_null, mean, stddev_samp, variance_samp, mn, mx)
+    — bit-for-bit the same statistics a full rescan would produce (up to
+    float rounding at ``round_to`` decimals). One aggregation, no window,
+    no second pass: the Chan correction term Σ s_i²/n_i is summed inline.
+    """
+    has_hll = "hll" in states.columns
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("s").alias("_S"),
+        F.sum("m2").alias("_m2"),
+        F.sum(
+            F.when(F.col("n") > 0, F.col("s") * F.col("s") / F.col("n")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("_ssn"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+    if has_hll:
+        aggs.append(hll_union_agg("hll").alias("_hll"))
+    g = states.groupBy("column").agg(*aggs)
+    n = F.col("n").cast("double")
+    mean = F.when(F.col("n") > 0, F.col("_S") / n)
+    m2_total = F.col("_m2") + F.col("_ssn") - (F.col("_S") * F.col("_S")) / n
+    var_samp = F.when(F.col("n") > 1, F.greatest(m2_total, F.lit(0.0)) / (n - 1))
+    out = g.select(
+        "column",
+        "n",
+        "n_null",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(var_samp), round_to).alias("stddev_samp"),
+        F.round(var_samp, round_to).alias("variance_samp"),
+        "mn",
+        "mx",
+        *(
+            [F.expr("hll_sketch_estimate(_hll)").alias("approx_distinct")]
+            if has_hll
+            else []
+        ),
+    )
+    return out
+
+
+def update_states(
+    existing: DataFrame, new_data: DataFrame, columns: Sequence[str], state_key: str
+) -> DataFrame:
+    """Incremental refresh: states for ``new_data`` unioned onto the
+    persisted ``existing`` states after dropping any state_keys being
+    recommitted (last-write-wins per commit unit, matching the runner's
+    per-partition resume contract). Only the new partitions are scanned.
+    """
+    include_hll = "hll" in existing.columns
+    fresh = column_states(new_data, columns, state_key, include_hll=include_hll)
+    keys = fresh.select("state_key").distinct()
+    kept = existing.join(keys, "state_key", "left_anti")
+    return kept.unionByName(fresh)

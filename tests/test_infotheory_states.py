@@ -1,0 +1,316 @@
+"""Information-theory profile + Benford + mergeable metric states."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import infotheory as it
+from sparkcheck import states as st
+
+
+# ---------------------------------------------------------------------------
+# entropy
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_uniform_is_ln_k(spark):
+    df = spark.createDataFrame([(i % 4,) for i in range(400)], "x int")
+    row = it.entropy_profile(df, ["x"]).collect()[0]
+    assert row["n"] == 400
+    assert row["distinct_values"] == 4
+    assert row["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert row["normalized_entropy"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_entropy_constant_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,)], "x string"
+    )
+    row = it.entropy_profile(df, ["x"]).collect()[0]
+    assert row["n"] == 3  # nulls excluded
+    assert row["entropy"] == 0.0
+    assert row["normalized_entropy"] == 0.0  # single value: defined as 0
+
+
+def test_entropy_multi_column_one_pass(spark):
+    df = spark.createDataFrame(
+        [(i % 2, i % 8) for i in range(80)], "a int, b int"
+    )
+    rows = {r["column"]: r for r in it.entropy_profile(df, ["a", "b"]).collect()}
+    assert rows["a"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert rows["b"]["entropy"] == pytest.approx(math.log(8), abs=1e-6)
+
+
+def test_entropy_empty_columns_raises(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        it.entropy_profile(df, [])
+
+
+# ---------------------------------------------------------------------------
+# mutual information
+# ---------------------------------------------------------------------------
+
+
+def test_mi_of_identical_column_is_entropy(spark):
+    df = spark.createDataFrame([(i % 3, i % 3) for i in range(300)], "a int, b int")
+    row = it.mutual_information(df, "a", "b").collect()[0]
+    assert row["mi"] == pytest.approx(math.log(3), abs=1e-6)
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert row["pair_cardinality"] == 3
+
+
+def test_mi_independent_is_zero(spark):
+    # full factorial design: exactly independent marginals
+    df = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(5) for _ in range(3)],
+        "a int, b int",
+    )
+    row = it.mutual_information(df, "a", "b").collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert row["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mi_constant_side_nmi_zero(spark):
+    df = spark.createDataFrame([(1, i % 3) for i in range(30)], "a int, b int")
+    row = it.mutual_information(df, "a", "b").collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert row["nmi"] == 0.0  # H(a) = 0 -> defined as 0, not NaN
+
+
+def test_mi_null_rows_excluded_and_cap(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, None), (None, 2), (2, 2)], "a int, b int"
+    )
+    row = it.mutual_information(df, "a", "b").collect()[0]
+    assert row["n"] == 2  # only both-present rows
+    with pytest.raises(ValueError, match="max_groups"):
+        it.mutual_information(df, "a", "b", max_groups=1)
+
+
+# ---------------------------------------------------------------------------
+# Benford
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_edges(spark):
+    # sub-1 values, scientific-notation renderings, power-of-ten boundary
+    df = spark.createDataFrame(
+        [(0.00123,), (1000.0,), (9.99,), (0.5,), (2e-7,), (-5.0,), (0.0,), (None,)],
+        "x double",
+    )
+    rows = it.benford_profile(df, "x").collect()
+    by_digit = {r["digit"]: r["n"] for r in rows}
+    assert len(rows) == 9  # all digits present even with zero counts
+    assert by_digit[1] == 2  # 0.00123 and 1000.0
+    assert by_digit[9] == 1
+    assert by_digit[5] == 1
+    assert by_digit[2] == 1  # 2e-7
+    assert sum(by_digit.values()) == 5  # <=0 and NULL excluded
+
+
+def test_benford_perfect_conformity(spark):
+    # counts proportional to Benford give chisq ~ 0 and mad ~ 0
+    n = 10_000
+    data = []
+    for d in range(1, 10):
+        data += [(float(d),)] * round(n * it.BENFORD_P[d])
+    df = spark.createDataFrame(data, "x double")
+    rows = it.benford_profile(df, "x").collect()
+    assert rows[0]["mad"] < 1e-4
+    assert rows[0]["chisq"] < 1.0
+    for r in rows:
+        assert r["observed_p"] == pytest.approx(r["expected_p"], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# mergeable states
+# ---------------------------------------------------------------------------
+
+
+def _direct_profile(df, col):
+    return df.agg(
+        F.count(col).alias("n"),
+        F.avg(col).alias("mean"),
+        F.stddev_samp(col).alias("std"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).collect()[0]
+
+
+def test_merge_equals_full_rescan(spark):
+    df = spark.createDataFrame(
+        [(i % 7, 1000.0 + (i * 37 % 101) * 0.25) for i in range(5000)],
+        "k int, v double",
+    )
+    states = st.column_states(df, ["v"], state_key="k")
+    assert states.count() == 7
+    merged = st.merge_states(states, round_to=6).collect()[0]
+    direct = _direct_profile(df, "v")
+    assert merged["n"] == direct["n"]
+    assert merged["mean"] == pytest.approx(direct["mean"], abs=1e-6)
+    assert merged["stddev_samp"] == pytest.approx(direct["std"], abs=1e-6)
+    assert merged["mn"] == direct["mn"] and merged["mx"] == direct["mx"]
+
+
+def test_merge_is_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * i % 997)) for i in range(3000)], "i long, v double"
+    )
+    a = st.merge_states(st.column_states(df, ["v"], "pmod(i, 3)")).collect()[0]
+    b = st.merge_states(st.column_states(df, ["v"], "pmod(i, 17)")).collect()[0]
+    assert a == b
+
+
+def test_states_nulls_and_all_null_partition(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, None), (1, None), (1, None)], "k int, v double"
+    )
+    states = st.column_states(df, ["v"], state_key="k")
+    rows = {r["state_key"]: r for r in states.collect()}
+    assert rows[1]["n"] == 0 and rows[1]["n_null"] == 2
+    assert rows[1]["m2"] == 0.0 and rows[1]["s"] == 0.0  # merge-safe zeros
+    merged = st.merge_states(states).collect()[0]
+    assert merged["n"] == 1 and merged["n_null"] == 3
+    assert merged["mean"] == 1.0
+    assert merged["stddev_samp"] is None  # n <= 1: undefined, not 0
+
+
+def test_update_states_incremental_and_recommit(spark, tmp_path):
+    full = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(400)], "k int, v double"
+    )
+    old = st.column_states(full.where("k < 3"), ["v"], "k")
+    path = str(tmp_path / "states.parquet")
+    old.write.parquet(path)  # persistence round-trip, the resume story
+    persisted = spark.read.parquet(path)
+    # commit partition 3 AND recommit partition 2 (last-write-wins)
+    delta = full.where("k >= 2")
+    refreshed = st.update_states(persisted, delta, ["v"], "k")
+    assert refreshed.count() == 4  # k=2 replaced, not duplicated
+    merged = st.merge_states(refreshed).collect()[0]
+    direct = _direct_profile(full, "v")
+    assert merged["n"] == direct["n"]
+    assert merged["mean"] == pytest.approx(direct["mean"], abs=1e-6)
+    assert merged["stddev_samp"] == pytest.approx(direct["std"], abs=1e-6)
+
+
+def test_states_hll_distinct_within_tolerance(spark):
+    if not st._HAS_HLL:
+        pytest.skip("pyspark without hll_sketch_agg")
+    df = spark.createDataFrame([(i % 5, float(i % 1000)) for i in range(5000)], "k int, v double")
+    states = st.column_states(df, ["v"], "k", include_hll=True)
+    merged = st.merge_states(states).collect()[0]
+    assert merged["approx_distinct"] == pytest.approx(1000, rel=0.05)
+
+
+def test_states_default_key_is_partition_id(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v")).repartition(4)
+    states = st.column_states(df, ["v"])
+    assert states.select("state_key").distinct().count() <= 4
+    merged = st.merge_states(states).collect()[0]
+    assert merged["n"] == 100 and merged["mean"] == pytest.approx(49.5)
+
+
+# ---------------------------------------------------------------------------
+# suite-level expectations
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_expectation_in_suite(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame([(i % 4, float(i)) for i in range(200)], "k int, v double")
+    s = ExpectationSuite("info")
+    s.add("expect_column_entropy_to_be_between", column="k",
+          min_value=1.38, max_value=1.39)  # ln 4 = 1.3863
+    s.add("expect_column_entropy_to_be_between", column="k", normalized=True,
+          min_value=0.999, max_value=1.0)
+    r = validate_df(df, s, result_format="SUMMARY")
+    assert r["success"], r
+    assert r["results"][0]["result"]["observed_value"] == pytest.approx(
+        math.log(4), abs=1e-9
+    )
+
+
+def test_mi_expectation_bounds_and_row_condition(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 3, i % 2) for i in range(300)], "a int, b int, g int"
+    )
+    s = ExpectationSuite("mi")
+    s.add("expect_column_pair_mutual_information_to_be_between",
+          column_A="a", column_B="b", normalized=True, min_value=0.99)
+    s.add("expect_column_pair_mutual_information_to_be_between",
+          column_A="a", column_B="g", max_value=0.01,
+          row_condition="g = 0", condition_parser="spark")
+    r = validate_df(df, s, result_format="SUMMARY")
+    assert all(e["success"] for e in r["results"]), r
+
+
+def test_benford_expectation_pass_fail_and_empty(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    n = 2000
+    data = []
+    for d in range(1, 10):
+        data += [(float(d) * 10,)] * round(n * it.BENFORD_P[d])
+    conforming = spark.createDataFrame(data, "x double")
+    s = ExpectationSuite("benford")
+    s.add("expect_column_benford_mad_to_be_less_than", column="x", threshold=0.006)
+    r = validate_df(conforming, s, result_format="SUMMARY")
+    assert r["success"]
+    assert "digit_counts" in r["results"][0]["result"]["details"]
+
+    uniform = spark.createDataFrame([(float(d),) for d in range(1, 10)] * 100, "x double")
+    s2 = ExpectationSuite("benford2")
+    s2.add("expect_column_benford_mad_to_be_less_than", column="x", threshold=0.015)
+    assert not validate_df(uniform, s2)["success"]
+
+    empty = spark.createDataFrame([(-1.0,), (None,)], "x double")
+    s3 = ExpectationSuite("benford3")
+    s3.add("expect_column_benford_mad_to_be_less_than", column="x")
+    r3 = validate_df(empty, s3, result_format="SUMMARY")
+    assert r3["success"]  # vacuous: no in-domain values
+    assert r3["results"][0]["result"]["observed_value"] is None
+
+
+# ---------------------------------------------------------------------------
+# information gain
+# ---------------------------------------------------------------------------
+
+
+def test_information_gain_leak_and_noise(spark):
+    # f_leak IS the label; f_noise is independent; f_half determines the
+    # label partially
+    rows = [(i % 4, i % 4, i % 5, (i % 4) // 2) for i in range(400)]
+    df = spark.createDataFrame(rows, "label int, f_leak int, f_noise int, f_half int")
+    out = {r["feature"]: r for r in it.information_gain(
+        df, "label", ["f_leak", "f_noise", "f_half"]).collect()}
+    assert out["f_leak"]["gain"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out["f_leak"]["gain_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert out["f_noise"]["gain"] == pytest.approx(0.0, abs=1e-9)
+    # f_half reveals one of two bits: half the label entropy
+    assert out["f_half"]["gain"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["f_half"]["gain_ratio"] == pytest.approx(0.5, abs=1e-6)
+    assert all(r["label_entropy"] == pytest.approx(math.log(4), abs=1e-6)
+               for r in out.values())
+
+
+def test_information_gain_constant_label_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, None), (None, 3)], "label int, f int"
+    )
+    row = it.information_gain(df, "label", ["f"]).collect()[0]
+    assert row["n"] == 2  # null label + null feature rows excluded
+    assert row["label_entropy"] == 0.0 and row["gain_ratio"] == 0.0
+
+
+def test_information_gain_cap_and_empty(spark):
+    df = spark.createDataFrame([(i % 2, i) for i in range(100)], "label int, f int")
+    with pytest.raises(ValueError, match="max_groups"):
+        it.information_gain(df, "label", ["f"], max_groups=10)
+    with pytest.raises(ValueError):
+        it.information_gain(df, "label", [])
