@@ -2805,7 +2805,7 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) - count(l_quantity))::BIGINT AS n_null, "
             "round(avg(l_quantity), 5) AS mean, "
             "round(stddev_samp(l_quantity), 5) AS stddev_samp, "
-            "round(var_samp(l_quantity), 2) AS variance_samp, "
+            "round(round(var_samp(l_quantity), 5), 2) AS variance_samp, "
             "min(l_quantity)::DOUBLE AS mn, max(l_quantity)::DOUBLE AS mx "
             "FROM lineitem "
             "UNION ALL "
@@ -2813,14 +2813,14 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) - count(l_extendedprice))::BIGINT, "
             "round(avg(l_extendedprice), 5), "
             "round(stddev_samp(l_extendedprice), 5), "
-            "round(var_samp(l_extendedprice), 2), "
+            "round(round(var_samp(l_extendedprice), 5), 2), "
             "min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE "
             "FROM lineitem "
             "UNION ALL "
             "SELECT 'l_discount', count(l_discount)::BIGINT, "
             "(count(*) - count(l_discount))::BIGINT, "
             "round(avg(l_discount), 5), round(stddev_samp(l_discount), 5), "
-            "round(var_samp(l_discount), 2), "
+            "round(round(var_samp(l_discount), 5), 2), "
             "min(l_discount)::DOUBLE, max(l_discount)::DOUBLE FROM lineitem"
         ),
 

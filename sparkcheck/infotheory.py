@@ -37,6 +37,18 @@ from pyspark.sql import functions as F
 # unbounded-cardinality pair would silently materialize the pair frame.
 MI_MAX_GROUPS = 10_000
 
+_FLOATY = ("float", "double")
+
+
+def _clean_str(df: DataFrame, c: str) -> Column:
+    """Column as a string category with NaN ≡ NULL on float columns (the
+    codebase-wide pandas-parity rule, conditions.py) — so the profile
+    functions agree with the registered column.entropy metric."""
+    col = F.col(c)
+    if dict(df.dtypes).get(c) in _FLOATY:
+        col = F.when(~F.isnan(col), col)
+    return col.cast("string")
+
 
 def entropy_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Shannon entropy (nats) per column, one shuffle for all columns.
@@ -53,7 +65,7 @@ def entropy_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         raise ValueError("entropy_profile needs at least one column")
     pairs = []
     for c in columns:
-        pairs.extend([F.lit(c), F.col(c).cast("string")])
+        pairs.extend([F.lit(c), _clean_str(df, c)])
     melted = df.select(
         F.stack(F.lit(len(columns)), *pairs).alias("column", "value")
     ).where(F.col("value").isNotNull())
@@ -63,7 +75,20 @@ def entropy_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.count("*").alias("distinct_values"),
         F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
     )
-    h = F.log(F.col("n")) - F.col("_clnc") / F.col("n")
+    # every requested column appears in the output, even all-null ones
+    # (n=0, entropy NULL — "no data" is not "zero entropy")
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column string"
+    )
+    prof = spine.join(prof, "column", "left").select(
+        "column",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("distinct_values", F.lit(0)).alias("distinct_values"),
+        "_clnc",
+    )
+    h = F.when(
+        F.col("n") > 0, F.log(F.col("n")) - F.col("_clnc") / F.col("n")
+    )
     return prof.select(
         "column",
         "n",
@@ -71,7 +96,7 @@ def entropy_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.round(h, 6).alias("entropy"),
         F.round(
             F.when(F.col("distinct_values") > 1, h / F.log(F.col("distinct_values")))
-            .otherwise(F.lit(0.0)),
+            .when(F.col("n") > 0, F.lit(0.0)),
             6,
         ).alias("normalized_entropy"),
     )
@@ -92,14 +117,18 @@ def mutual_information(
     over the joint-count frame (cardinality capped at max_groups, same
     guard + error contract as stats.crosstab).
     """
-    a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
+    a, b = _clean_str(df, col_a), _clean_str(df, col_b)
     joint = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("a"), b.alias("b"))
         .agg(F.count("*").alias("c"))
     )
+    # persist the (capped-size) joint frame so the guard count and the
+    # MI job share ONE shuffle over the data instead of recomputing it
+    joint = joint.persist()
     card = joint.limit(max_groups + 1).count()
     if card > max_groups:
+        joint.unpersist()
         raise ValueError(
             f"mutual_information({col_a}, {col_b}) exceeds "
             f"max_groups={max_groups} distinct pairs; pre-bin a numeric "
@@ -165,7 +194,15 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
     Plan: one groupBy(digit) over the filtered scan, right-joined to a
     9-row literal spine; the statistics are windows over 9 rows.
     """
-    pos = df.where(F.col(column).isNotNull() & (F.col(column) > 0))
+    in_dom = F.col(column).isNotNull() & (F.col(column) > 0)
+    if dict(df.dtypes).get(column) in _FLOATY:
+        # NaN satisfies `> 0` in Spark and Infinity renders without a
+        # digit — both would silently vanish at the spine join; exclude
+        # them from the domain explicitly
+        in_dom = in_dom & ~F.isnan(F.col(column)) & (
+            F.col(column) != F.lit(float("inf"))
+        )
+    pos = df.where(in_dom)
     counts = pos.groupBy(_first_digit(F.col(column)).alias("digit")).agg(
         F.count("*").alias("n")
     )
@@ -226,20 +263,24 @@ def information_gain(
     """
     if not features:
         raise ValueError("information_gain needs at least one feature")
-    lab = F.col(label).cast("string")
+    lab = _clean_str(df, label)
     pairs = []
     for c in features:
-        pairs.extend([F.lit(c), F.col(c).cast("string")])
+        pairs.extend([F.lit(c), _clean_str(df, c)])
     melted = df.where(lab.isNotNull()).select(
         F.stack(F.lit(len(features)), *pairs).alias("feature", "value"),
         lab.alias("label"),
     ).where(F.col("value").isNotNull())
     joint = melted.groupBy("feature", "value", "label").agg(F.count("*").alias("c"))
+    # one shuffle total: the guard job materializes the persisted joint
+    # frame and the MI job reuses it
+    joint = joint.persist()
     over = joint.groupBy("feature").agg(F.count("*").alias("k")).where(
         F.col("k") > max_groups
     )
     bad = [r["feature"] for r in over.collect()]
     if bad:
+        joint.unpersist()
         raise ValueError(
             f"information_gain: features {bad} exceed max_groups={max_groups} "
             "distinct (value, label) pairs; pre-bin numeric features or raise "
@@ -263,13 +304,19 @@ def information_gain(
         F.sum(mi_term).alias("_mi"),
         F.sum(hl_term).alias("_hl"),
     )
+    # every requested feature appears, even all-null ones (n=0, NULL gain)
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in features], "feature string"
+    )
+    agg = spine.join(agg, "feature", "left")
     return agg.select(
         "feature",
-        "n",
+        F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.col("_hl"), 6).alias("label_entropy"),
         F.round(F.col("_mi"), 6).alias("gain"),
         F.round(
-            F.when(F.col("_hl") > 0, F.col("_mi") / F.col("_hl")).otherwise(F.lit(0.0)),
+            F.when(F.col("_hl") > 0, F.col("_mi") / F.col("_hl"))
+            .when(F.col("n").isNotNull(), F.lit(0.0)),
             6,
         ).alias("gain_ratio"),
     )
@@ -323,7 +370,8 @@ def _mi_metric(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
     row = mutual_information(
         ddf, d.column_a, d.column_b, max_groups=int(cfg.kw("max_groups", MI_MAX_GROUPS))
     ).collect()[0]
-    if row["n"] == 0:
+    # an empty joint frame aggregates n to NULL, not 0 — `not` covers both
+    if not row["n"]:
         return None
     return row["nmi"] if cfg.kw("normalized", False) else row["mi"]
 

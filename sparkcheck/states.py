@@ -93,6 +93,7 @@ def column_states(
         stack_args += [F.col(f"__{f}_{c}") for f in ["n", "nn", "s", "mean", "m2", "mn", "mx"]]
         if include_hll:
             stack_args.append(F.col(f"__hll_{c}"))
+    assert len(stack_args) == per_col * len(columns)
     out_cols = ["column"] + STATE_FIELDS + (["hll"] if include_hll else [])
     melted = wide.select(
         "state_key",
@@ -114,6 +115,12 @@ def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
     no second pass: the Chan correction term Σ s_i²/n_i is summed inline.
     """
     has_hll = "hll" in states.columns
+    if has_hll and not _HAS_HLL:
+        raise RuntimeError(
+            "these states carry HLL sketches but this pyspark lacks "
+            "hll_union_agg (needs >= 3.5); drop the 'hll' column to merge "
+            "without distinct counts"
+        )
     aggs = [
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
@@ -161,6 +168,16 @@ def update_states(
     per-partition resume contract). Only the new partitions are scanned.
     """
     include_hll = "hll" in existing.columns
+    # the persisted states must cover exactly the requested columns —
+    # otherwise kept partitions silently contribute nothing to a new
+    # column and its "corpus" stats would cover only the delta
+    existing_cols = {r["column"] for r in existing.select("column").distinct().collect()}
+    if existing_cols != set(columns):
+        raise ValueError(
+            f"update_states: persisted states cover {sorted(existing_cols)} "
+            f"but {sorted(columns)} was requested; recompute states from "
+            "scratch when the profiled column set changes"
+        )
     fresh = column_states(new_data, columns, state_key, include_hll=include_hll)
     keys = fresh.select("state_key").distinct()
     kept = existing.join(keys, "state_key", "left_anti")

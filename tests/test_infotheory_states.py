@@ -314,3 +314,69 @@ def test_information_gain_cap_and_empty(spark):
         it.information_gain(df, "label", ["f"], max_groups=10)
     with pytest.raises(ValueError):
         it.information_gain(df, "label", [])
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_nan_is_null_and_all_null_column_present(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (1.0, None), (float("nan"), None), (float("nan"), None)],
+        "x double, y double",
+    )
+    rows = {r["column"]: r for r in it.entropy_profile(df, ["x", "y"]).collect()}
+    # NaN ≡ NULL: only the two 1.0 rows are in-domain -> constant column
+    assert rows["x"]["n"] == 2 and rows["x"]["entropy"] == 0.0
+    # all-null column still appears, with no-data (not zero-entropy) marks
+    assert rows["y"]["n"] == 0 and rows["y"]["distinct_values"] == 0
+    assert rows["y"]["entropy"] is None and rows["y"]["normalized_entropy"] is None
+
+
+def test_mi_nan_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2), (2.0, 2)], "a double, b int"
+    )
+    row = it.mutual_information(df, "a", "b").collect()[0]
+    assert row["n"] == 2  # NaN row out of domain
+
+
+def test_mi_expectation_all_null_side_is_vacuous(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame([(None, 1), (None, 2)], "a int, b int")
+    s = ExpectationSuite("mi_empty")
+    s.add("expect_column_pair_mutual_information_to_be_between",
+          column_A="a", column_B="b", normalized=True, max_value=0.1)
+    r = validate_df(df, s, result_format="SUMMARY")
+    # empty joint domain -> observed None -> between(None) fails (explicit,
+    # not a spurious 0.0 pass)
+    assert not r["results"][0]["success"]
+    assert r["results"][0]["result"]["observed_value"] is None
+
+
+def test_benford_nan_and_inf_excluded(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (float("inf"),), (9.0,)], "x double"
+    )
+    rows = it.benford_profile(df, "x").collect()
+    assert sum(r["n"] for r in rows) == 2  # NaN/inf out of domain
+    assert {r["digit"]: r["n"] for r in rows}[1] == 1
+
+
+def test_information_gain_all_null_feature_present(spark):
+    df = spark.createDataFrame(
+        [(i % 2, i % 3, None) for i in range(60)],
+        "label int, f int, dead int",
+    )
+    out = {r["feature"]: r for r in it.information_gain(df, "label", ["f", "dead"]).collect()}
+    assert out["dead"]["n"] == 0 and out["dead"]["gain"] is None
+    assert out["f"]["n"] == 60
+
+
+def test_update_states_column_mismatch_raises(spark):
+    df = spark.createDataFrame([(0, 1.0, 2.0)], "k int, v double, w double")
+    old = st.column_states(df, ["v"], "k")
+    with pytest.raises(ValueError, match="column set"):
+        st.update_states(old, df, ["v", "w"], "k")
