@@ -2,7 +2,6 @@
 the properties worth checking (pushdown, pruning, broadcast, codegen spans,
 fused aggregates)."""
 import io
-import re
 import sys
 from contextlib import redirect_stdout
 
@@ -16,10 +15,7 @@ def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    s = buf.getvalue()
-    # trim the field-list noise after each operator block
-    s = re.sub(r"\n\n\(\d+\) .*?(?=$)", "", s, flags=re.S) if False else s
-    return s.strip()
+    return buf.getvalue().strip()
 
 def main():
     spark = (SparkSession.builder.master("local[4]")

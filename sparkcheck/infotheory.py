@@ -159,7 +159,7 @@ def mutual_information(
         F.count("*").alias("pair_cardinality"),
     )
     denom = F.sqrt(F.col("_ha") * F.col("_hb"))
-    return agg.select(
+    result = agg.select(
         F.lit(col_a).alias("column_a"),
         F.lit(col_b).alias("column_b"),
         "n",
@@ -169,6 +169,12 @@ def mutual_information(
             F.when(denom > 0, F.col("_mi") / denom).otherwise(F.lit(0.0)), 6
         ).alias("nmi"),
     )
+    # materialize the 1-row result, then release the cached joint frame —
+    # a long-lived session profiling many pairs must not accumulate
+    # storage memory (same persist/unpersist discipline as dedup.py)
+    rows = result.collect()
+    joint.unpersist()
+    return df.sparkSession.createDataFrame(rows, result.schema)
 
 
 #: Benford expected first-digit proportions, log10(1 + 1/d).
@@ -309,7 +315,7 @@ def information_gain(
         [(c,) for c in features], "feature string"
     )
     agg = spine.join(agg, "feature", "left")
-    return agg.select(
+    result = agg.select(
         "feature",
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.col("_hl"), 6).alias("label_entropy"),
@@ -320,6 +326,11 @@ def information_gain(
             6,
         ).alias("gain_ratio"),
     )
+    # materialize the #features-row result, then release the cache (see
+    # mutual_information) — callers get a local frame, no leaked storage
+    rows = result.collect()
+    joint.unpersist()
+    return df.sparkSession.createDataFrame(rows, result.schema)
 
 
 # ---------------------------------------------------------------------------

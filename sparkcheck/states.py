@@ -10,15 +10,20 @@ partitions that already committed a state. (Deequ calls these metric
 
 State per (state_key, column):  n, n_null, s (=Σx), mean, m2, mn, mx
 — with m2 the centered second moment n·var_pop, merged exactly with the
-generalized Chan/Welford identity, evaluated in ONE aggregation pass via
+generalized Chan/Welford identity in its *stable* form:
 
     N  = Σ n_i,   S = Σ s_i,   mean = S / N,
-    M2 = Σ m2_i + Σ (s_i² / n_i) − S² / N
+    M2 = Σ m2_i + Σ n_i · (mean_i − mean)²
 
-(the cross-partition correction term folded into sums, so no second pass
-and no window). Carrying mean_i and m2_i instead of raw Σx² keeps the
-merge numerically stable when |mean| ≫ σ — the regime where a naive
-sum-of-squares cancels catastrophically at 10^12 rows.
+The grand mean is computed first (a window over the dimension-sized
+states frame — #partitions × #columns rows, so the second pass is free),
+then each partition's deviation term is folded. Every summand is
+non-negative, so the merge cannot cancel catastrophically when
+|mean| ≫ σ — the regime where the algebraically-equivalent
+Σ s_i²/n_i − S²/N form loses all significant digits at 10^12 rows.
+A residual tiny-negative M2 from float noise is clamped to 0; a
+negative beyond a relative epsilon indicates corrupt states (e.g. a
+double-counted partition) and raises instead of silently zeroing.
 
 An optional HLL sketch column (pyspark 4 hll_sketch_agg/hll_union_agg)
 rides along for mergeable approximate distinct counts; it is excluded
@@ -111,8 +116,15 @@ def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
 
     Returns (column, n, n_null, mean, stddev_samp, variance_samp, mn, mx)
     — bit-for-bit the same statistics a full rescan would produce (up to
-    float rounding at ``round_to`` decimals). One aggregation, no window,
-    no second pass: the Chan correction term Σ s_i²/n_i is summed inline.
+    float rounding at ``round_to`` decimals). Stable two-stage fold: the
+    grand mean per column is computed first (window over the
+    dimension-sized states frame — free at any corpus size), then
+    M2 = Σ m2_i + Σ n_i·(mean_i − mean)², every term non-negative, so
+    the result never cancels even when |mean| ≫ σ. Float noise can still
+    leave M2 a hair negative; it is clamped at 0 only within a relative
+    epsilon — a larger negative raises, because that means the states
+    themselves are inconsistent and a silent 0 stddev would violate the
+    merged == rescan contract.
     """
     has_hll = "hll" in states.columns
     if has_hll and not _HAS_HLL:
@@ -121,26 +133,58 @@ def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
             "hll_union_agg (needs >= 3.5); drop the 'hll' column to merge "
             "without distinct counts"
         )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column")
+    enriched = (
+        states.withColumn("_N", F.sum("n").over(w))
+        .withColumn("_Stot", F.sum("s").over(w))
+        .withColumn(
+            "_gmean",
+            F.when(F.col("_N") > 0, F.col("_Stot") / F.col("_N").cast("double")),
+        )
+    )
+    dev = F.when(
+        (F.col("n") > 0) & F.col("mean").isNotNull(),
+        F.col("n").cast("double")
+        * (F.col("mean") - F.col("_gmean"))
+        * (F.col("mean") - F.col("_gmean")),
+    ).otherwise(F.lit(0.0))
     aggs = [
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.sum("s").alias("_S"),
-        F.sum("m2").alias("_m2"),
-        F.sum(
-            F.when(F.col("n") > 0, F.col("s") * F.col("s") / F.col("n")).otherwise(
-                F.lit(0.0)
-            )
-        ).alias("_ssn"),
+        (F.sum("m2") + F.sum(dev)).alias("_m2_total"),
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
     ]
     if has_hll:
         aggs.append(hll_union_agg("hll").alias("_hll"))
-    g = states.groupBy("column").agg(*aggs)
+    g = enriched.groupBy("column").agg(*aggs)
     n = F.col("n").cast("double")
     mean = F.when(F.col("n") > 0, F.col("_S") / n)
-    m2_total = F.col("_m2") + F.col("_ssn") - (F.col("_S") * F.col("_S")) / n
-    var_samp = F.when(F.col("n") > 1, F.greatest(m2_total, F.lit(0.0)) / (n - 1))
+    # clamp only float dust: anything more negative than eps·scale means
+    # the states are corrupt (e.g. hand-edited or double-counted)
+    m2_raw = F.col("_m2_total")
+    scale = F.greatest(F.abs(F.col("_S")) * F.abs(F.col("_S")) / F.greatest(n, F.lit(1.0)), F.lit(1.0))
+    m2_total = F.when(
+        m2_raw >= 0, m2_raw
+    ).otherwise(
+        F.when(
+            m2_raw > -1e-9 * scale, F.lit(0.0)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_states: negative M2 beyond float tolerance for column "),
+                    F.col("column"),
+                    F.lit(" — inconsistent states (m2="),
+                    m2_raw.cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("double")
+        )
+    )
+    var_samp = F.when(F.col("n") > 1, m2_total / (n - 1))
     out = g.select(
         "column",
         "n",
@@ -179,6 +223,11 @@ def update_states(
             "scratch when the profiled column set changes"
         )
     fresh = column_states(new_data, columns, state_key, include_hll=include_hll)
-    keys = fresh.select("state_key").distinct()
-    kept = existing.join(keys, "state_key", "left_anti")
+    keys = fresh.select(F.col("state_key").alias("__new_key")).distinct()
+    # null-safe anti-join: a NULL state_key (nullable partition column)
+    # must still be last-write-wins — a plain equi-join would keep the old
+    # NULL-keyed state AND add the new one, double-counting those rows
+    kept = existing.join(
+        keys, existing["state_key"].eqNullSafe(keys["__new_key"]), "left_anti"
+    )
     return kept.unionByName(fresh)

@@ -380,3 +380,71 @@ def test_update_states_column_mismatch_raises(spark):
     old = st.column_states(df, ["v"], "k")
     with pytest.raises(ValueError, match="column set"):
         st.update_states(old, df, ["v", "w"], "k")
+
+
+# ---------------------------------------------------------------------------
+# round-5 hardening: stable merge, NULL state_key, corrupt-state guard
+# ---------------------------------------------------------------------------
+
+
+def test_merge_stable_when_mean_dominates_sigma(spark):
+    # |mean| = 1e9, sigma ~ 0.5: the naive sum(s_i^2/n_i) - S^2/N form
+    # loses ALL variance digits here (terms ~4e21, ulp ~9e5 >> M2 ~1e3);
+    # the stable grand-mean fold must still match the analytic stddev
+    df = spark.createDataFrame(
+        [(i % 8, 1.0e9 + (i % 2)) for i in range(4000)], "k int, v double"
+    )
+    merged = st.merge_states(st.column_states(df, ["v"], "k")).collect()[0]
+    true_std = math.sqrt(4000 * 0.25 / 3999)  # half 0 / half 1 offsets
+    assert merged["stddev_samp"] == pytest.approx(true_std, abs=1e-4)
+    assert merged["mean"] == pytest.approx(1.0e9 + 0.5, abs=1e-3)
+
+
+def test_update_states_null_state_key_last_write_wins(spark):
+    # a nullable partition column: the NULL-keyed commit unit must be
+    # REPLACED on recommit, not kept and double-counted
+    old = spark.createDataFrame(
+        [(0, 1.0), (0, 3.0), (None, 100.0), (None, 200.0)], "k int, v double"
+    )
+    existing = st.column_states(old, ["v"], "k")
+    # recommit the NULL partition with different data
+    delta = spark.createDataFrame([(None, 50.0), (None, 70.0)], "k int, v double")
+    refreshed = st.update_states(existing, delta, ["v"], "k")
+    assert refreshed.count() == 2  # k=0 kept, NULL replaced (not 3 rows)
+    merged = st.merge_states(refreshed).collect()[0]
+    expected = old.where("k = 0").unionByName(delta)
+    direct = _direct_profile(expected, "v")
+    assert merged["n"] == direct["n"] == 4
+    assert merged["mean"] == pytest.approx(direct["mean"], abs=1e-6)
+    assert merged["stddev_samp"] == pytest.approx(direct["std"], abs=1e-6)
+
+
+def test_merge_states_corrupt_negative_m2_raises(spark):
+    from pyspark.errors import PySparkException
+
+    schema = "state_key int, column string, n long, n_null long, s double, mean double, m2 double, mn double, mx double"
+    bad = spark.createDataFrame(
+        [(0, "v", 10, 0, 50.0, 5.0, -100.0, 1.0, 9.0)], schema
+    )
+    with pytest.raises(PySparkException):
+        st.merge_states(bad).collect()
+    # float dust stays silent: clamps to zero variance
+    dust = spark.createDataFrame(
+        [(0, "v", 10, 0, 50.0, 5.0, -1e-12, 5.0, 5.0)], schema
+    )
+    row = st.merge_states(dust).collect()[0]
+    assert row["variance_samp"] == 0.0 and row["stddev_samp"] == 0.0
+
+
+def test_mi_and_gain_release_their_caches(spark):
+    # long-lived sessions profile many pairs; each call must unpersist
+    # its joint frame after materializing the dimension-sized result
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i % 3, i % 4, i % 2) for i in range(120)], "a int, b int, y int"
+    )
+    mi = it.mutual_information(df, "a", "b").collect()
+    ig = it.information_gain(df, "y", ["a", "b"]).collect()
+    assert len(mi) == 1 and len(ig) == 2
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
