@@ -740,7 +740,8 @@ def q_lsh_ann_topk(spark, sf):
 def q_ivf_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return similarity.ivf_topk(
-        e, e.where(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=4
+        e, e.where(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=4,
+        assign_impl="fold",  # oracle bit-replay; API default is the arrow gemm
     ).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rnk")
     )
@@ -1654,7 +1655,10 @@ def q_semantic_dedup(spark, sf):
     assignment (same argmax + tie-break as the IVF oracle), the
     within-cluster pairs, and the lowest-id keeper rule in SQL."""
     e = _t(spark, sf, "embeddings")
-    return similarity.semantic_dedup(e, threshold=0.35, n_centroids=16)
+    return similarity.semantic_dedup(
+        e, threshold=0.35, n_centroids=16,
+        assign_impl="fold",  # oracle bit-replay; API default is the arrow gemm
+    )
 
 
 def q_importance_resample(spark, sf):
@@ -1724,7 +1728,10 @@ def q_kmeans_refine(spark, sf):
     lowest-id tie-break, per-dimension round(avg,6) centroid update,
     empty clusters keeping their seed)."""
     e = _t(spark, sf, "embeddings")
-    _, assigned = similarity.kmeans(e, k=8, iters=2)
+    _, assigned = similarity.kmeans(
+        e, k=8, iters=2,
+        assign_impl="fold",  # oracle bit-replay; API default is the arrow gemm
+    )
     return assigned
 
 
@@ -1750,7 +1757,10 @@ def q_cluster_balanced_sample(spark, sf):
     oracle replays the centroid argmax and the per-cluster hash-rank
     quota."""
     e = _t(spark, sf, "embeddings")
-    kept = sampling.cluster_balanced_sample(e, cap=100, n_centroids=8)
+    kept = sampling.cluster_balanced_sample(
+        e, cap=100, n_centroids=8,
+        assign_impl="fold",  # oracle bit-replay; API default is the arrow gemm
+    )
     return kept.select("vec_id", "centroid_id")
 
 

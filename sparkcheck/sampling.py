@@ -551,6 +551,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "cbal",
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """Diversity-preserving subsample over an embedding column: assign
     every vector to its nearest deterministic IVF seed centroid
@@ -561,12 +562,16 @@ def cluster_balanced_sample(
     cheap version of the cluster-balanced selection step in
     SemDeDup/DCLM-style curation pipelines.
 
-    Deterministic end to end (seed centroids + literal-fold argmax +
+    Deterministic end to end (seed centroids + deterministic argmax +
     md5-order quotas), so the selection is reproducible at any
     parallelism and superset-stable as the corpus grows. Returns the
     surviving rows with their ``centroid_id``; the only wide exchange is
-    the quota's narrow (cluster, id, hash) triplet shuffle."""
+    the quota's narrow (cluster, id, hash) triplet shuffle.
+    ``assign_impl``: "arrow" (default) = mapInPandas gemm assignment,
+    "fold" = the Column fold that replays bit-identically in SQL."""
     from .similarity import ivf_assign  # local: sampling is import-light
 
-    _, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    _, assigned = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
+    )
     return per_group_cap(assigned, "centroid_id", cap, id_col, salt=salt)

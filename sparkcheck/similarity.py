@@ -730,7 +730,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str | None = None,
-    assign_impl: str = "fold",
+    assign_impl: str = "arrow",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Assign every vector to its nearest centroid. Returns
     (centroids list, assigned DataFrame(corpus + centroid_id)). One narrow
@@ -738,12 +738,15 @@ def ivf_assign(
     table re-clustered by centroid_id (the IVF index build).
 
     ``scorer`` is accepted for signature symmetry. ``assign_impl``
-    picks the argmax implementation: "fold" (default) is the
-    literal-fold form — bit-identical to the SQL oracle's replay, the
-    right choice wherever cross-engine reproducibility of the assignment
-    is part of the contract; "arrow" is the mapInPandas gemm
-    (_arrow_assign) — the scale path, ~ulp-equivalent (measured 2.2-3x
-    faster and better thread-scaling on the 200k-vector scaling leg)."""
+    picks the argmax implementation: "arrow" (default) is the
+    mapInPandas gemm (_arrow_assign) — the scale path, measured 2.2-3x
+    faster per core than the fold and better thread-scaling on the
+    200k-vector scaling leg; "fold" is the literal-fold Column form —
+    interpreted per row × k centroids, but bit-identical to the SQL
+    oracle's replay, the right choice wherever cross-engine
+    reproducibility of the assignment is part of the contract (the
+    __spark_entry__ gate queries pass it explicitly). A differential
+    test asserts the two agree on every assignment."""
     centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     narrow = corpus.select(F.col(id_col), F.col(vec_col))
     if assign_impl == "arrow":
@@ -770,14 +773,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str | None = None,
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """IVF-flat ANN: per query, score only vectors assigned to the n_probe
     nearest centroids — scans ~n_probe/n_centroids of the corpus. The probe
     list is a per-row top-n over the literal centroid array (sort_array +
     slice — no join, no shuffle); the only join is corpus-side
-    assigned ⋈ broadcast(probes)."""
+    assigned ⋈ broadcast(probes). ``assign_impl`` picks the corpus
+    assignment path (see ivf_assign; "fold" for oracle bit-replay)."""
     centroids, assigned = ivf_assign(
-        corpus, n_centroids, id_col, vec_col, scorer=scorer
+        corpus, n_centroids, id_col, vec_col, scorer=scorer,
+        assign_impl=assign_impl,
     )
     scored_structs = [
         F.struct(
@@ -884,7 +890,7 @@ def semantic_dedup(
     max_cluster: int | None = 100_000,
     scorer: str | None = None,
     pair_impl: str = "arrow",
-    assign_impl: str = "fold",
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (cf. Abbas et al. 2023): cluster the corpus (IVF assignment against
@@ -917,7 +923,7 @@ def semantic_dedup(
     )
     # the assignment feeds three consumers (the cap count, the pair
     # stage, the final kept join); localCheckpoint pins one materialized
-    # copy so the 16-fold interpreted argmax runs ONCE (same pattern as
+    # copy so the argmax (gemm or 16-fold) runs ONCE (same pattern as
     # lsh_near_duplicates' signature frame). The production analog is
     # ivf_assign's documented write-once/re-cluster step.
     assigned = assigned.localCheckpoint(eager=False)
@@ -1078,14 +1084,14 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-    assign_impl: str = "fold",
+    assign_impl: str = "arrow",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Lloyd k-means over an embedding column, refining the deterministic
     ``ivf_centroids`` seeds for ``iters`` rounds. Returns
     (final centroids, assignment DataFrame(id, centroid_id, c_cos)).
 
-    Shape per round: ONE narrow corpus scan for assignment (literal-fold
-    cosine argmax — zero shuffle, zero corpus replication) and one
+    Shape per round: ONE narrow corpus scan for assignment (cosine
+    argmax — zero shuffle, zero corpus replication) and one
     groupBy(centroid_id) with dim fused avg-aggregates (map-side combined;
     k*dim doubles cross to the driver, nothing else). The corpus is never
     collected, cached, or re-keyed; at 10^12 rows each round is exactly
@@ -1098,10 +1104,10 @@ def kmeans(
     assignment bit-identical across engines and cluster sizes (the same
     determinism contract as hash_fraction sampling). Cluster quality
     metrics (per-cluster counts / mean cosine) fall out of one extra
-    groupBy over the returned assignment. ``assign_impl="arrow"`` swaps
-    the literal-fold argmax for the mapInPandas gemm (_arrow_assign) —
-    the scale path; keep the default "fold" when the assignment must
-    replay bit-identically in another engine."""
+    groupBy over the returned assignment. ``assign_impl="arrow"``
+    (default) assigns with the mapInPandas gemm (_arrow_assign) — the
+    scale path; pass "fold" when the assignment must replay
+    bit-identically in another engine (the gate queries do)."""
     if assign_impl not in ("fold", "arrow"):
         raise ValueError(
             f"assign_impl must be 'fold' or 'arrow', got {assign_impl!r}"

@@ -255,13 +255,13 @@ def test_arrow_assignment_matches_fold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     from sparkcheck.similarity import ivf_assign
 
-    _, fold = ivf_assign(df, n_centroids=8)
+    _, fold = ivf_assign(df, n_centroids=8, assign_impl="fold")
     _, arrow = ivf_assign(df, n_centroids=8, assign_impl="arrow")
     f = {r["vec_id"]: r["centroid_id"] for r in fold.collect()}
     a = {r["vec_id"]: r["centroid_id"] for r in arrow.collect()}
     assert f == a
     # kmeans end-to-end too (2 refinement rounds + scored final pass)
-    _, kf = similarity.kmeans(df, k=4, iters=2)
+    _, kf = similarity.kmeans(df, k=4, iters=2, assign_impl="fold")
     _, ka = similarity.kmeans(df, k=4, iters=2, assign_impl="arrow")
     assert sorted(map(tuple, kf.collect())) == sorted(map(tuple, ka.collect()))
 
