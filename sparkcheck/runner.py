@@ -169,7 +169,70 @@ def store_validation_result(
         )
 
 
-def resolve_validation_urn(store: "ParquetStore", spark: SparkSession, urn: str):
+def _iter_evr_rows_desc(matches: DataFrame, page_size: int, stats: dict | None = None):
+    """Iterate a filtered evaluation-parameter frame newest-first in
+    bounded pages (keyset pagination on (ts, run_id) — no OFFSET, no
+    unbounded collect). A store holding years of history costs the
+    driver at most one page per probe; callers that find their match in
+    the newest page never touch the rest.
+
+    Rows within one run share (ts, run_id) — store_validation_results
+    stamps the batch once — so a page boundary can split a key group.
+    We truncate the page at the boundary key and re-fetch that key
+    exactly, which keeps the iteration exhaustive (nothing skipped,
+    nothing repeated) while every query stays bounded by
+    max(page_size, largest single-run group)."""
+    last: tuple | None = None
+    while True:
+        page_df = matches
+        if last is not None:
+            ts0, rid0 = last
+            page_df = page_df.where(
+                (F.col("ts") < F.lit(ts0))
+                | ((F.col("ts") == F.lit(ts0)) & (F.col("run_id") < F.lit(rid0)))
+            )
+        rows = (
+            page_df.orderBy(F.desc("ts"), F.desc("run_id"))
+            .limit(page_size)
+            .collect()
+        )
+        if stats is not None:
+            stats["pages"] = stats.get("pages", 0) + 1
+            stats["rows"] = stats.get("rows", 0) + len(rows)
+        if not rows:
+            return
+        if len(rows) < page_size:
+            yield from rows
+            return
+        bk = (rows[-1]["ts"], rows[-1]["run_id"])
+        head = [r for r in rows if (r["ts"], r["run_id"]) != bk]
+        if head:
+            # the boundary key group may continue past the page edge:
+            # yield only the complete groups and restart the next page
+            # just after the last yielded key, so group bk is re-fetched
+            # whole on the next iteration
+            yield from head
+            last = (head[-1]["ts"], head[-1]["run_id"])
+        else:
+            # the whole page is one key group: fetch it exactly (bounded
+            # by that run's row count) and advance past it
+            group = matches.where(
+                (F.col("ts") == F.lit(bk[0])) & (F.col("run_id") == F.lit(bk[1]))
+            ).collect()
+            if stats is not None:
+                stats["pages"] = stats.get("pages", 0) + 1
+                stats["rows"] = stats.get("rows", 0) + len(group)
+            yield from group
+            last = bk
+
+
+def resolve_validation_urn(
+    store: "ParquetStore",
+    spark: SparkSession,
+    urn: str,
+    page_size: int = 100,
+    _stats: dict | None = None,
+):
     """Resolve urn:great_expectations:validations:<suite>:<metric>[:<kwargs>]
     against the evaluation-parameter store.
 
@@ -201,20 +264,17 @@ def resolve_validation_urn(store: "ParquetStore", spark: SparkSession, urn: str)
         (F.col("suite_name") == suite) & (F.col("expectation") == expectation)
     )
     # push the kwargs filter into the store query so a match older than the
-    # newest page is still found (the limit used to run BEFORE the filter);
-    # JSON-path pushdown only works for plain identifier keys, so fall back
-    # to a driver-side filter (no limit) for exotic kwarg names
+    # newest page is still found; JSON-path pushdown only works for plain
+    # identifier keys — exotic kwarg names fall back to the driver-side
+    # filter below, but EITHER way the history is consumed newest-first in
+    # bounded keyset pages (never one unbounded collect of the full store)
     if all(re.fullmatch(r"[A-Za-z0-9_]+", k) for k in want_kwargs):
         for k, v in want_kwargs.items():
             matches = matches.where(
                 F.get_json_object(F.col("evr"), f"$.expectation_config.kwargs.{k}")
                 == F.lit(v)
             )
-        matches = matches.orderBy(F.desc("ts")).limit(100)
-    else:
-        matches = matches.orderBy(F.desc("ts"))
-    rows = matches.collect()
-    for r in rows:
+    for r in _iter_evr_rows_desc(matches, page_size, _stats):
         evr = json.loads(r["evr"])
         cfg_kwargs = evr.get("expectation_config", {}).get("kwargs", {})
         if any(str(cfg_kwargs.get(k)) != v for k, v in want_kwargs.items()):
