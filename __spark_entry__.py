@@ -1848,8 +1848,9 @@ def q_merged_states_lineitem(spark, sf):
     """Mergeable metric states (states.column_states + merge_states):
     per-commit-unit aggregation states (n, Σx, mean, M2, min, max) over
     8 synthetic hash partitions of lineitem, folded back to the
-    corpus-level profile with the generalized Chan identity in ONE
-    aggregation (M2 = Σm2 + Σs²/n − S²/N, no window, no second pass).
+    corpus-level profile with the generalized Chan identity in its
+    stable form (grand mean first over the dimension-sized states frame,
+    then M2 = Σm2ᵢ + Σnᵢ·(meanᵢ − mean)², every summand non-negative).
     The result is partition-invariant — the oracle is a plain full-scan
     avg/stddev_samp/min/max, proving merged == rescanned. This is the
     metric half of the north rule's per-partition resume: committed
@@ -1867,6 +1868,43 @@ def q_merged_states_lineitem(spark, sf):
     # rounding boundary, where merge-order float noise flips the digit);
     # variance coarser still — its ~9e8 magnitude puts noise at ~1e-6
     merged = merge_states(st, round_to=5)
+    return merged.select(
+        "column",
+        "n",
+        "n_null",
+        "mean",
+        "stddev_samp",
+        F.round("variance_samp", 2).alias("variance_samp"),
+        "mn",
+        "mx",
+    )
+
+
+def q_runner_profile_documents(spark, sf):
+    """Corpus profile served FROM the checkpoint runner's persisted
+    per-partition states (runner.CheckpointRunner(profile_columns=...)
+    + corpus_profile): each committed bucket writes its mergeable
+    aggregation states alongside its EVRs (riding the same cached
+    partition pass — zero extra scans), and the corpus-level profile is
+    merge_states over the store, never a rescan. The oracle IS the full
+    rescan (plain avg/stddev/min/max over documents.n_chars): the claim
+    is that a 4-bucket checkpointed run's folded profile equals it
+    exactly. The resume half (crash after 2 buckets, resume, identical
+    profile) is pytest-covered (test_runner_profile_states_resume)."""
+    import tempfile
+
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+
+    docs = _t(spark, sf, "documents")
+    store = ParquetStore(tempfile.mkdtemp(prefix="sparkcheck_states_"))
+    suite = ExpectationSuite("profile_run")
+    suite.add("expect_column_values_to_not_be_null", column="doc_id")
+    runner = CheckpointRunner(
+        spark, store, n_buckets=4, profile_columns=["n_chars"]
+    )
+    runner.run(docs, suite, run_id="entry")
+    merged = runner.corpus_profile("entry", round_to=5)
     return merged.select(
         "column",
         "n",
@@ -2000,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information_lineitem": q_mutual_information_lineitem,
         "benford_extendedprice": q_benford_extendedprice,
         "merged_states_lineitem": q_merged_states_lineitem,
+        "runner_profile_documents": q_runner_profile_documents,
         "information_gain_lineitem": q_information_gain_lineitem,
     }
 
@@ -2832,6 +2871,17 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_discount), 5), round(stddev_samp(l_discount), 5), "
             "round(round(var_samp(l_discount), 5), 2), "
             "min(l_discount)::DOUBLE, max(l_discount)::DOUBLE FROM lineitem"
+        ),
+
+        "runner_profile_documents": (
+            # the runner-served state fold must equal a plain full rescan
+            "SELECT 'n_chars' AS \"column\", count(n_chars)::BIGINT AS n, "
+            "(count(*) - count(n_chars))::BIGINT AS n_null, "
+            "round(avg(n_chars), 5) AS mean, "
+            "round(stddev_samp(n_chars), 5) AS stddev_samp, "
+            "round(round(var_samp(n_chars), 5), 2) AS variance_samp, "
+            "min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx "
+            "FROM documents"
         ),
 
         "information_gain_lineitem": (

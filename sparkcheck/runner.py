@@ -29,7 +29,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -314,11 +314,21 @@ class CheckpointRunner:
         doc_id_col: str = "doc_id",
         max_concurrency: int = 1,
         fused: bool = False,
+        profile_columns: Sequence[str] | None = None,
+        profile_hll: bool = False,
     ):
         self.spark = spark
         self.store = store
         self.n_buckets = n_buckets
         self.violations_fn = violations_fn
+        # when set, every committed partition also persists its mergeable
+        # aggregation states (states.column_states) for these numeric
+        # columns into the store's column_states table — corpus-level
+        # profile queries (corpus_profile) then fold the states instead of
+        # rescanning 10^12 rows, and a resumed run only adds states for
+        # the partitions it actually ran
+        self.profile_columns = list(profile_columns) if profile_columns else None
+        self.profile_hll = profile_hll
         # fused=True: per-partition suite aggregates ride a CollectMetrics
         # node on the violation-row write (fused.validate_and_extract), so
         # the partition is scanned ONCE with no persist() — the 10^12-doc
@@ -442,6 +452,8 @@ class CheckpointRunner:
                 for v in violations:
                     self.store.append("violations", v)
                 self._write_lineage(run_id, pid, result, n_docs)
+                # states ride the same cached partition pass — no rescan
+                self._write_states(part, run_id, pid)
         finally:
             part.unpersist()
         self.store.commit_partition(
@@ -500,10 +512,72 @@ class CheckpointRunner:
             self._write_results(run_id, pid, result)
             store_validation_result(self.store, self.spark, result, run_id=run_id)
             self._write_lineage(run_id, pid, result, n_docs)
+            # the fused leg never persists the partition, so the states
+            # are one extra NARROW scan (only the profiled columns reach
+            # the reader — column pruning keeps it cheap at full width)
+            self._write_states(part, run_id, pid)
         self.store.commit_partition(
             run_id, pid, {"success": result["success"], "n_docs": int(n_docs)}
         )
         return pid, n_docs, result
+
+    def _write_states(self, part: DataFrame, run_id: str, pid: str) -> None:
+        """Persist the partition's mergeable aggregation states (one row
+        per profiled column) alongside its EVRs. Caller holds _write_lock.
+        The states table is run- and ts-stamped so corpus_profile can
+        apply last-write-wins to orphan rows left by a crash between this
+        append and the manifest commit."""
+        if not self.profile_columns:
+            return
+        from .states import column_states
+
+        st = column_states(
+            part.select(*self.profile_columns),
+            self.profile_columns,
+            # one state per commit unit: the partition id itself
+            state_key=f"'{pid}'",
+            include_hll=self.profile_hll,
+        )
+        self.store.append(
+            "column_states",
+            st.select(
+                F.lit(run_id).alias("run_id"),
+                "*",
+                F.lit(_utcnow()).alias("ts"),
+            ),
+        )
+
+    def corpus_profile(self, run_id: str, round_to: int = 6) -> DataFrame:
+        """Corpus-level column profile for a run, folded from the
+        per-partition states — never rescans the corpus. Covers exactly
+        the partitions committed so far (an interrupted run yields the
+        committed subset's profile; after resume it equals the full
+        rescan — the states module's merged == rescan contract, now
+        served through the runner API). Requires profile_columns."""
+        if not self.profile_columns:
+            raise ValueError(
+                "corpus_profile needs the runner constructed with "
+                "profile_columns"
+            )
+        from .states import merge_states
+
+        df = self.store.read(self.spark, "column_states").where(
+            F.col("run_id") == run_id
+        )
+        committed = sorted(self.store.committed_partitions(run_id))
+        df = df.where(F.col("state_key").isin(committed))
+        # last-write-wins per (state_key, column): a crash between the
+        # state append and the manifest commit leaves an orphan row that
+        # the re-run supersedes (all frames here are dimension-sized)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("state_key", "column").orderBy(F.desc("ts"))
+        latest = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "run_id", "ts")
+        )
+        return merge_states(latest, round_to=round_to)
 
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
         rows = []

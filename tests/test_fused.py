@@ -177,3 +177,22 @@ def test_runner_fused_resume(spark, docs, tmp_path):
              .count().where("count > 1"))
     assert dupes.count() == 0
     assert results.select("partition_id").distinct().count() == 4
+
+
+def test_runner_fused_profile_states(spark, docs, tmp_path):
+    # the fused (single-scan) leg also persists per-partition states;
+    # corpus_profile == full rescan through the fused runner API
+    store = ParquetStore(str(tmp_path / "fstates"))
+    nd = docs.withColumn("n_spans", F.size("spans"))
+    runner = CheckpointRunner(
+        spark, store, n_buckets=4, violations_fn=span_violations,
+        fused=True, profile_columns=["n_spans"],
+    )
+    runner.run(nd, _suite(), run_id="r1")
+    merged = runner.corpus_profile("r1").collect()[0]
+    direct = nd.agg(F.count("n_spans").alias("n"), F.avg("n_spans").alias("m"),
+                    F.stddev_samp("n_spans").alias("s")).collect()[0]
+    assert merged["n"] == direct["n"] == N_DOCS
+    assert merged["mean"] == pytest.approx(direct["m"], abs=1e-6)
+    assert merged["stddev_samp"] == pytest.approx(direct["s"], abs=1e-6)
+    assert store.read(spark, "column_states").count() == 4

@@ -224,3 +224,74 @@ def test_partitioned_corpus_runner_prunes(spark, tmp_path):
     # resume skips all four
     rep2 = runner.run(None, s, run_id="pr1")
     assert len(rep2.partitions_skipped) == 4 and not rep2.partitions_run
+
+
+def test_runner_profile_states_resume(spark, docs, tmp_path):
+    # round-5: per-partition mergeable states ride each commit; the
+    # corpus-level profile is served from merge_states over the store —
+    # never a rescan — and a two-phase (crash + resume) run's profile
+    # equals the full-rescan profile through the runner API
+    store = ParquetStore(str(tmp_path / "store_states"))
+    nd = docs.withColumn("n_spans", F.size("spans"))
+    runner = CheckpointRunner(
+        spark, store, n_buckets=4, violations_fn=span_violations,
+        profile_columns=["n_spans"],
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(nd, _suite(), run_id="r1", fail_after=2)
+
+    # mid-run: profile covers exactly the 2 committed partitions
+    partial = runner.corpus_profile("r1").collect()[0]
+    committed = sorted(store.committed_partitions("r1"))
+    st = store.read(spark, "column_states")
+    covered = st.where(F.col("state_key").isin(committed))
+    assert partial["n"] == covered.agg(F.sum("n")).collect()[0][0]
+
+    # resume, then merged profile == full rescan (exactly, to 6dp)
+    runner.run(nd, _suite(), run_id="r1")
+    merged = runner.corpus_profile("r1").collect()[0]
+    direct = nd.agg(
+        F.count("n_spans").alias("n"),
+        F.avg("n_spans").alias("mean"),
+        F.stddev_samp("n_spans").alias("std"),
+        F.min("n_spans").alias("mn"),
+        F.max("n_spans").alias("mx"),
+    ).collect()[0]
+    assert merged["n"] == direct["n"] == N_DOCS
+    assert merged["mean"] == pytest.approx(direct["mean"], abs=1e-6)
+    assert merged["stddev_samp"] == pytest.approx(direct["std"], abs=1e-6)
+    assert merged["mn"] == direct["mn"] and merged["mx"] == direct["mx"]
+    # one state row per (partition, column) — no duplicates after resume
+    assert store.read(spark, "column_states").count() == 4
+
+
+def test_runner_profile_states_orphan_superseded(spark, docs, tmp_path):
+    # a crash BETWEEN the state append and the manifest commit leaves an
+    # orphan state row; the re-run's row must supersede it (latest-ts
+    # wins) and corpus_profile must not double-count
+    store = ParquetStore(str(tmp_path / "store_orphan"))
+    nd = docs.withColumn("n_spans", F.size("spans"))
+    runner = CheckpointRunner(
+        spark, store, n_buckets=2, violations_fn=span_violations,
+        profile_columns=["n_spans"],
+    )
+    # simulate the orphan: append a bogus state row for bucket=0 stamped
+    # earlier than any real run
+    from datetime import datetime
+    bogus = spark.createDataFrame(
+        [("r1", "bucket=0", "n_spans", 10**9, 0, 1.0e9, 1.0, 0.0, 1.0, 1.0,
+          datetime(2000, 1, 1))],
+        "run_id string, state_key string, column string, n long, n_null long, "
+        "s double, mean double, m2 double, mn double, mx double, ts timestamp",
+    )
+    store.append("column_states", bogus)
+    runner.run(nd, _suite(), run_id="r1")
+    merged = runner.corpus_profile("r1").collect()[0]
+    assert merged["n"] == N_DOCS  # the 10^9 orphan row did not leak in
+
+
+def test_runner_profile_requires_columns(spark, docs, tmp_path):
+    store = ParquetStore(str(tmp_path / "store_noprof"))
+    runner = CheckpointRunner(spark, store, n_buckets=2)
+    with pytest.raises(ValueError, match="profile_columns"):
+        runner.corpus_profile("rX")
