@@ -840,7 +840,11 @@ def ivf_topk(
 
 
 def _cluster_pair_drops(
-    comparable: DataFrame, threshold: float, id_col: str, vec_col: str
+    comparable: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    group_col: str = "centroid_id",
 ) -> DataFrame:
     """Within-cluster near-duplicate ids via a per-cluster BLOCKED numpy
     gemm (applyInPandas): each cluster's vectors cross the Arrow boundary
@@ -878,7 +882,7 @@ def _cluster_pair_drops(
         return pd.DataFrame({id_col: ids[dropped]})
 
     out_schema = f"{id_col} long"
-    return comparable.groupBy("centroid_id").applyInPandas(drops, out_schema)
+    return comparable.groupBy(group_col).applyInPandas(drops, out_schema)
 
 
 def semantic_dedup(
@@ -891,6 +895,7 @@ def semantic_dedup(
     scorer: str | None = None,
     pair_impl: str = "arrow",
     assign_impl: str = "arrow",
+    max_split_depth: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (cf. Abbas et al. 2023): cluster the corpus (IVF assignment against
@@ -911,12 +916,19 @@ def semantic_dedup(
     fold-cosine self-join for differential testing — identical verdicts
     (both round to 6dp before the threshold), ~20x slower at sf0.1.
     ``max_cluster`` is the quadratic-hot-key guard (same role as
-    lsh_near_duplicates' max_bucket): oversize clusters are skipped
-    (every member kept) rather than detonating a quadratic stage —
-    production would re-cluster those with more centroids. The kept flag
-    falls out of one left-anti join on the dropped-id frame; the vector
-    payload crosses one exchange (the centroid_id group shuffle), never
-    more."""
+    lsh_near_duplicates' max_bucket): a cluster exceeding it is
+    RE-CLUSTERED in place — ivf_assign re-runs within the oversize
+    cluster at higher k (2·⌈n/max_cluster⌉ sub-centroids, recursing up
+    to ``max_split_depth`` levels) so its dense region still gets
+    deduplicated instead of being silently kept whole. A group that a
+    split cannot break (e.g. >max_cluster bit-identical vectors, where
+    every seed ties) is kept whole after the depth cap and reported via
+    a warning — the honest residue of the quadratic guard. Sub-cluster
+    membership only ever *narrows* comparison scope (SemDeDup's
+    cluster-approximation hierarchy), it never invents false drops.
+    The kept flag falls out of one left-anti join on the dropped-id
+    frame; the vector payload crosses one exchange per split level
+    (the cluster-key group shuffle), never an all-pairs join."""
     _, assigned = ivf_assign(
         corpus, n_centroids, id_col, vec_col, scorer=scorer,
         assign_impl=assign_impl,
@@ -927,31 +939,99 @@ def semantic_dedup(
     # lsh_near_duplicates' signature frame). The production analog is
     # ivf_assign's documented write-once/re-cluster step.
     assigned = assigned.localCheckpoint(eager=False)
+    # comparison groups start as the top-level clusters; oversize groups
+    # are recursively re-clustered (never silently kept whole)
+    work = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id").cast("string").alias("__ckey"),
+    )
     if max_cluster is not None:
-        ok = (
-            assigned.groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_cluster)
-            .select("centroid_id")
+        import math as _math
+        import warnings as _warnings
+
+        for _depth in range(max_split_depth):
+            sizes = work.groupBy("__ckey").agg(F.count(F.lit(1)).alias("__n"))
+            oversize = [
+                (r["__ckey"], int(r["__n"]))
+                for r in sizes.where(F.col("__n") > max_cluster).collect()
+            ]
+            if not oversize:
+                break
+            pieces = [
+                work.join(
+                    sizes.where(F.col("__n") <= max_cluster).select("__ckey"),
+                    "__ckey",
+                    "left_semi",
+                )
+            ]
+            for ckey, n in oversize:
+                sub = work.where(F.col("__ckey") == ckey).select(
+                    F.col(id_col), F.col(vec_col)
+                )
+                k2 = max(2, min(64, 2 * _math.ceil(n / max_cluster)))
+                cents = ivf_centroids(sub, k2, id_col, vec_col)
+                if assign_impl == "arrow":
+                    subas = _arrow_assign(sub, cents, vec_col).withColumnRenamed(
+                        "centroid_id", "__sub"
+                    )
+                else:
+                    subas = sub.select(
+                        F.col(id_col),
+                        F.col(vec_col),
+                        _nearest_centroid(F.col(vec_col), cents).alias("__sub"),
+                    )
+                pieces.append(
+                    subas.select(
+                        F.col(id_col),
+                        F.col(vec_col),
+                        F.concat(
+                            F.lit(f"{ckey}/"), F.col("__sub").cast("string")
+                        ).alias("__ckey"),
+                    )
+                )
+            work = pieces[0]
+            for p in pieces[1:]:
+                work = work.unionByName(p)
+            work = work.localCheckpoint(eager=False)
+        # anything STILL oversize after the depth cap cannot be split
+        # (bit-identical vectors tie every seed): keep whole, but say so
+        sizes = work.groupBy("__ckey").agg(F.count(F.lit(1)).alias("__n"))
+        stuck = sizes.where(F.col("__n") > max_cluster)
+        n_stuck = stuck.limit(1).count()
+        if n_stuck:
+            _warnings.warn(
+                "semantic_dedup: some clusters exceed max_cluster="
+                f"{max_cluster} even after {max_split_depth} re-cluster "
+                "levels (unsplittable — likely bit-identical vectors); "
+                "their members are kept whole. Consider exact dedup "
+                "(dedup.exact) upstream.",
+                stacklevel=2,
+            )
+        comparable = work.join(
+            sizes.where(F.col("__n") <= max_cluster).select("__ckey"),
+            "__ckey",
+            "left_semi",
         )
-        comparable = assigned.join(ok, "centroid_id", "left_semi")
     else:
-        comparable = assigned
+        comparable = work
     if pair_impl == "arrow":
-        dropped = _cluster_pair_drops(comparable, threshold, id_col, vec_col)
+        dropped = _cluster_pair_drops(
+            comparable, threshold, id_col, vec_col, group_col="__ckey"
+        )
     elif pair_impl == "join":
         a = comparable.select(
-            "centroid_id",
+            "__ckey",
             F.col(id_col).alias("__ida"),
             F.col(vec_col).alias("__va"),
         )
         b = comparable.select(
-            "centroid_id",
+            "__ckey",
             F.col(id_col).alias("__idb"),
             F.col(vec_col).alias("__vb"),
         )
         dropped = (
-            a.join(b, "centroid_id")
+            a.join(b, "__ckey")
             .where(F.col("__idb") < F.col("__ida"))
             .select(
                 "__ida",

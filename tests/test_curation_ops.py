@@ -744,14 +744,20 @@ def test_semantic_dedup_within_cluster(spark):
 
 
 def test_semantic_dedup_max_cluster_guard(spark):
+    import warnings
+
     from sparkcheck import similarity
-    # every vector identical -> one cluster of 6; with max_cluster=5 the
-    # quadratic stage is skipped and everything is kept (documented escape)
+    # every vector bit-identical -> one unsplittable cluster of 6 (every
+    # re-cluster seed ties); after the split-depth cap the members are
+    # kept whole WITH a warning (the honest residue of the guard)
     rows = [(i, [1.0, 0.0]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
-    out = similarity.semantic_dedup(df, threshold=0.9, n_centroids=1,
-                                    max_cluster=5).collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = similarity.semantic_dedup(df, threshold=0.9, n_centroids=1,
+                                        max_cluster=5).collect()
     assert all(r["kept"] for r in out)
+    assert any("unsplittable" in str(x.message) for x in w)
     # without the guard the near-dups collapse to the single lowest id
     out2 = similarity.semantic_dedup(df, threshold=0.9, n_centroids=1,
                                      max_cluster=None).collect()
@@ -809,3 +815,38 @@ def test_cluster_safe_split_no_leakage(spark):
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id").collect()}
     for k in range(100):
         assert split[3 * k] == ref[3 * k]  # rep IS the min id
+
+
+def test_semantic_dedup_oversize_cluster_recluster(spark):
+    # round-5: a dense mode larger than max_cluster used to be silently
+    # kept whole -- exactly where the duplicates live. It must now be
+    # re-clustered at higher k and its near-dups caught.
+    import random
+
+    from sparkcheck import similarity
+
+    rng = random.Random(7)
+
+    def jitter(base, eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    rows = []
+    # dense mode: 120 tiny perturbations of one direction (cos ~ 1.0)
+    for i in range(120):
+        rows.append((i, jitter([1.0, 0.0, 0.0, 0.0], 0.01)))
+    # plus a scattering of genuinely distinct directions
+    rows.append((200, [0.0, 1.0, 0.0, 0.0]))
+    rows.append((201, [0.0, 0.0, 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    # n_centroids=1 puts the whole mode in one cluster of 122 > max_cluster
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, threshold=0.99, n_centroids=1, max_cluster=50).collect()}
+    assert len(out) == 122
+    dropped = [v for v, r in out.items() if not r["kept"]]
+    # the mode's duplicates are caught (kept-whole would give dropped == [])
+    assert len(dropped) >= 100
+    # distinct directions survive
+    assert out[200]["kept"] and out[201]["kept"]
+    # every sub-cluster kept at least one canonical representative
+    assert len([v for v in out if out[v]["kept"]]) >= 3
