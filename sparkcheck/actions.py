@@ -19,6 +19,15 @@ Built-in actions:
                           (Slack-compatible with ``slack_format=True``,
                           which wraps it in {"text": ...}); stdlib urllib,
                           no requests dependency
+  ``SlackNotificationAction``  the reference-shaped Slack Block Kit
+                          message (render/renderer/slack_renderer.py):
+                          summary section, ':x:' failure lines, docs
+                          link, divider + footer
+  ``TeamsNotificationAction``  the reference-shaped Microsoft Teams
+                          AdaptiveCard (microsoft_teams_renderer.py)
+  ``StoreMetricsAction``  route selected EVR fields / run statistics
+                          into the store's ``metrics`` table (reference:
+                          StoreMetricsAction); history.py reads them back
   ``UpdateDataDocsAction`` re-render the static data-docs site from the
                           results store after the run (reference:
                           UpdateDataDocsAction)
@@ -231,6 +240,178 @@ class EmailAction(ValidationAction):
         return {"receivers": self.receivers}
 
 
+class SlackNotificationAction(WebhookAction):
+    """POST the reference-shaped Slack Block Kit message to an incoming
+    webhook (reference: SlackNotificationAction + SlackRenderer,
+    checkpoint/actions.py:166-320 + render/renderer/slack_renderer.py).
+    Unlike the generic WebhookAction's one-line text, this sends the full
+    block layout: status/suite/run-id summary section, optional per-failure
+    ':x:' lines, optional data-docs link, divider + context footer."""
+
+    name = "slack"
+
+    def __init__(
+        self,
+        url: str,
+        notify_on: str = "failure",
+        show_failed_expectations: bool = True,
+        data_docs_link: str | None = None,
+        timeout: float = 5.0,
+    ):
+        super().__init__(url, notify_on=notify_on, timeout=timeout)
+        self.show_failed_expectations = show_failed_expectations
+        self.data_docs_link = data_docs_link
+
+    def _run(self, result, context):
+        from .notify import render_slack_payload
+
+        body = render_slack_payload(
+            result,
+            context,
+            show_failed_expectations=self.show_failed_expectations,
+            data_docs_link=self.data_docs_link,
+        )
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
+
+class TeamsNotificationAction(WebhookAction):
+    """POST the reference-shaped Microsoft Teams AdaptiveCard to a Teams
+    webhook (reference: MicrosoftTeamsNotificationAction +
+    MicrosoftTeamsRenderer, render/renderer/microsoft_teams_renderer.py)."""
+
+    name = "teams"
+
+    def __init__(
+        self,
+        url: str,
+        notify_on: str = "failure",
+        data_docs_link: str | None = None,
+        timeout: float = 5.0,
+    ):
+        super().__init__(url, notify_on=notify_on, timeout=timeout)
+        self.data_docs_link = data_docs_link
+
+    def _run(self, result, context):
+        from .notify import render_teams_payload
+
+        body = render_teams_payload(
+            result, context, data_docs_link=self.data_docs_link
+        )
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
+
+class StoreMetricsAction(ValidationAction):
+    """Persist selected metrics from the run into the store's ``metrics``
+    table (reference: StoreMetricsAction, checkpoint/actions.py:911-1066 —
+    requested_metrics routes chosen EVR fields into a MetricsStore; here
+    the target is the checkpoint's ParquetStore and history.py serves the
+    time-series reads).
+
+    ``requested_metrics`` maps a suite name (or ``"*"``) to a list of
+    metric descriptors:
+
+      * ``"statistics.<field>"`` — a run-level statistic
+        (evaluated_expectations, success_percent, ...)
+      * ``"<expectation_type>.result.<path>"`` — a field from every EVR
+        of that type (one metrics row per matching EVR, carrying its
+        column kwarg so per-column series stay separate)
+
+    Rows: (run_id, suite, metric, column, value double, value_json, ts).
+    Non-numeric values keep value NULL and land in value_json whole."""
+
+    name = "store_metrics"
+
+    def __init__(
+        self,
+        requested_metrics: dict[str, list[str]],
+        notify_on: str = "all",
+    ):
+        super().__init__(notify_on)
+        if not requested_metrics:
+            raise ValueError("store_metrics needs a requested_metrics map")
+        self.requested_metrics = dict(requested_metrics)
+
+    @staticmethod
+    def _dig(node: Any, path: list[str]) -> Any:
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    def _rows(self, result, context) -> list[tuple]:
+        rep = result.get("result") or {}
+        suite = context.get("suite_name") or rep.get("meta", {}).get(
+            "expectation_suite_name", "?"
+        )
+        wanted: list[str] = []
+        for pat, metrics in self.requested_metrics.items():
+            if pat == "*" or pat == suite:
+                wanted.extend(metrics)
+        run_id = result.get("run_id")
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows: list[tuple] = []
+        for m in wanted:
+            parts = m.split(".")
+            if parts[0] == "statistics":
+                v = self._dig(rep.get("statistics") or {}, parts[1:])
+                if v is not None:
+                    num = float(v) if isinstance(v, (int, float)) else None
+                    rows.append(
+                        (run_id, suite, m, None, num,
+                         json.dumps(v, default=str), now)
+                    )
+                continue
+            etype, path = parts[0], parts[1:]
+            for r in rep.get("results") or []:
+                cfg = r.get("expectation_config", {})
+                if cfg.get("expectation_type") != etype:
+                    continue
+                v = self._dig(r, path)
+                if v is None:
+                    continue
+                num = float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+                rows.append(
+                    (run_id, suite, m, cfg.get("kwargs", {}).get("column"),
+                     num, json.dumps(v, default=str), now)
+                )
+        return rows
+
+    def _run(self, result, context):
+        store, spark = context.get("store"), context.get("spark")
+        if store is None or spark is None:
+            raise ValueError(
+                "store_metrics needs the checkpoint to have a 'store' and "
+                "'spark' in its context"
+            )
+        rows = self._rows(result, context)
+        if rows:
+            store.append(
+                "metrics",
+                spark.createDataFrame(
+                    rows,
+                    "run_id string, suite string, metric string, "
+                    "column string, value double, value_json string, "
+                    "ts timestamp",
+                ),
+            )
+        return {"metrics_written": len(rows)}
+
+
 class UpdateDataDocsAction(ValidationAction):
     """Re-render the static data-docs site from the checkpoint's results
     store after the run (reference: UpdateDataDocsAction). Needs the
@@ -256,6 +437,9 @@ class UpdateDataDocsAction(ValidationAction):
 _ACTION_TYPES: dict[str, type[ValidationAction]] = {
     "file_alert": FileAlertAction,
     "webhook": WebhookAction,
+    "slack": SlackNotificationAction,
+    "teams": TeamsNotificationAction,
+    "store_metrics": StoreMetricsAction,
     "email": EmailAction,
     "update_data_docs": UpdateDataDocsAction,
 }

@@ -114,7 +114,9 @@ class ExpectationSuite:
     def from_json(cls, s: str) -> "ExpectationSuite":
         d = json.loads(s)
         return cls(
-            name=d.get("expectation_suite_name", "default"),
+            # the reference JSON key, with plain "name" as a fallback for
+            # hand-written configs
+            name=d.get("expectation_suite_name", d.get("name", "default")),
             expectations=[
                 ExpectationConfiguration.from_dict(e) for e in d.get("expectations", [])
             ],

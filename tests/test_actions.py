@@ -317,3 +317,152 @@ def test_email_action_gates_and_validates():
     # triggered but unreachable relay: error captured, never raised
     out = act.run({"success": False, "result": {}}, {})
     assert out["status"] == "error"
+
+
+# --- round-5: channel renderers + metrics routing ----------------------------
+
+
+def _rich_result(success=False):
+    return {
+        "run_id": "run-2024-01-02",
+        "success": success,
+        "result": {
+            "meta": {"expectation_suite_name": "docs_suite"},
+            "results": [
+                {"success": True,
+                 "expectation_config": {
+                     "expectation_type": "expect_table_row_count_to_be_between",
+                     "kwargs": {"min_value": 1}},
+                 "result": {"observed_value": 3000}},
+                {"success": True,
+                 "expectation_config": {
+                     "expectation_type": "expect_column_mean_to_be_between",
+                     "kwargs": {"column": "n_chars"}},
+                 "result": {"observed_value": 297.5}},
+                {"success": success,
+                 "expectation_config": {
+                     "expectation_type": "expect_column_values_to_not_be_null",
+                     "kwargs": {"column": "doc_id"}},
+                 "result": {"observed_value": None, "unexpected_count": 7}},
+            ],
+            "statistics": {
+                "evaluated_expectations": 3,
+                "successful_expectations": 2 + int(success),
+                "unsuccessful_expectations": 1 - int(success),
+            },
+        },
+    }
+
+
+def test_slack_payload_matches_reference_fixture():
+    import pathlib
+
+    from sparkcheck.notify import render_slack_payload
+
+    got = render_slack_payload(
+        _rich_result(False),
+        {"suite_name": "docs_suite", "data_asset_name": "documents"},
+        show_failed_expectations=True,
+        data_docs_link="file:///srv/docs/index.html",
+    )
+    fixture = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "ref_slack_message.json")
+        .read_text()
+    )
+    assert got == fixture
+
+
+def test_teams_payload_matches_reference_fixture():
+    import pathlib
+
+    from sparkcheck.notify import render_teams_payload
+
+    got = render_teams_payload(
+        _rich_result(False),
+        {"suite_name": "docs_suite", "data_asset_name": "documents"},
+        data_docs_link="https://docs.example/site/index.html",
+    )
+    fixture = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "ref_teams_card.json")
+        .read_text()
+    )
+    assert got == fixture
+
+
+def test_slack_success_and_domain_lines():
+    from sparkcheck.notify import (
+        failed_expectation_domain,
+        render_slack_payload,
+    )
+
+    ok = render_slack_payload(_rich_result(True), {"suite_name": "s"})
+    assert ok["text"] == "s: Success :tada:"
+    assert "Failed Expectations" not in ok["blocks"][0]["text"]["text"]
+    # reference domain extraction rules
+    assert failed_expectation_domain("expect_table_row_count_to_be_between", {}) == "Table"
+    assert failed_expectation_domain("expect_x", {"column": "c"}) == "c"
+    assert failed_expectation_domain(
+        "expect_x", {"column_A": "a", "column_B": "b"}) == "a, b"
+    assert failed_expectation_domain("expect_x", {"column_list": ["a", "b"]}) == "['a', 'b']"
+    assert failed_expectation_domain("expect_x", {}) is None
+
+
+def test_slack_and_teams_actions_post(http_server):
+    from sparkcheck.actions import SlackNotificationAction, TeamsNotificationAction
+
+    slack = SlackNotificationAction(http_server, notify_on="failure")
+    out = slack.run(_rich_result(False), {"suite_name": "s"})
+    assert out == {"status": "ok", "http_status": 200}
+    teams = TeamsNotificationAction(http_server, notify_on="all")
+    out = teams.run(_rich_result(True), {"suite_name": "s"})
+    assert out == {"status": "ok", "http_status": 200}
+    slack_body, teams_body = _Recorder.bodies
+    assert set(slack_body) == {"blocks", "text"}
+    assert teams_body["attachments"][0]["content"]["type"] == "AdaptiveCard"
+
+
+def test_store_metrics_action_routes_into_store(spark, tmp_path):
+    from sparkcheck.actions import StoreMetricsAction
+    from sparkcheck.history import metric_history
+    from sparkcheck.runner import ParquetStore
+
+    store = ParquetStore(str(tmp_path / "mstore"))
+    act = StoreMetricsAction({
+        "*": ["statistics.evaluated_expectations",
+              "expect_column_mean_to_be_between.result.observed_value"],
+        "other_suite": ["statistics.successful_expectations"],  # no match
+    })
+    out = act.run(
+        _rich_result(False),
+        {"suite_name": "docs_suite", "store": store, "spark": spark},
+    )
+    assert out["status"] == "ok" and out["metrics_written"] == 2
+    rows = {r["metric"]: r for r in store.read(spark, "metrics").collect()}
+    assert rows["statistics.evaluated_expectations"]["value"] == 3.0
+    m = rows["expect_column_mean_to_be_between.result.observed_value"]
+    assert m["value"] == 297.5 and m["column"] == "n_chars"
+    assert m["run_id"] == "run-2024-01-02" and m["suite"] == "docs_suite"
+
+
+def test_store_metrics_requires_store_and_config():
+    from sparkcheck.actions import StoreMetricsAction
+
+    with pytest.raises(ValueError):
+        StoreMetricsAction({})
+    act = StoreMetricsAction({"*": ["statistics.evaluated_expectations"]})
+    out = act.run(_rich_result(False), {"suite_name": "s"})
+    assert out["status"] == "error" and "store" in out["error"]
+
+
+def test_new_actions_config_addressable(http_server):
+    from sparkcheck.actions import action_from_config
+
+    a = action_from_config({"type": "slack", "url": http_server,
+                            "notify_on": "all",
+                            "show_failed_expectations": False})
+    assert a.name == "slack" and a.run(_rich_result(True), {})["status"] == "ok"
+    b = action_from_config({"type": "teams", "url": http_server})
+    assert b.name == "teams"
+    c = action_from_config({"type": "store_metrics",
+                            "requested_metrics": {"*": ["statistics.success_percent"]}})
+    assert c.name == "store_metrics"
