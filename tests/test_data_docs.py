@@ -101,3 +101,56 @@ def test_data_docs_violations_section(spark, tmp_path):
     # capped: exactly 10 sample rows rendered under the violations table
     section = page.split("Violation rows")[1]
     assert section.count("expect_span_") == 10
+
+
+def test_run_page_expectation_detail_blocks(spark, tmp_path):
+    # round-5: per-expectation detail sections (page_renderer content-block
+    # analog) — map-style EVRs render the unexpected statistics and the
+    # partial_unexpected_counts table; aggregate-style EVRs render
+    # observed vs the expected kwargs
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("BAD1",), ("BAD1",), ("BAD2",), (None,)],
+        "a string",
+    )
+    suite = ExpectationSuite(
+        name="detail_suite",
+        expectations=[
+            ExpectationConfiguration.from_dict({
+                # map-style with COMPLETE-ish result fields
+                "expectation_type": "expect_column_values_to_be_in_set",
+                "kwargs": {"column": "a", "value_set": ["x", "y"]},
+            }),
+            ExpectationConfiguration.from_dict({
+                # aggregate-style: observed vs expected range
+                "expectation_type": "expect_table_row_count_to_be_between",
+                "kwargs": {"min_value": 1, "max_value": 3},
+            }),
+        ],
+    )
+    rep = validate_df(df, suite, result_format="SUMMARY")
+    store = ParquetStore(str(tmp_path / "dstore"))
+    store_validation_result(store, spark, rep,
+                            suite_name="detail_suite", run_id="run1")
+    out = str(tmp_path / "dsite")
+    data_docs.build_data_docs(store, spark, out)
+    page = [p for p in os.listdir(out) if p != "index.html"][0]
+    body = open(os.path.join(out, page)).read()
+
+    # detail anchors exist and the summary table links to them
+    assert "Expectation details" in body
+    assert 'id="evr-0"' in body and 'href="#evr-' in body
+
+    # map-style: unexpected statistics grid + most-common-unexpected table
+    assert "Unexpected statistics" in body
+    assert "Unexpected values" in body  # unexpected_count row label
+    assert "Most common unexpected values" in body
+    assert "BAD1" in body and "BAD2" in body  # the partial counts values
+    # the expected side (value_set kwarg) is rendered
+    assert "value_set" in body
+
+    # aggregate-style: observed value + expected range kwargs
+    assert "Observed" in body
+    assert "min_value" in body and "max_value" in body
+
+    # failing expectations render their details expanded
+    assert "<details" in body and "open" in body

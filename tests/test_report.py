@@ -34,4 +34,10 @@ def test_html_report(spark):
     assert page.startswith("<!doctype html>")
     assert "nightly &lt;check&gt;" in page  # title escaped
     assert "expect_column_mean_to_be_between" in page
-    assert page.count("<tr") == 4  # header + 3 expectations
+    # summary table rows stay stable with details off
+    bare = to_html(rep, title="nightly <check>", details=False)
+    assert bare.count("<tr") == 4  # header + 3 expectations
+    assert "Expectation details" not in bare
+    # the default page adds the per-expectation detail sections
+    assert "Expectation details" in page
+    assert page.count("<details") == 3 and 'id="evr-0"' in page
