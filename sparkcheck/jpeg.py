@@ -18,8 +18,20 @@ opaque binaries (it never decodes); this codec exists so sparkcheck's
 image expectations run on REAL pixels for one more ubiquitous format
 (reference: great_expectations has no media decode path to cite).
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and hierarchical
-modes raise ValueError — baseline-only by design.
+Progressive DCT (SOF2, Huffman) is ALSO decoded — T.81 Annex G spectral
+selection + successive approximation: DC first/refine scans (interleaved
+or single-component), AC first scans with EOB-run accumulation, and the
+AC refinement correction-bit walk (the libjpeg decode_mcu_AC_refine
+algorithm), with restart-marker resync inside any scan. Coefficients
+accumulate across scans into per-component stores; the final dequantize +
+IDCT is the same batched einsum as baseline, so a fully-transmitted
+progressive stream decodes bit-identically to its baseline twin (the
+property suite asserts exactly that). ``encode_jpeg_progressive`` emits
+spectral-selection + successive-approximation streams (EOB runs capped
+at 1 so the Annex-K Huffman tables suffice) for round-trip testing.
+
+Arithmetic coding, 12-bit precision, hierarchical and lossless modes
+still raise ValueError — honestly out of envelope.
 """
 
 from __future__ import annotations
@@ -269,19 +281,13 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode a uint8 array (H, W), (H, W, 1) gray or (H, W, 3) RGB as a
-    baseline JFIF JPEG. ``subsample=True`` emits 4:2:0 (chroma averaged
-    2x2); default is 4:4:4. ``restart_interval`` > 0 emits a DRI segment
-    and RSTn markers every that many MCUs (predictor reset + byte align) —
-    the resync structure real encoders use so one corrupt run cannot sink
-    a whole scan. Lossy: round-trip error shrinks with quality (flat
-    blocks at quality>=90 are near-exact)."""
+def _prepare_components(
+    arr: np.ndarray, quality: int, subsample: bool
+) -> tuple:
+    """Shared front half of both encoders: color convert, subsample, pad
+    to the MCU grid, forward DCT, quantize. Returns
+    (h, w, gray, samp, qtabs, comp_coefs) with comp_coefs a list of
+    (zigzag int64 blocks raster-ordered, blocks_wide) per component."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -335,6 +341,56 @@ def encode_jpeg(
         coefs = _fdct_blocks(p - 128.0)
         zz = np.round(coefs[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
         comp_coefs.append((zz, tw // 8))
+    return h, w, gray, samp, qtabs, comp_coefs
+
+
+def _header_segments(
+    h: int, w: int, gray: bool, samp, qtabs, dc_specs, ac_specs,
+    sof_marker: int,
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF + DHT segments shared by both encoders."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    for ti, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q[ZIGZAG]))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
+    out += seg(sof_marker, bytes(sof))
+    for ti, spec in enumerate(dc_specs):
+        out += seg(0xC4, bytes([ti]) + bytes(spec[0]) + bytes(spec[1]))
+    for ti, spec in enumerate(ac_specs):
+        out += seg(0xC4, bytes([0x10 | ti]) + bytes(spec[0]) + bytes(spec[1]))
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 array (H, W), (H, W, 1) gray or (H, W, 3) RGB as a
+    baseline JFIF JPEG. ``subsample=True`` emits 4:2:0 (chroma averaged
+    2x2); default is 4:4:4. ``restart_interval`` > 0 emits a DRI segment
+    and RSTn markers every that many MCUs (predictor reset + byte align) —
+    the resync structure real encoders use so one corrupt run cannot sink
+    a whole scan. Lossy: round-trip error shrinks with quality (flat
+    blocks at quality>=90 are near-exact)."""
+    h, w, gray, samp, qtabs, comp_coefs = _prepare_components(
+        arr, quality, subsample
+    )
+    mcus_x = comp_coefs[0][1] // samp[0][0]
+    mcus_y = (len(comp_coefs[0][0]) // comp_coefs[0][1]) // samp[0][1]
+    planes = comp_coefs  # one entry per component
 
     dc_specs = [DC_LUMA_SPEC] if gray else [DC_LUMA_SPEC, DC_CHROMA_SPEC]
     ac_specs = [AC_LUMA_SPEC] if gray else [AC_LUMA_SPEC, AC_CHROMA_SPEC]
@@ -365,32 +421,13 @@ def encode_jpeg(
                         )
     scan = writer.flush()
 
-    # --- markers ---
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
-    )
-    for ti, q in enumerate(qtabs):
-        out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q[ZIGZAG]))
-    ncomp = len(planes)
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(ncomp)
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    out += seg(0xC0, bytes(sof))
-    for ti, spec in enumerate(dc_specs):
-        out += seg(
-            0xC4, bytes([ti]) + bytes(spec[0]) + bytes(spec[1])
-        )
-    for ti, spec in enumerate(ac_specs):
-        out += seg(
-            0xC4, bytes([0x10 | ti]) + bytes(spec[0]) + bytes(spec[1])
-        )
+    out = _header_segments(h, w, gray, samp, qtabs, dc_specs, ac_specs, 0xC0)
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    ncomp = len(planes)
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         ti = min(ci, 1)
@@ -399,6 +436,215 @@ def encode_jpeg(
     out += seg(0xDA, bytes(sos))
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G: spectral selection + successive
+# approximation, Huffman). EOB runs are capped at 1 so the Annex-K tables
+# cover every emitted symbol; the decoder handles general EOB runs.
+# ---------------------------------------------------------------------------
+
+#: default scan script (the libjpeg "simple progression" shape): DC first
+#: at Al=1, low then high AC spectral bands at Al reductions, refinements
+#: down to Al=0, DC refinement last. (comp_indices, Ss, Se, Ah, Al)
+_GRAY_SCANS = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_COLOR_SCANS = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _emit_ac_first(writer, zz_band, ss, se, al, ac_tab) -> None:
+    """One block's AC first scan for band [ss..se] at point transform al.
+    Magnitude point transform (sign * (|v| >> al)); plain EOB per block."""
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz_band[k])
+        t = (abs(v) >> al)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        tv = t if v > 0 else -t
+        s, bits = _magnitude(tv)
+        code, length = ac_tab[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(bits, s)
+        run = 0
+        emitted = True
+    if run > 0 or not emitted:
+        # trailing zeros (or an all-zero band): EOB with run length 1
+        code, length = ac_tab[0x00]
+        writer.write(code, length)
+
+
+def _emit_ac_refine(writer, zz_band, ss, se, al, ac_tab) -> None:
+    """One block's AC refinement scan (libjpeg encode_mcu_AC_refine with
+    EOBRUN capped at 1): newly-significant coefficients emit (r<<4)|1 +
+    sign, previously-significant ones queue correction bits that flush
+    after each symbol; a trailing EOB carries the leftover bits."""
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zz_band[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        # flush ZRLs BEFORE buffering this coef's bit: every pending
+        # correction bit must belong to a coefficient preceded by <=15
+        # zeros, or the decoder's 16-zero ZRL walk consumes the stream
+        # out of order (libjpeg jcphuff.c places this loop identically)
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            writer.write(code, length)
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:
+            pending.append(t & 1)  # correction bit for an already-significant coef
+            continue
+        # newly significant at this precision
+        code, length = ac_tab[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, length = ac_tab[0x00]  # EOB (run length 1)
+        writer.write(code, length)
+        for b in pending:
+            writer.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode as a progressive JFIF JPEG (SOF2). Same color/subsample/
+    quantization pipeline as ``encode_jpeg``, so a progressive stream and
+    its baseline twin carry IDENTICAL quantized coefficients — decoding
+    both must give bit-identical pixels (the differential property the
+    tests assert). ``scans`` overrides the default libjpeg-style scan
+    script; each entry is (component_indices, Ss, Se, Ah, Al) and must
+    follow T.81's progression rules (DC before that component's AC,
+    refinements stepping Al down by one)."""
+    h, w, gray, samp, qtabs, comp_coefs = _prepare_components(
+        arr, quality, subsample
+    )
+    script = scans if scans is not None else (
+        _GRAY_SCANS if gray else _COLOR_SCANS
+    )
+    mcus_x = comp_coefs[0][1] // samp[0][0]
+    mcus_y = (len(comp_coefs[0][0]) // comp_coefs[0][1]) // samp[0][1]
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+
+    dc_specs = [DC_LUMA_SPEC] if gray else [DC_LUMA_SPEC, DC_CHROMA_SPEC]
+    ac_specs = [AC_LUMA_SPEC] if gray else [AC_LUMA_SPEC, AC_CHROMA_SPEC]
+    dc_tabs = [_build_huffman(*s) for s in dc_specs]
+    ac_tabs = [_build_huffman(*s) for s in ac_specs]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = _header_segments(h, w, gray, samp, qtabs, dc_specs, ac_specs, 0xC2)
+
+    for comp_idx, ss, se, ah, al in script:
+        if ss == 0 and se != 0:
+            raise ValueError("a DC scan must have Ss=Se=0")
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError("AC scans must be single-component")
+        sos = bytearray([len(comp_idx)])
+        for ci in comp_idx:
+            ti = min(ci, 1)
+            sos += bytes([ci + 1, (ti << 4) | ti])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+
+        def _ni_grid(ci: int) -> tuple[int, int, int]:
+            """(blocks_wide, blocks_high, row_stride) of one component's
+            non-interleaved block grid inside its padded store."""
+            zz, bw_full = comp_coefs[ci]
+            cw = -(-(w * samp[ci][0]) // max_h)
+            ch = -(-(h * samp[ci][1]) // max_v)
+            return -(-cw // 8), -(-ch // 8), bw_full
+
+        def _dc_blocks():
+            """Yield (scan_comp_index, block_index) in the scan's block
+            order: interleaved MCU order for multi-component scans, the
+            component's own raster grid for single-component scans."""
+            if len(comp_idx) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for pi, ci in enumerate(comp_idx):
+                            sh, sv = samp[ci]
+                            bw = comp_coefs[ci][1]
+                            for v in range(sv):
+                                for hh in range(sh):
+                                    yield pi, ci, (my * sv + v) * bw + (mx * sh + hh)
+            else:
+                ci = comp_idx[0]
+                bw_ni, bh_ni, stride = _ni_grid(ci)
+                for by in range(bh_ni):
+                    for bx in range(bw_ni):
+                        yield 0, ci, by * stride + bx
+
+        writer = _BitWriter()
+        if ss == 0 and ah == 0:
+            # DC first scan: baseline-style diff coding of dc >> Al
+            preds = [0] * len(comp_idx)
+            for pi, ci, bi in _dc_blocks():
+                dc = int(comp_coefs[ci][0][bi][0]) >> al
+                s, bits = _magnitude(dc - preds[pi])
+                code, length = dc_tabs[min(ci, 1)][s]
+                writer.write(code, length)
+                if s:
+                    writer.write(bits, s)
+                preds[pi] = dc
+        elif ss == 0 and ah > 0:
+            # DC refinement: one raw bit per block in scan block order
+            for _pi, ci, bi in _dc_blocks():
+                writer.write((int(comp_coefs[ci][0][bi][0]) >> al) & 1, 1)
+        else:
+            ci = comp_idx[0]
+            zz, bw_full = comp_coefs[ci]
+            cw = -(-(w * samp[ci][0]) // max_h)
+            ch = -(-(h * samp[ci][1]) // max_v)
+            bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
+            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+            tab = ac_tabs[min(ci, 1)]
+            for by in range(bh_ni):
+                for bx in range(bw_ni):
+                    emit(writer, zz[by * bw_full + bx], ss, se, al, tab)
+        out += writer.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -496,9 +742,10 @@ def _decode_block(reader, dc_tab, ac_tab, pred: int):
 
 
 def decode_jpeg(buf: bytes):
-    """Decode a baseline JFIF payload -> (array (H, W, C) uint8, W, H)
-    with C = 1 (grayscale) or 3 (RGB). Raises ValueError on non-JPEG bytes
-    or non-baseline modes (progressive/arithmetic/12-bit)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2, Huffman) JFIF
+    payload -> (array (H, W, C) uint8, W, H) with C = 1 (grayscale) or
+    3 (RGB). Raises ValueError on non-JPEG bytes or modes outside the
+    envelope (arithmetic coding, 12-bit, hierarchical, lossless)."""
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -507,12 +754,13 @@ def decode_jpeg(buf: bytes):
     frame = None
     restart = 0
     n = len(buf)
+    prog_stores: list[np.ndarray] | None = None
 
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
         marker = buf[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         body = buf[pos + 4 : pos + 2 + seglen]
@@ -545,9 +793,9 @@ def decode_jpeg(buf: bytes):
                 vals = list(body[b + 17 : b + 17 + cnt])
                 htables[(cls, tid)] = _build_decode_map(bits, vals)
                 b += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if body[0] != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG precision supported")
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -562,10 +810,15 @@ def decode_jpeg(buf: bytes):
                         "tq": body[o + 2],
                     }
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG mode unsupported")
+            raise ValueError(
+                "JPEG mode unsupported (arithmetic/hierarchical/lossless)"
+            )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -577,10 +830,25 @@ def decode_jpeg(buf: bytes):
                 cid, tt = body[1 + si * 2], body[2 + si * 2]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan_comps.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                buf, pos, frame, scan_comps, qtables, htables, restart
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    buf, pos, frame, scan_comps, qtables, htables, restart
+                )
+            if prog_stores is None:
+                prog_stores = _alloc_progressive_stores(frame)
+            o = 1 + nscan * 2
+            ss, se = body[o], body[o + 1]
+            ah, al = body[o + 2] >> 4, body[o + 2] & 0x0F
+            pos = _decode_progressive_scan(
+                buf, pos, frame, scan_comps, htables, restart,
+                prog_stores, ss, se, ah, al,
             )
         # APPn / COM / others: skipped
+
+    if frame is not None and frame.get("progressive"):
+        if prog_stores is None:
+            raise ValueError("progressive JPEG with no scans")
+        return _reconstruct_progressive(frame, prog_stores, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -633,19 +901,10 @@ def _decode_scan(buf, pos, frame, scan_comps, qtables, htables, restart):
     # dequantize + IDCT, all blocks of a component in one einsum
     planes = []
     for ci, (c, _, _) in enumerate(scan_comps):
-        q = qtables[c["tq"]]
-        coefs = np.zeros_like(stores[ci], dtype=np.float64)
-        coefs[:, ZIGZAG] = stores[ci][:, :]  # dezigzag
-        coefs *= q  # row-major dequantize
-        blocks = coefs.reshape(-1, 8, 8)
-        pix = np.einsum("ji,njk,kl->nil", _DCT_C, blocks, _DCT_C) + 128.0
         sh = c["h"] if interleaved else 1
         sv = c["v"] if interleaved else 1
-        bw = mcus_x * sh
-        bh = mcus_y * sv
-        plane = (
-            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+        plane = _idct_plane(
+            stores[ci], qtables[c["tq"]], mcus_x * sh, mcus_y * sv
         )
         # upsample to full resolution by pixel repetition
         fy = max_v // c["v"] if interleaved else 1
@@ -653,7 +912,24 @@ def _decode_scan(buf, pos, frame, scan_comps, qtables, htables, restart):
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
+    return _planes_to_image(planes, w, h)
 
+
+def _idct_plane(zz_store: np.ndarray, q: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    """Dequantize + inverse DCT one component's zigzag coefficient store
+    ((bh*bw, 64) raster blocks) into a (bh*8, bw*8) pixel plane — all
+    blocks in one batched einsum."""
+    coefs = np.zeros_like(zz_store, dtype=np.float64)
+    coefs[:, ZIGZAG] = zz_store[:, :]  # dezigzag
+    coefs *= q  # row-major dequantize
+    blocks = coefs.reshape(-1, 8, 8)
+    pix = np.einsum("ji,njk,kl->nil", _DCT_C, blocks, _DCT_C) + 128.0
+    return (
+        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+
+
+def _planes_to_image(planes: list[np.ndarray], w: int, h: int):
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
         return out, w, h
@@ -665,3 +941,220 @@ def _decode_scan(buf, pos, frame, scan_comps, qtables, htables, restart):
         np.uint8
     )
     return out, w, h
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G). Coefficients accumulate across scans
+# into per-component zigzag stores sized on the frame's MCU grid; the
+# reconstruction tail (dequantize + batched-einsum IDCT + upsample) is the
+# same code path the baseline decoder uses.
+# ---------------------------------------------------------------------------
+
+
+def _frame_grid(frame) -> tuple[int, int, int, int]:
+    """(mcus_x, mcus_y, max_h, max_v) of the frame's MCU grid."""
+    max_h = max(c["h"] for c in frame["comps"])
+    max_v = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * max_h))
+    mcus_y = -(-frame["h"] // (8 * max_v))
+    return mcus_x, mcus_y, max_h, max_v
+
+
+def _alloc_progressive_stores(frame) -> list[np.ndarray]:
+    """One zigzag coefficient store per frame component, sized to the
+    MCU-padded block grid (stride = mcus_x * h_i), zero-initialized so
+    never-transmitted bands decode as zero coefficients."""
+    mcus_x, mcus_y, _, _ = _frame_grid(frame)
+    return [
+        np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _ni_block_grid(frame, c) -> tuple[int, int, int]:
+    """(blocks_wide, blocks_high, row_stride) of one component's
+    non-interleaved block grid inside its MCU-padded store — T.81 G.1:
+    single-component scans cover ceil(comp_dim/8), not the padded grid."""
+    mcus_x, _, max_h, max_v = _frame_grid(frame)
+    cw = -(-(frame["w"] * c["h"]) // max_h)
+    ch = -(-(frame["h"] * c["v"]) // max_v)
+    return -(-cw // 8), -(-ch // 8), mcus_x * c["h"]
+
+
+def _refine_ac_block(reader, zz, ss, se, al, ac_tab, eobrun) -> int:
+    """AC successive-approximation refinement for one block's band
+    (libjpeg jdphuff.c decode_mcu_AC_refine): newly-significant coefs
+    arrive as (r<<4)|1 + sign bit, already-significant coefs consume one
+    correction bit each as the run walk passes them; inside an EOB run
+    only correction bits remain. Returns the updated EOB run counter."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad successive-approx magnitude")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if reader.read_bit() and not (abs(cur) & p1):
+                        zz[k] = cur + (p1 if cur > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB region: correction bits only, for the rest of this block
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0 and reader.read_bit() and not (abs(cur) & p1):
+                zz[k] = cur + (p1 if cur > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _first_ac_block(reader, zz, ss, se, al, ac_tab, eobrun) -> int:
+    """AC first scan for one block's band: baseline run/size coding of
+    the point-transformed coefficients, plus EOBn symbols (s=0, r<15)
+    that start a run of 2^r (+appended bits) all-zero bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1  # this block ends the band now
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, scan_comps, htables, restart, stores, ss, se, ah, al
+) -> int:
+    """Decode one progressive scan's entropy data into the accumulated
+    coefficient stores; returns the buffer offset of the next marker.
+    Handles all four scan kinds (DC/AC x first/refine), interleaved and
+    single-component block order, and DRI restart resync (predictor +
+    EOB-run reset every `restart` MCU units)."""
+    mcus_x, mcus_y, _, _ = _frame_grid(frame)
+    comp_index = {id(c): i for i, c in enumerate(frame["comps"])}
+    reader = _BitReader(buf, pos)
+    eobrun = 0
+    preds = [0] * len(scan_comps)
+    unit = 0  # restart counter: MCUs (interleaved) or blocks (single-comp)
+
+    def maybe_restart():
+        nonlocal preds, eobrun
+        if restart and unit and unit % restart == 0:
+            reader.align_restart()
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+
+    if ss == 0:
+        if len(scan_comps) > 1:
+            order = []  # interleaved MCU order over all scan components
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    order.append(
+                        [
+                            (pi, c, (my * c["v"] + v) * mcus_x * c["h"]
+                             + mx * c["h"] + hh)
+                            for pi, (c, _, _) in enumerate(scan_comps)
+                            for v in range(c["v"])
+                            for hh in range(c["h"])
+                        ]
+                    )
+        else:
+            c = scan_comps[0][0]
+            bw_ni, bh_ni, stride = _ni_block_grid(frame, c)
+            order = [
+                [(0, c, by * stride + bx)]
+                for by in range(bh_ni)
+                for bx in range(bw_ni)
+            ]
+        for mcu in order:
+            maybe_restart()
+            for pi, c, bi in mcu:
+                store = stores[comp_index[id(c)]]
+                if ah == 0:
+                    dct = scan_comps[pi][1]
+                    s = _decode_symbol(reader, htables[(0, dct)])
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[pi] += diff
+                    store[bi][0] = preds[pi] << al
+                else:
+                    if reader.read_bit():
+                        store[bi][0] = int(store[bi][0]) | (1 << al)
+            unit += 1
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        c, _, act = scan_comps[0]
+        ac_tab = htables[(1, act)]
+        store = stores[comp_index[id(c)]]
+        bw_ni, bh_ni, stride = _ni_block_grid(frame, c)
+        block_fn = _first_ac_block if ah == 0 else _refine_ac_block
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                maybe_restart()
+                eobrun = block_fn(
+                    reader, store[by * stride + bx], ss, se, al, ac_tab,
+                    eobrun,
+                )
+                unit += 1
+
+    # skip to the next real marker (past stuffing and stray RSTn)
+    p = reader.pos
+    n = len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _reconstruct_progressive(frame, stores, qtables):
+    """Final dequantize + IDCT over the accumulated coefficient stores —
+    identical math to the baseline tail, so a fully-transmitted
+    progressive stream reproduces its baseline twin's pixels exactly."""
+    mcus_x, mcus_y, max_h, max_v = _frame_grid(frame)
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        plane = _idct_plane(
+            stores[ci], qtables[c["tq"]], mcus_x * c["h"], mcus_y * c["v"]
+        )
+        fy, fx = max_v // c["v"], max_h // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    return _planes_to_image(planes, w, h)
