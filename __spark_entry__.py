@@ -1200,6 +1200,134 @@ def q_media_jpeg_roundtrip(spark, sf):
     )
 
 
+def q_media_gif_roundtrip(spark, sf):
+    """Animated-GIF codec proof, oracle-gated. GIF is LOSSLESS over
+    indexed color, so (unlike JPEG) the oracle fully recomputes decoded
+    pixels: frame f of image i holds 8x8 gray pixels whose level is
+    (first md5 nibble of 'i:f:x') % 4 scaled by 85. Spark encodes a
+    3-frame animation (gif.encode_gif: real LZW), decodes it back
+    (gif.decode_gif: LZW + compositing), and emits per-frame pixel sums
+    the DuckDB oracle rebuilds from the md5 formula, plus n_bad =
+    mismatched-pixel count pinned to 0 — constants only a real
+    distributed decode can produce."""
+    import pandas as _pd
+
+    from sparkcheck.gif import decode_gif, encode_gif
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                orig = []
+                for f in range(3):
+                    lv = [
+                        (int(_h.md5(f"{i}:{f}:{x}".encode()).hexdigest()[0], 16) % 4) * 85
+                        for x in range(64)
+                    ]
+                    orig.append(
+                        _np.array(lv, dtype=_np.uint8).reshape(8, 8)
+                    )
+                frames, w, h, _delays = decode_gif(
+                    encode_gif(orig, delays_cs=[10, 10, 10])
+                )
+                for f, (a, o) in enumerate(zip(frames, orig)):
+                    exp = _np.stack([o] * 3, axis=2)
+                    out.append((
+                        f"gif{i}", f, w, h,
+                        int(a[:, :, 0].astype(_np.int64).sum()),
+                        int((a != exp).sum()),
+                    ))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "frame_index", "width", "height",
+                    "px_sum", "n_bad",
+                ],
+            )
+
+    schema = (
+        "media_ref string, frame_index long, width long, height long, "
+        "px_sum long, n_bad long"
+    )
+    return (
+        spark.range(12).repartition(4).mapInPandas(gen, schema)
+        .orderBy("media_ref", "frame_index")
+    )
+
+
+def q_media_progressive_jpeg(spark, sf):
+    """Progressive (SOF2) JPEG proof, oracle-gated via the same
+    flat-block DC envelope as media_jpeg_roundtrip PLUS the differential
+    invariant: a progressive stream carries the same quantized
+    coefficients as its baseline twin, so twin_equal (bit-identical
+    decodes) is pinned to 1 and n_bad (progressive decode vs the
+    original flat levels, off by more than 1) to 0."""
+    import pandas as _pd
+
+    from sparkcheck.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                levels = [
+                    int(_h.md5(f"{i}:{b}".encode()).hexdigest()[:2], 16)
+                    for b in range(4)
+                ]
+                img = _np.zeros((16, 16), dtype=_np.uint8)
+                img[:8, :8] = levels[0]
+                img[:8, 8:] = levels[1]
+                img[8:, :8] = levels[2]
+                img[8:, 8:] = levels[3]
+                base, _, _ = decode_jpeg(encode_jpeg(img, quality=95))
+                prog, w, h = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=95)
+                )
+                n_bad = int(
+                    (
+                        _np.abs(
+                            prog[:, :, 0].astype(_np.int64)
+                            - img.astype(_np.int64)
+                        )
+                        > 1
+                    ).sum()
+                )
+                out.append((
+                    f"pjpg{i}", w, h, sum(levels), n_bad,
+                    int(_np.array_equal(base, prog)),
+                ))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "width", "height", "level_sum",
+                    "n_bad", "twin_equal",
+                ],
+            )
+
+    schema = (
+        "media_ref string, width long, height long, "
+        "level_sum long, n_bad long, twin_equal long"
+    )
+    return (
+        spark.range(16).repartition(4).mapInPandas(gen, schema)
+        .orderBy("media_ref")
+    )
+
+
 def q_fused_validation_documents(spark, sf):
     """Single-scan fused validation (fused.validate_and_extract): the
     suite's whole-table aggregates (null count, regex violations, row
@@ -1998,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_roundtrip": q_media_png_roundtrip,
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+        "media_gif_roundtrip": q_media_gif_roundtrip,
+        "media_progressive_jpeg": q_media_progressive_jpeg,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
         "regex_inference_documents": q_regex_inference_documents,
@@ -3109,6 +3239,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'jpg' || i AS media_ref, 16::BIGINT AS width, "
             "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
             "0::BIGINT AS n_bad FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "media_gif_roundtrip": (
+            # GIF is lossless: per-frame pixel sums recomputed straight
+            # from the md5 level formula; n_bad pinned to 0
+            "WITH imgs AS (SELECT unnest(range(0, 12))::INT AS i), "
+            "fr AS (SELECT i, unnest(range(0, 3))::INT AS f FROM imgs), "
+            "px AS (SELECT i, f, unnest(range(0, 64))::INT AS x FROM fr), "
+            "v AS (SELECT i, f, "
+            + "({nib} % 4) * 85".format(
+                nib=_nib("md5(i || ':' || f || ':' || x)", 1)
+            )
+            + " AS val FROM px) "
+            "SELECT 'gif' || i AS media_ref, f::BIGINT AS frame_index, "
+            "8::BIGINT AS width, 8::BIGINT AS height, "
+            "sum(val)::BIGINT AS px_sum, 0::BIGINT AS n_bad "
+            "FROM v GROUP BY i, f ORDER BY media_ref, frame_index"
+        ),
+        "media_progressive_jpeg": (
+            # same DC-envelope oracle as media_jpeg_roundtrip, plus the
+            # differential pin: progressive decode == baseline decode
+            "WITH imgs AS (SELECT unnest(range(0, 16))::INT AS i), "
+            "lv AS (SELECT i, unnest(range(0, 4))::INT AS b FROM imgs), "
+            "v AS (SELECT i, "
+            + (
+                lambda h: f"({_nib(h, 1)} * 16 + {_nib(h, 2)})"
+            )("md5(i || ':' || b)")
+            + " AS lvl FROM lv) "
+            "SELECT 'pjpg' || i AS media_ref, 16::BIGINT AS width, "
+            "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
+            "0::BIGINT AS n_bad, 1::BIGINT AS twin_equal "
+            "FROM v GROUP BY i ORDER BY media_ref"
         ),
         "media_png_roundtrip": (
             # luma recomputed straight from the md5 pixel formula — no

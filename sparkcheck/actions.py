@@ -412,6 +412,37 @@ class StoreMetricsAction(ValidationAction):
         return {"metrics_written": len(rows)}
 
 
+class StoreEvaluationParametersAction(ValidationAction):
+    """Persist the run's EVRs into the evaluation-parameter store so later
+    suites can reference them through
+    ``urn:great_expectations:validations:<suite>:<metric>`` (reference:
+    StoreEvaluationParametersAction, checkpoint/actions.py:911-972 —
+    there it forwards to data_context.store_evaluation_parameters; here
+    the target is the checkpoint's ParquetStore and
+    runner.resolve_validation_urn serves the reads)."""
+
+    name = "store_evaluation_parameters"
+
+    def _run(self, result, context):
+        from .runner import store_validation_result
+
+        store, spark = context.get("store"), context.get("spark")
+        if store is None or spark is None:
+            raise ValueError(
+                "store_evaluation_parameters needs the checkpoint to have "
+                "a 'store' and 'spark' in its context"
+            )
+        rep = result.get("result") or {}
+        store_validation_result(
+            store,
+            spark,
+            rep,
+            suite_name=context.get("suite_name"),
+            run_id=str(result.get("run_id") or "adhoc"),
+        )
+        return {"evrs_written": len(rep.get("results") or [])}
+
+
 class UpdateDataDocsAction(ValidationAction):
     """Re-render the static data-docs site from the checkpoint's results
     store after the run (reference: UpdateDataDocsAction). Needs the
@@ -440,6 +471,7 @@ _ACTION_TYPES: dict[str, type[ValidationAction]] = {
     "slack": SlackNotificationAction,
     "teams": TeamsNotificationAction,
     "store_metrics": StoreMetricsAction,
+    "store_evaluation_parameters": StoreEvaluationParametersAction,
     "email": EmailAction,
     "update_data_docs": UpdateDataDocsAction,
 }

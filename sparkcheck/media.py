@@ -7,9 +7,11 @@ cross to Python once per Arrow batch (not per row), are processed
 vectorized, and only the (small) features come back.
 
 Real pure-python codecs (no PIL/ffmpeg in this container): PPM/PGM,
-8-bit PNG, and baseline JPEG images (``decode_ppm``/``decode_png``/
-``jpeg.decode_jpeg``), integer-PCM RIFF/WAVE
-audio (``decode_wav``). For every OTHER format ``decode_image``/
+8-bit PNG, baseline + progressive JPEG, and GIF images
+(``decode_ppm``/``decode_png``/``jpeg.decode_jpeg``/``gif.decode_gif``
+— animated GIF composites real frames, so ``sample_frames`` has a real
+path too), integer-PCM RIFF/WAVE audio (``decode_wav``). For every
+OTHER format ``decode_image``/
 ``decode_audio`` raise NotImplementedError unless ``fake=True``, in which
 case a deterministic fake decoder (derived from the byte content) stands
 in so the Spark-side plumbing — schema, batch shape, partitioning — is
@@ -245,9 +247,11 @@ def _luma_of(arr) -> float:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
-    """Image features. PPM/PGM, 8-bit PNG, and baseline JPEG decodes are
-    REAL (stdlib zlib + numpy — see jpeg.py for the JFIF envelope); other
-    formats need PIL/opencv (not in this container) unless fake=True."""
+    """Image features. PPM/PGM, 8-bit PNG, JPEG (baseline + progressive),
+    and GIF decodes are REAL (stdlib zlib + numpy — see jpeg.py / gif.py
+    for the envelopes; a multi-frame GIF reports its first composited
+    frame); other formats need PIL/opencv (not in this container) unless
+    fake=True."""
     if not fake:
         try:
             arr, width, height = decode_ppm(buf)
@@ -259,12 +263,18 @@ def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
                     from .jpeg import decode_jpeg
 
                     arr, width, height = decode_jpeg(buf)
-                except ValueError as e:
-                    raise NotImplementedError(
-                        "non-PPM/PNG/baseline-JPEG decode requires "
-                        "PIL/opencv — not installed; pass fake=True for "
-                        "the deterministic stand-in"
-                    ) from e
+                except ValueError:
+                    try:
+                        from .gif import decode_gif
+
+                        frames, width, height, _ = decode_gif(buf)
+                        arr = frames[0]
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            "non-PPM/PNG/JPEG/GIF decode requires "
+                            "PIL/opencv — not installed; pass fake=True "
+                            "for the deterministic stand-in"
+                        ) from e
         return {
             "width": width,
             "height": height,
@@ -306,15 +316,34 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Frame sampling for video rows: emits 0..k rows per input row (the
-    mapInPandas contract allows fan-out). The fake path derives a
-    deterministic frame count from the payload size."""
+    mapInPandas contract allows fan-out). With ``fake=False``, animated
+    GIF payloads REALLY decode (gif.py: LZW + disposal compositing) and
+    each sampled row's digest is the sha256 of that frame's composited
+    RGB pixels; other containers (mp4/webm/...) need ffmpeg and raise.
+    The fake path derives a deterministic frame count from the payload
+    size so non-decodable plumbing stays testable end-to-end."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, idxs, hashes = [], [], []
             for ref, buf in zip(pdf["media_ref"], pdf["media_bytes"]):
                 if not fake:
-                    raise NotImplementedError("real video decode requires ffmpeg")
+                    try:
+                        from .gif import decode_gif
+
+                        frames, _, _, _ = decode_gif(buf)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            "real frame sampling covers animated GIF; "
+                            "other containers require ffmpeg"
+                        ) from e
+                    for i in range(0, len(frames), every_n):
+                        refs.append(ref)
+                        idxs.append(i)
+                        hashes.append(
+                            hashlib.sha256(frames[i].tobytes()).hexdigest()
+                        )
+                    continue
                 n_frames = max(1, len(buf) // 32)
                 for i in range(0, n_frames, every_n):
                     refs.append(ref)

@@ -444,6 +444,39 @@ def test_store_metrics_action_routes_into_store(spark, tmp_path):
     assert m["run_id"] == "run-2024-01-02" and m["suite"] == "docs_suite"
 
 
+def test_store_evaluation_parameters_action_feeds_urns(spark, tmp_path):
+    """The action routes the run's EVRs into the evaluation-parameter
+    store, and a later suite's URN reference resolves against them —
+    the reference's StoreEvaluationParametersAction contract."""
+    from sparkcheck.actions import StoreEvaluationParametersAction
+    from sparkcheck.runner import ParquetStore, resolve_validation_urn
+
+    store = ParquetStore(str(tmp_path / "epstore"))
+    act = StoreEvaluationParametersAction()
+    out = act.run(
+        _rich_result(False),
+        {"suite_name": "docs_suite", "store": store, "spark": spark},
+    )
+    assert out == {"status": "ok", "evrs_written": 3}
+    v = resolve_validation_urn(
+        store, spark,
+        "urn:great_expectations:validations:docs_suite:"
+        "expect_table_row_count_to_be_between.result.observed_value",
+    )
+    assert v == 3000
+    # config-addressable + notify_on gating like every other action
+    gated = action_from_config(
+        {"type": "store_evaluation_parameters", "notify_on": "failure"}
+    )
+    out = gated.run(
+        _rich_result(True),
+        {"suite_name": "docs_suite", "store": store, "spark": spark},
+    )
+    assert out["status"] == "skipped"
+    out = StoreEvaluationParametersAction().run(_rich_result(False), {})
+    assert out["status"] == "error" and "store" in out["error"]
+
+
 def test_store_metrics_requires_store_and_config():
     from sparkcheck.actions import StoreMetricsAction
 

@@ -39,6 +39,8 @@ def _cases():
     out = []
     for path in sorted(FIXTURE_DIR.glob("*.json")):
         spec = json.loads(path.read_text())
+        if "datasets" not in spec:
+            continue  # not a test-definition file (e.g. notification payload fixtures)
         # multi-table files (row_count_to_equal_other_table): sibling
         # datasets in the same file are registered as named tables
         needs_siblings = any(
