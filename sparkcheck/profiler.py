@@ -241,6 +241,32 @@ def _resolve_domain(dom: dict[str, Any] | None, dtypes: dict[str, str]) -> list[
     return cols
 
 
+_VARIABLES_PREFIX = "$variables."
+
+
+def _substitute_variables(node: Any, variables: dict[str, Any]) -> Any:
+    """Reference semantics (rule_based_profiler/parameter_container.py):
+    a param whose WHOLE value is ``"$variables.<dotted.path>"`` resolves
+    from the config's ``variables`` map; unknown names raise. Strings
+    merely containing the prefix mid-text pass through unchanged, as do
+    all non-string leaves."""
+    if isinstance(node, dict):
+        return {k: _substitute_variables(v, variables) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_substitute_variables(v, variables) for v in node]
+    if isinstance(node, str) and node.startswith(_VARIABLES_PREFIX):
+        cur: Any = variables
+        for part in node[len(_VARIABLES_PREFIX):].split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                raise ValueError(
+                    f"unresolved profiler variable {node!r}; defined: "
+                    f"{sorted(variables)}"
+                )
+            cur = cur[part]
+        return cur
+    return node
+
+
 def profile_suite_with_rules(
     df: DataFrame,
     config: dict[str, Any] | None = None,
@@ -269,9 +295,24 @@ def profile_suite_with_rules(
 
     Different configs over the same batch produce different suites from the
     SAME single stats pass (the union of every rule's quantile list rides
-    one percentile_approx)."""
+    one percentile_approx).
+
+    ``config["variables"]`` holds shared values any param/domain field can
+    reference as the string ``"$variables.<name>"`` (dotted paths reach
+    nested maps) — the reference's variable-substitution mechanism
+    (rule_based_profiler: VariablesConfig + "$variables." lookups), so one
+    knob (e.g. slack) is set once and reused across rules. Unknown
+    variable names raise ValueError up front.
+
+    The returned suite's ``meta["rule_diagnostics"]`` records, per rule,
+    the resolved domain columns, families, and how many expectations it
+    emitted — the reference profiler's self_check surface, enough to see
+    why a rule matched nothing without re-running."""
     config = config or DEFAULT_RULE_CONFIG
-    rules = config.get("rules") or []
+    variables = config.get("variables") or {}
+    rules = [
+        _substitute_variables(r, variables) for r in (config.get("rules") or [])
+    ]
     unknown = {
         f for r in rules for f in r.get("families", []) if f not in FAMILIES
     }
@@ -294,11 +335,13 @@ def profile_suite_with_rules(
         suite.add("expect_table_row_count_to_be_between", min_value=0)
         return suite
 
-    for rule in rules:
+    diagnostics: dict[str, dict[str, Any]] = {}
+    for ri, rule in enumerate(rules):
         params = rule.get("params") or {}
         slack = float(params.get("slack", 0.1))
         fams = rule.get("families") or []
         cols = _resolve_domain(rule.get("domain"), dtypes)
+        n_before = len(suite.expectations)
 
         # inferred-pattern families: candidate evaluation is its own fused
         # agg per rule (all domain columns x all candidates in one pass) —
@@ -418,6 +461,12 @@ def profile_suite_with_rules(
                         "expect_column_values_to_be_in_set",
                         column=c, value_set=sorted(values),
                     )
+        diagnostics[str(rule.get("name", f"rule_{ri}"))] = {
+            "columns": cols,
+            "families": list(fams),
+            "expectations_emitted": len(suite.expectations) - n_before,
+        }
+    suite.meta["rule_diagnostics"] = diagnostics
     return suite
 
 

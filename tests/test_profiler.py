@@ -3,6 +3,7 @@ catches shape drift on a different batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkcheck import validate_df
@@ -135,6 +136,71 @@ def test_rules_domain_filters(spark, orders):
     assert "o_totalprice" in cols
     assert "o_orderkey" not in cols and "o_custkey" not in cols
     assert "o_orderstatus" not in cols  # string excluded by type
+
+
+def test_rules_variable_substitution(spark, orders):
+    """$variables.<name> resolves anywhere in rule params/domains (the
+    reference's VariablesConfig mechanism): one shared knob drives many
+    rules, dotted paths reach nested maps, unknown names raise."""
+    from sparkcheck.profiler import profile_suite_with_rules
+
+    cfg = {
+        "variables": {
+            "tight_slack": 0.01,
+            "quantiles": {"quartiles": [0.25, 0.5, 0.75]},
+            "price_cols": ["o_totalprice"],
+        },
+        "rules": [
+            {"name": "prices",
+             "domain": {"include": "$variables.price_cols"},
+             "families": ["between", "quantiles"],
+             "params": {"slack": "$variables.tight_slack",
+                        "quantiles": "$variables.quantiles.quartiles"}},
+        ],
+    }
+    suite = profile_suite_with_rules(orders, cfg)
+    q = [e for e in suite.expectations
+         if e.expectation_type == "expect_column_quantile_values_to_be_between"]
+    assert q and q[0].kwargs["column"] == "o_totalprice"
+    assert q[0].kwargs["quantile_ranges"]["quantiles"] == [0.25, 0.5, 0.75]
+    # the substituted config must be equivalent to writing values inline
+    inline = profile_suite_with_rules(orders, {
+        "rules": [
+            {"name": "prices", "domain": {"include": ["o_totalprice"]},
+             "families": ["between", "quantiles"],
+             "params": {"slack": 0.01, "quantiles": [0.25, 0.5, 0.75]}},
+        ]
+    })
+    assert ([(e.expectation_type, e.kwargs) for e in suite.expectations]
+            == [(e.expectation_type, e.kwargs) for e in inline.expectations])
+    with pytest.raises(ValueError, match="unresolved profiler variable"):
+        profile_suite_with_rules(orders, {
+            "variables": {"a": 1},
+            "rules": [{"name": "r", "families": ["row_count"],
+                       "params": {"row_count_factor": "$variables.missing"}}],
+        })
+
+
+def test_rules_self_check_diagnostics(spark, orders):
+    """meta['rule_diagnostics'] is the self_check surface: per rule the
+    resolved columns, families, and emitted-expectation count — a rule
+    whose domain matches nothing shows 0 emitted instead of vanishing."""
+    from sparkcheck.profiler import profile_suite_with_rules
+
+    suite = profile_suite_with_rules(orders, {
+        "rules": [
+            {"name": "keys", "domain": {"name_regex": "key$"},
+             "families": ["not_null"]},
+            {"name": "ghost", "domain": {"name_regex": "no_such_col"},
+             "families": ["between"]},
+        ]
+    })
+    diag = suite.meta["rule_diagnostics"]
+    assert set(diag) == {"keys", "ghost"}
+    assert set(diag["keys"]["columns"]) == {"o_orderkey", "o_custkey"}
+    assert diag["keys"]["expectations_emitted"] == 2
+    assert diag["ghost"]["columns"] == []
+    assert diag["ghost"]["expectations_emitted"] == 0
 
 
 def test_rules_unknown_family_rejected(spark, orders):
