@@ -1328,6 +1328,78 @@ def q_media_progressive_jpeg(spark, sf):
     )
 
 
+def q_media_decodable_validation(spark, sf):
+    """expect_column_values_to_be_media_decodable run as a SUITE MEMBER
+    over a deterministic mixed-payload media table: per id, a real PNG
+    (id%4==0), real baseline JPEG (1), real animated GIF (2), or real WAV
+    (3); ids %5==0 additionally truncate the payload to 60% (still a
+    valid-looking header — only a FULL decode catches it) and ids %7==0
+    replace it with non-media bytes. The EVR's element/missing/unexpected
+    counts are pinned by construction; the unrestricted and the
+    formats=[png,jpeg]-restricted expectations both run, so the oracle
+    checks 2 rows of counts only an actual Arrow-batched decode can
+    produce. 48 ids: 10 truncated (%5), 6 garbage (%7 not %5-overlapping
+    counted once), rest decodable."""
+    import pandas as _pd
+
+    from sparkcheck import ExpectationSuite, validate_df
+    from sparkcheck.gif import encode_gif
+    from sparkcheck.jpeg import encode_jpeg
+    from sparkcheck.media import encode_png, encode_wav
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                img = (_np.arange(64, dtype=_np.int64) * (i + 3) % 256).astype(
+                    _np.uint8
+                ).reshape(8, 8)
+                kind = i % 4
+                if kind == 0:
+                    buf = encode_png(_np.stack([img] * 3, axis=2))
+                elif kind == 1:
+                    buf = encode_jpeg(img)
+                elif kind == 2:
+                    buf = encode_gif([img // 64 * 64, img // 32 * 32])
+                else:
+                    buf = encode_wav(
+                        (img.reshape(-1, 1).astype(_np.int16) * 64), 8000
+                    )
+                if i % 5 == 0:
+                    buf = buf[: int(len(buf) * 0.6)]
+                elif i % 7 == 0:
+                    buf = b"\x00riff-not-really" * 8
+                rows.append((i, bytearray(buf)))
+            yield _pd.DataFrame(rows, columns=["id", "payload"])
+
+    media = spark.range(48).repartition(4).mapInPandas(
+        gen, "id long, payload binary"
+    )
+    suite = ExpectationSuite("media_decodable")
+    suite.add("expect_column_values_to_be_media_decodable", column="payload")
+    suite.add(
+        "expect_column_values_to_be_media_decodable",
+        column="payload", formats=["png", "jpeg"],
+    )
+    rep = validate_df(media, suite)
+    rows = [
+        (
+            r["expectation_config"]["kwargs"].get("formats", ["any"])[0],
+            int(r["result"]["element_count"]),
+            int(r["result"]["unexpected_count"]),
+            int(r["success"]),
+        )
+        for r in rep["results"]
+    ]
+    return spark.createDataFrame(
+        rows, "first_format string, element_count long, "
+        "unexpected_count long, success long"
+    ).orderBy("first_format")
+
+
 def q_fused_validation_documents(spark, sf):
     """Single-scan fused validation (fused.validate_and_extract): the
     suite's whole-table aggregates (null count, regex violations, row
@@ -2127,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_roundtrip": q_media_wav_roundtrip,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "media_gif_roundtrip": q_media_gif_roundtrip,
+        "media_decodable_validation": q_media_decodable_validation,
         "media_progressive_jpeg": q_media_progressive_jpeg,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
@@ -3239,6 +3312,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'jpg' || i AS media_ref, 16::BIGINT AS width, "
             "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
             "0::BIGINT AS n_bad FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "media_decodable_validation": (
+            # counts pinned by construction: 48 payloads, 10 truncated
+            # (%5) + 5 garbage (%7, non-overlapping) = 15 undecodable;
+            # restricting to png/jpeg flips the 17 healthy gif/wav
+            # payloads too (33 good ids, %4 in {2,3} -> 17) -> 32
+            "SELECT * FROM (VALUES "
+            "('any', 48::BIGINT, 15::BIGINT, 0::BIGINT), "
+            "('png', 48::BIGINT, 32::BIGINT, 0::BIGINT)) "
+            "AS t(first_format, element_count, unexpected_count, success) "
+            "ORDER BY first_format"
         ),
         "media_gif_roundtrip": (
             # GIF is lossless: per-frame pixel sums recomputed straight

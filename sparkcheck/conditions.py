@@ -596,3 +596,56 @@ def _match_json_schema(domain: Domain, kw: dict) -> Column:
     # reference: column_values_match_json_schema.py:41-65 (per-row udf);
     # ours: Arrow-batched with an import-gated jsonschema dependency
     return _json_schema_udf(dict(kw["json_schema"]))(F.col(domain.column))
+
+
+def _media_decodable_udf(formats):
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    @F.pandas_udf(T.BooleanType())
+    def ok(s: pd.Series) -> pd.Series:
+        from .media import try_decode  # noqa: PLC0415 — import on executor
+
+        return s.map(
+            lambda v: None if v is None else try_decode(v, formats) is not None
+        )
+
+    return ok
+
+
+def _binary_only_guard(expectation: str):
+    def guard(dtype: str, kw: dict) -> None:
+        if dtype != "binary":
+            raise TypeError(
+                f"Values passed to {expectation} must be of type binary "
+                f"(got {dtype}); media payload columns are opaque bytes."
+            )
+
+    return guard
+
+
+@condition(
+    "column_values.media_decodable",
+    is_window=True,
+    type_guard=_binary_only_guard("expect_column_values_to_be_media_decodable"),
+)
+def _media_decodable(domain: Domain, kw: dict) -> Column:
+    # no reference analog (GX treats binaries as opaque): a media payload
+    # column validates by REALLY decoding each payload against the
+    # pure-python codecs (media.try_decode: ppm/png/jpeg-incl-progressive/
+    # gif-incl-animated/wav) in an Arrow-batched pandas UDF — full decode,
+    # not a magic-byte sniff, so truncation and bit-rot past the header
+    # are unexpected values. kwargs: formats=["png", ...] narrows the
+    # accepted set (validated eagerly on the driver so a typo fails the
+    # suite loudly, not per-batch on executors).
+    formats = kw.get("formats")
+    if formats is not None:
+        from .media import _decoders  # noqa: PLC0415
+
+        formats = list(formats)
+        unknown = [f for f in formats if f not in _decoders()]
+        if unknown:
+            raise ValueError(
+                f"unknown media formats {unknown}; "
+                f"known: {sorted(_decoders())}"
+            )
+    return _media_decodable_udf(formats)(F.col(domain.column))

@@ -921,3 +921,10 @@ register_expectation(
         ("json_schema",),
     )
 )
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_values_to_be_media_decodable",
+        "column_values.media_decodable",
+        ("formats",),
+    )
+)

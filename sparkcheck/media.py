@@ -284,6 +284,51 @@ def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
     return _fake_image_decode(buf)
 
 
+#: real codecs available to try_decode, in sniff order; each entry is
+#: (format name, decode callable) — decode raises ValueError on bytes
+#: outside its envelope
+def _decoders():
+    from .gif import decode_gif  # noqa: PLC0415
+    from .jpeg import decode_jpeg  # noqa: PLC0415
+
+    return {
+        "ppm": decode_ppm,
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "gif": decode_gif,
+        "wav": decode_wav,
+    }
+
+
+def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
+    """Attempt a REAL decode of ``buf`` against the pure-python codecs
+    (ppm/pgm, png, jpeg incl. progressive, gif incl. animated, wav);
+    returns the format name that decoded, or None. ``formats`` restricts
+    which codecs count (e.g. ["png", "jpeg"] for an image-only column).
+    This is a full decode, not a magic-byte sniff — truncated or corrupt
+    payloads with intact headers return None."""
+    if buf is None:
+        return None
+    decs = _decoders()
+    if formats is not None:
+        unknown = [f for f in formats if f not in decs]
+        if unknown:
+            raise ValueError(
+                f"unknown media formats {unknown}; known: {sorted(decs)}"
+            )
+        decs = {f: decs[f] for f in formats}
+    for name, dec in decs.items():
+        try:
+            dec(bytes(buf))
+            return name
+        except Exception:  # noqa: BLE001 — truncated/corrupt payloads can
+            # raise anything the codec's guts hit first (zlib.error,
+            # struct.error, Index/KeyError past a lying header); for a
+            # decodability check every failure means the same thing
+            continue
+    return None
+
+
 def resize_image(buf: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize of a PPM/PGM payload — numpy-only, the real
     transform for the one codec-free format; interpolating resizes belong

@@ -238,6 +238,59 @@ def test_match_json_schema(spark):
     assert r["result"]["unexpected_count"] == 2  # {"b":2} and "nope"
 
 
+def test_media_decodable_expectation(spark):
+    """expect_column_values_to_be_media_decodable: a binary payload column
+    validates by REALLY decoding (Arrow-batched pandas UDF over the
+    pure-python codecs). Corrupt/truncated payloads and format-list
+    mismatches are unexpected; NULL payloads are missing, not unexpected."""
+    import numpy as np
+
+    from sparkcheck.gif import encode_gif
+    from sparkcheck.jpeg import encode_jpeg
+    from sparkcheck.media import encode_png, encode_wav
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = bytearray(encode_png(np.stack([img] * 3, axis=2)))
+    jpg = bytearray(encode_jpeg(img))
+    gif = bytearray(encode_gif(img // 32 * 32))
+    wav = bytearray(encode_wav(np.zeros((100, 1), dtype=np.int16), 8000))
+    truncated = bytearray(bytes(png[: len(png) // 2]))
+    garbage = bytearray(b"\x00\x01\x02mp4?" * 10)
+    df = spark.createDataFrame(
+        [(png,), (jpg,), (gif,), (wav,), (truncated,), (garbage,), (None,)],
+        "payload binary",
+    )
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload"}})
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 2  # truncated + garbage
+
+    # format restriction: only png/jpeg count -> gif and wav flip to bad
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "formats": ["png", "jpeg"]}})
+    assert r["result"]["unexpected_count"] == 4
+    # mostly makes the mixed column pass
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "mostly": 0.6}})
+    assert r["success"]
+    # unknown format name -> failed EVR with a loud exception, not a crash
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "formats": ["mp4"]}})
+    assert not r["success"] and "unknown media formats" in str(
+        r["exception_info"]
+    )
+    # non-binary column -> reference-style type guard
+    sdf = spark.createDataFrame([("x",)], "s string")
+    r = _one(sdf, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "s"}})
+    assert not r["success"] and "binary" in str(r["exception_info"])
+
+
 def test_evaluation_parameters(spark, orders):
     r = _one(
         orders,
