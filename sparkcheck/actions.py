@@ -314,6 +314,145 @@ class TeamsNotificationAction(WebhookAction):
             return {"http_status": resp.status}
 
 
+class PagerdutyAlertAction(WebhookAction):
+    """POST a PagerDuty Events-API-v2 event (reference:
+    PagerdutyAlertAction, checkpoint/actions.py:330-421 — there via pypd;
+    here the documented v2 enqueue endpoint directly, same body:
+    dedup_key = suite name so repeated failures of one suite collapse
+    into one incident). ``url`` overrides the public endpoint for tests
+    or EU routing."""
+
+    name = "pagerduty"
+
+    def __init__(
+        self,
+        routing_key: str,
+        notify_on: str = "failure",
+        severity: str = "critical",
+        url: str = "https://events.pagerduty.com/v2/enqueue",
+        timeout: float = 5.0,
+    ):
+        super().__init__(url, notify_on=notify_on, timeout=timeout)
+        if not routing_key:
+            raise ValueError("pagerduty needs a routing_key")
+        self.routing_key = routing_key
+        self.severity = severity
+
+    def _run(self, result, context):
+        from .notify import render_pagerduty_event
+
+        body = render_pagerduty_event(
+            result, context, self.routing_key, severity=self.severity
+        )
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
+
+class OpsgenieAlertAction(WebhookAction):
+    """POST an Opsgenie v2 alert (reference: OpsgenieAlertAction +
+    send_opsgenie_alert, checkpoint/actions.py:542-660 +
+    checkpoint/util.py:71-101 — same body and GenieKey auth header;
+    ``region`` picks the EU host exactly as the reference does)."""
+
+    name = "opsgenie"
+
+    def __init__(
+        self,
+        api_key: str,
+        notify_on: str = "failure",
+        priority: str = "P3",
+        tags: list[str] | None = None,
+        region: str | None = None,
+        url: str | None = None,
+        timeout: float = 5.0,
+    ):
+        if url is None:
+            host = f"api.{region}.opsgenie.com" if region else "api.opsgenie.com"
+            url = f"https://{host}/v2/alerts"
+        super().__init__(url, notify_on=notify_on, timeout=timeout)
+        if not api_key:
+            raise ValueError("opsgenie needs an api_key")
+        self.api_key = api_key
+        self.priority = priority
+        self.tags = list(tags or [])
+
+    def _run(self, result, context):
+        from .notify import render_opsgenie_alert
+
+        body = render_opsgenie_alert(
+            result, context, priority=self.priority, tags=self.tags
+        )
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"GenieKey {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
+
+class SNSNotificationAction(ValidationAction):
+    """Publish the summary payload to an AWS SNS topic (reference:
+    SNSNotificationAction + send_sns_notification,
+    checkpoint/actions.py:1166-1230 + checkpoint/util.py:490-520 — same
+    publish kwargs: TopicArn, Subject defaulting to the suite name,
+    JSON message). boto3 is import-gated at construction; ``publish_fn``
+    injects the transport for tests (called with the publish kwargs)."""
+
+    name = "sns"
+
+    def __init__(
+        self,
+        sns_topic_arn: str,
+        sns_message_subject: str | None = None,
+        notify_on: str = "all",
+        publish_fn=None,
+    ):
+        super().__init__(notify_on)
+        if not sns_topic_arn:
+            raise ValueError("sns needs a topic arn")
+        self.sns_topic_arn = sns_topic_arn
+        self.sns_message_subject = sns_message_subject
+        if publish_fn is None:
+            try:
+                import boto3  # noqa: PLC0415
+
+                self._boto3 = boto3
+            except ImportError as e:  # pragma: no cover
+                raise ImportError("SNSNotificationAction requires boto3") from e
+            publish_fn = self._boto3_publish
+        self.publish_fn = publish_fn
+
+    def _boto3_publish(self, **kwargs):  # pragma: no cover — needs AWS creds
+        return self._boto3.client("sns").publish(**kwargs)
+
+    def _run(self, result, context):
+        subject = self.sns_message_subject or context.get("suite_name") or "sparkcheck"
+        payload = self.summary_payload(result, context)
+        out = self.publish_fn(
+            TopicArn=self.sns_topic_arn,
+            Subject=str(subject),
+            Message=json.dumps(payload, default=str),
+            MessageAttributes={
+                "String": {
+                    "DataType": "String.Array",
+                    "StringValue": "ValidationResults",
+                },
+            },
+        )
+        return {"message_id": (out or {}).get("MessageId")}
+
+
 class StoreMetricsAction(ValidationAction):
     """Persist selected metrics from the run into the store's ``metrics``
     table (reference: StoreMetricsAction, checkpoint/actions.py:911-1066 —
@@ -470,6 +609,9 @@ _ACTION_TYPES: dict[str, type[ValidationAction]] = {
     "webhook": WebhookAction,
     "slack": SlackNotificationAction,
     "teams": TeamsNotificationAction,
+    "pagerduty": PagerdutyAlertAction,
+    "opsgenie": OpsgenieAlertAction,
+    "sns": SNSNotificationAction,
     "store_metrics": StoreMetricsAction,
     "store_evaluation_parameters": StoreEvaluationParametersAction,
     "email": EmailAction,

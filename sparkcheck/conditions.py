@@ -598,15 +598,16 @@ def _match_json_schema(domain: Domain, kw: dict) -> Column:
     return _json_schema_udf(dict(kw["json_schema"]))(F.col(domain.column))
 
 
-def _media_decodable_udf(formats):
+def _media_decodable_udf(formats, check: str):
     from pyspark.sql import types as T  # noqa: PLC0415
 
     @F.pandas_udf(T.BooleanType())
     def ok(s: pd.Series) -> pd.Series:
-        from .media import try_decode  # noqa: PLC0415 — import on executor
+        from .media import sniff_media, try_decode  # noqa: PLC0415 — executor-side
 
+        probe = sniff_media if check == "header" else try_decode
         return s.map(
-            lambda v: None if v is None else try_decode(v, formats) is not None
+            lambda v: None if v is None else probe(v, formats) is not None
         )
 
     return ok
@@ -636,8 +637,17 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
     # not a magic-byte sniff, so truncation and bit-rot past the header
     # are unexpected values. kwargs: formats=["png", ...] narrows the
     # accepted set (validated eagerly on the driver so a typo fails the
-    # suite loudly, not per-batch on executors).
+    # suite loudly, not per-batch on executors); check="header" switches
+    # to the O(header) structural sniff (media.sniff_media) — the 100 TB
+    # fast path that skips entropy decode, for suites where wrong-format
+    # and lying-magic rows are the target and deep corruption is
+    # acceptable to miss (or sampled separately with check="full").
     formats = kw.get("formats")
+    check = kw.get("check", "full")
+    if check not in ("full", "header"):
+        raise ValueError(
+            f"check must be 'full' or 'header', got {check!r}"
+        )
     if formats is not None:
         from .media import _decoders  # noqa: PLC0415
 
@@ -648,4 +658,4 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
                 f"unknown media formats {unknown}; "
                 f"known: {sorted(_decoders())}"
             )
-    return _media_decodable_udf(formats)(F.col(domain.column))
+    return _media_decodable_udf(formats, check)(F.col(domain.column))

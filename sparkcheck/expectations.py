@@ -925,6 +925,6 @@ register_expectation(
     ColumnMapExpectation(
         "expect_column_values_to_be_media_decodable",
         "column_values.media_decodable",
-        ("formats",),
+        ("formats", "check"),
     )
 )

@@ -300,6 +300,132 @@ def _decoders():
     }
 
 
+def _sniff_ppm(buf: bytes):
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not PPM/PGM")
+    # header: magic, whitespace/comments, width, height, maxval
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3 and i < n:
+        c = buf[i : i + 1]
+        if c == b"#":
+            while i < n and buf[i] not in (10, 13):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(buf[i:j])
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in toks)
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError("bad PPM header values")
+    return w, h
+
+
+def _sniff_png(buf: bytes):
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not PNG")
+    if len(buf) < 33 or buf[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(buf[16:20], "big")
+    h = int.from_bytes(buf[20:24], "big")
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        raise ValueError("bad PNG dimensions")
+    return w, h
+
+
+def _sniff_jpeg(buf: bytes):
+    # marker walk to any SOF without touching entropy data
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        raise ValueError("not JPEG")
+    pos, n = 2, len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+            body = buf[pos + 4 : pos + 2 + seglen]
+            if len(body) < 5 or body[0] != 8:
+                raise ValueError("unsupported JPEG precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if w == 0 or h == 0:
+                raise ValueError("bad JPEG dimensions")
+            return w, h
+        if marker == 0xDA:
+            break  # SOS before SOF
+        pos += 2 + seglen
+    raise ValueError("no JPEG SOF marker")
+
+
+def _sniff_gif(buf: bytes):
+    if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not GIF")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    if w == 0 or h == 0:
+        raise ValueError("bad GIF dimensions")
+    return w, h
+
+
+def _sniff_wav(buf: bytes):
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not WAV")
+    if buf[12:16] != b"fmt ":
+        raise ValueError("WAV missing fmt chunk")
+    rate = int.from_bytes(buf[24:28], "little")
+    if rate == 0:
+        raise ValueError("bad WAV sample rate")
+    return rate, int.from_bytes(buf[22:24], "little")
+
+
+_SNIFFERS = {
+    "ppm": _sniff_ppm,
+    "png": _sniff_png,
+    "jpeg": _sniff_jpeg,
+    "gif": _sniff_gif,
+    "wav": _sniff_wav,
+}
+
+
+def sniff_media(buf: bytes, formats: list[str] | None = None) -> str | None:
+    """Header-only media check: magic bytes + a structural header walk
+    (PNG IHDR, JPEG marker walk to SOF, GIF logical screen, PPM token
+    scan, RIFF/WAVE fmt) with NO entropy/pixel decode — O(header) per
+    payload instead of O(bytes). The 100 TB fast path: catches wrong
+    format, lying magics, and nonsense dimensions; misses corruption
+    past the header (that's ``try_decode``'s job). Returns the format
+    name or None."""
+    if buf is None:
+        return None
+    sniffs = _SNIFFERS
+    if formats is not None:
+        unknown = [f for f in formats if f not in sniffs]
+        if unknown:
+            raise ValueError(
+                f"unknown media formats {unknown}; known: {sorted(sniffs)}"
+            )
+        sniffs = {f: sniffs[f] for f in formats}
+    b = bytes(buf)
+    for name, sniff in sniffs.items():
+        try:
+            sniff(b)
+            return name
+        except Exception:  # noqa: BLE001 — same contract as try_decode
+            continue
+    return None
+
+
 def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
     """Attempt a REAL decode of ``buf`` against the pure-python codecs
     (ppm/pgm, png, jpeg incl. progressive, gif incl. animated, wav);

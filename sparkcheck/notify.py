@@ -212,3 +212,63 @@ def render_teams_payload(
             }
         ],
     }
+
+
+def render_pagerduty_event(
+    result: dict[str, Any],
+    context: dict[str, Any],
+    routing_key: str,
+    severity: str = "critical",
+) -> dict[str, Any]:
+    """PagerDuty Events API v2 body, the reference's exact shape
+    (checkpoint/actions.py:405-418: routing_key, dedup_key = suite name —
+    so repeated failures of one suite collapse into one incident —
+    event_action trigger, payload summary/severity/source)."""
+    suite = context.get("suite_name") or _report_of(result).get("meta", {}).get(
+        "expectation_suite_name", "__no_expectation_suite_name__"
+    )
+    verdict = "succeeded" if result.get("success") else "failed"
+    return {
+        "routing_key": routing_key,
+        "dedup_key": suite,
+        "event_action": "trigger",
+        "payload": {
+            "summary": f"Validation suite check {suite} has {verdict}",
+            "severity": severity,
+            "source": "sparkcheck",
+        },
+    }
+
+
+def render_opsgenie_alert(
+    result: dict[str, Any],
+    context: dict[str, Any],
+    priority: str = "P3",
+    tags: list[str] | None = None,
+) -> dict[str, Any]:
+    """Opsgenie v2 alert body, the reference's exact shape
+    (checkpoint/util.py:71-101: message names the suite + verdict,
+    description carries the rendered summary, priority/tags pass
+    through)."""
+    suite = context.get("suite_name") or _report_of(result).get("meta", {}).get(
+        "expectation_suite_name", "__no_expectation_suite_name__"
+    )
+    verdict = "succeeded" if result.get("success") else "failed"
+    rep = _report_of(result)
+    stats = rep.get("statistics") or {}
+    lines = [
+        f"Suite: {suite}",
+        f"Run id: {result.get('run_id')}",
+        f"Status: {verdict}",
+        f"Expectations evaluated: {stats.get('evaluated_expectations', 0)}",
+        f"Expectations failed: {stats.get('unsuccessful_expectations', 0)}",
+    ]
+    failed = failed_expectations_text(rep.get("results") or [])
+    if failed:
+        lines.append(failed)
+    return {
+        "message": f"Validation suite {suite} {verdict}",
+        "description": "\n".join(lines),
+        "priority": priority,
+        "tags": list(tags or []),
+    }

@@ -444,6 +444,77 @@ def test_store_metrics_action_routes_into_store(spark, tmp_path):
     assert m["run_id"] == "run-2024-01-02" and m["suite"] == "docs_suite"
 
 
+def test_pagerduty_action_reference_event_shape(http_server):
+    from sparkcheck.actions import PagerdutyAlertAction
+
+    act = PagerdutyAlertAction("rk-123", notify_on="failure", url=http_server)
+    out = act.run(_rich_result(False), {"suite_name": "docs_suite"})
+    assert out == {"status": "ok", "http_status": 200}
+    [body] = _Recorder.bodies
+    # the reference's Events API v2 body (checkpoint/actions.py:405-418)
+    assert body["routing_key"] == "rk-123"
+    assert body["dedup_key"] == "docs_suite"  # suite-keyed incident dedup
+    assert body["event_action"] == "trigger"
+    assert body["payload"]["severity"] == "critical"
+    assert "docs_suite has failed" in body["payload"]["summary"]
+    # notify_on=failure: a green run sends nothing
+    assert act.run(_rich_result(True), {"suite_name": "s"})["status"] == "skipped"
+    with pytest.raises(ValueError):
+        PagerdutyAlertAction("")
+
+
+def test_opsgenie_action_reference_alert_shape(http_server):
+    from sparkcheck.actions import OpsgenieAlertAction
+
+    act = OpsgenieAlertAction(
+        "gk-1", url=http_server, priority="P1", tags=["etl", "nightly"]
+    )
+    out = act.run(_rich_result(False), {"suite_name": "docs_suite"})
+    assert out == {"status": "ok", "http_status": 200}
+    [body] = _Recorder.bodies
+    # the reference's alert body (checkpoint/util.py:79-84)
+    assert body["message"] == "Validation suite docs_suite failed"
+    assert body["priority"] == "P1" and body["tags"] == ["etl", "nightly"]
+    assert "Expectations failed: 1" in body["description"]
+    # region picks the EU host exactly like the reference
+    eu = OpsgenieAlertAction("gk-1", region="eu")
+    assert eu.url == "https://api.eu.opsgenie.com/v2/alerts"
+
+
+def test_sns_action_reference_publish_kwargs():
+    from sparkcheck.actions import SNSNotificationAction
+
+    calls = []
+
+    def fake_publish(**kw):
+        calls.append(kw)
+        return {"MessageId": "m-1"}
+
+    act = SNSNotificationAction(
+        "arn:aws:sns:us-east-1:1:t", publish_fn=fake_publish
+    )
+    out = act.run(_rich_result(False), {"suite_name": "docs_suite"})
+    assert out == {"status": "ok", "message_id": "m-1"}
+    [kw] = calls
+    # the reference's publish kwargs (checkpoint/util.py:508-516); subject
+    # defaults to the suite name
+    assert kw["TopicArn"] == "arn:aws:sns:us-east-1:1:t"
+    assert kw["Subject"] == "docs_suite"
+    assert kw["MessageAttributes"]["String"]["DataType"] == "String.Array"
+    assert json.loads(kw["Message"])["run_id"] == "run-2024-01-02"
+    # explicit subject wins
+    act2 = SNSNotificationAction(
+        "arn:x", sns_message_subject="custom", publish_fn=fake_publish
+    )
+    act2.run(_rich_result(True), {"suite_name": "s"})
+    assert calls[-1]["Subject"] == "custom"
+    # config-addressable
+    a = action_from_config(
+        {"type": "sns", "sns_topic_arn": "arn:x", "publish_fn": fake_publish}
+    )
+    assert a.run(_rich_result(False), {"suite_name": "s"})["status"] == "ok"
+
+
 def test_store_evaluation_parameters_action_feeds_urns(spark, tmp_path):
     """The action routes the run's EVRs into the evaluation-parameter
     store, and a later suite's URN reference resolves against them —

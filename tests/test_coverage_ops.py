@@ -290,6 +290,28 @@ def test_media_decodable_expectation(spark):
         "kwargs": {"column": "s"}})
     assert not r["success"] and "binary" in str(r["exception_info"])
 
+    # check="header": the O(header) scale path — structural sniff only.
+    # The 60%-truncated PNG keeps an intact IHDR so the sniff passes it
+    # (documented miss); garbage and a dims-lying GIF still fail.
+    lying_gif = bytearray(b"GIF89a" + b"\x00\x00\x00\x00" + b"\x00\x00\x00")
+    df2 = spark.createDataFrame(
+        [(png,), (truncated,), (garbage,), (lying_gif,), (None,)],
+        "payload binary",
+    )
+    r = _one(df2, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "check": "header"}})
+    assert r["result"]["unexpected_count"] == 2  # garbage + zero-dim GIF
+    assert r["result"]["missing_count"] == 1
+    r = _one(df2, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "check": "full"}})
+    assert r["result"]["unexpected_count"] == 3  # full decode catches truncation
+    r = _one(df2, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "check": "nope"}})
+    assert not r["success"] and "header" in str(r["exception_info"])
+
 
 def test_evaluation_parameters(spark, orders):
     r = _one(
