@@ -106,6 +106,90 @@ def _violations_section(rows: list[Any], total: int, cap: int) -> str:
     )
 
 
+def _describe_expectation(cfg: dict[str, Any]) -> str:
+    """One human-readable line per expectation config — the generic form
+    of the reference's prescriptive content blocks
+    (render/renderer/content_block/expectation_string.py): the type in
+    words, the domain up front, remaining kwargs appended."""
+    etype = str(cfg.get("expectation_type", "?"))
+    kwargs = dict(cfg.get("kwargs") or {})
+    words = etype.removeprefix("expect_").replace("_", " ")
+    domain_bits = []
+    for k in ("column", "column_A", "column_B", "column_list", "column_set"):
+        if k in kwargs:
+            v = kwargs.pop(k)
+            domain_bits.append(
+                f"{', '.join(map(str, v)) if isinstance(v, (list, tuple)) else v}"
+            )
+    rest = ", ".join(
+        f"{k}={json.dumps(v, default=str)}" for k, v in sorted(kwargs.items())
+    )
+    head = f"[{' & '.join(domain_bits)}] " if domain_bits else ""
+    return f"{head}{words}" + (f" ({rest})" if rest else "")
+
+
+def _suite_page_name(suite: str) -> str:
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in suite)
+    return f"suite__{safe}.html"
+
+
+def _write_suite_pages(
+    out_dir: str,
+    groups: list[Any],
+    by_key: dict[tuple[str, str], list[dict[str, Any]]],
+) -> dict[str, str]:
+    """One overview page per suite (reference:
+    ExpectationSuitePageRenderer): the expectation list as rendered from
+    the suite's NEWEST run's stored configs, plus that suite's run
+    history among the rendered runs. Returns {suite: page file}."""
+    newest: dict[str, Any] = {}
+    history: dict[str, list[Any]] = {}
+    for g in groups:  # groups arrive newest-first
+        s = g["suite_name"]
+        newest.setdefault(s, g)
+        history.setdefault(s, []).append(g)
+    pages: dict[str, str] = {}
+    for s, g in newest.items():
+        evrs = by_key.get((g["run_id"], s), [])
+        items = "".join(
+            "<li>"
+            + html.escape(_describe_expectation(r.get("expectation_config") or {}))
+            + (
+                "" if r.get("success")
+                else ' <span style="color:#c00">(failing in latest run)</span>'
+            )
+            + "</li>"
+            for r in evrs
+        )
+        runs = "".join(
+            f'<tr><td><a href="{_page_name(h["run_id"], s)}">'
+            f'{html.escape(h["run_id"])}</a></td>'
+            f"<td>{h['n']}</td><td>{h['ts']}</td></tr>"
+            for h in history[s]
+        )
+        page = _suite_page_name(s)
+        with open(os.path.join(out_dir, page), "w") as f:
+            f.write(
+                '<!doctype html><html><head><meta charset="utf-8">'
+                f"<title>Suite {html.escape(s)}</title></head>"
+                '<body style="font-family:sans-serif;max-width:60em;'
+                'margin:2em auto">'
+                f"<h1>Expectation suite: {html.escape(s)}</h1>"
+                f"<p>{len(evrs)} expectations "
+                f"(as of run {html.escape(g['run_id'])})</p>"
+                f"<ul>{items}</ul>"
+                "<h2>Runs</h2>"
+                '<table border="0" cellpadding="4" '
+                'style="border-collapse:collapse">'
+                '<tr style="background:#eee"><th>run</th>'
+                "<th>expectations</th><th>ts</th></tr>"
+                f"{runs}</table>"
+                '<p><a href="index.html">back to index</a></p></body></html>'
+            )
+        pages[s] = page
+    return pages
+
+
 def build_data_docs(
     store,
     spark: SparkSession,
@@ -154,6 +238,7 @@ def build_data_docs(
     v_counts, v_samples = _violations_by_run(
         store, spark, [g["run_id"] for g in groups], violations_cap
     )
+    suite_pages = _write_suite_pages(out_dir, groups, by_key)
 
     index_rows = []
     for g in groups:
@@ -174,10 +259,11 @@ def build_data_docs(
             '<span style="color:#0a0">PASSED</span>' if rep["success"]
             else '<span style="color:#c00">FAILED</span>'
         )
+        sp = suite_pages.get(g["suite_name"], page)
         index_rows.append(
             f'<tr><td>{badge}</td>'
-            f'<td><a href="{page}">{html.escape(g["suite_name"])}</a></td>'
-            f"<td>{html.escape(g['run_id'])}</td>"
+            f'<td><a href="{sp}">{html.escape(g["suite_name"])}</a></td>'
+            f'<td><a href="{page}">{html.escape(g["run_id"])}</a></td>'
             f"<td>{st['successful_expectations']}/{st['evaluated_expectations']}</td>"
             f"<td>{n_viol}</td>"
             f"<td>{g['ts']}</td></tr>"

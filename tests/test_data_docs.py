@@ -42,7 +42,8 @@ def test_build_data_docs_site(spark, tmp_path):
     assert "good_suite" in idx and "bad_suite" in idx
     assert "PASSED" in idx and "FAILED" in idx
 
-    pages = [p for p in os.listdir(out) if p != "index.html"]
+    pages = [p for p in os.listdir(out)
+             if p != "index.html" and not p.startswith("suite__")]
     assert len(pages) == 2
     # per-run page carries the expectation rows
     for p in pages:
@@ -53,6 +54,16 @@ def test_build_data_docs_site(spark, tmp_path):
     body = open(os.path.join(out, bad)).read()
     assert "expect_table_row_count_to_be_between" in body
     assert "FAILED" in body
+    # suite-overview pages (reference ExpectationSuitePageRenderer): one
+    # per suite, human-readable expectation lines, run history links
+    suites = [p for p in os.listdir(out) if p.startswith("suite__")]
+    assert sorted(suites) == ["suite__bad_suite.html", "suite__good_suite.html"]
+    body = open(os.path.join(out, "suite__bad_suite.html")).read()
+    assert "table row count to be between" in body  # prose, not snake_case
+    assert "failing in latest run" in body
+    assert 'href="index.html"' in body and "run2" in body
+    # the index's suite cell links to the overview page
+    assert 'href="suite__bad_suite.html"' in idx
 
 
 def test_build_data_docs_max_runs(spark, tmp_path):
@@ -64,7 +75,8 @@ def test_build_data_docs_max_runs(spark, tmp_path):
                                 suite_name=f"s{i}", run_id=f"r{i}")
     out = str(tmp_path / "site")
     data_docs.build_data_docs(store, spark, out, max_runs=3)
-    pages = [p for p in os.listdir(out) if p != "index.html"]
+    pages = [p for p in os.listdir(out)
+             if p != "index.html" and not p.startswith("suite__")]
     assert len(pages) == 3  # only newest max_runs rendered
 
 
@@ -94,7 +106,8 @@ def test_data_docs_violations_section(spark, tmp_path):
 
     import glob
 
-    pages = [p for p in glob.glob(f"{out}/*.html") if "index" not in p]
+    pages = [p for p in glob.glob(f"{out}/*.html")
+             if "index" not in p and "suite__" not in p]
     page = open(pages[0]).read()
     assert "Violation rows" in page
     assert f"showing first 10 of {n_viol}" in page
@@ -133,7 +146,8 @@ def test_run_page_expectation_detail_blocks(spark, tmp_path):
                             suite_name="detail_suite", run_id="run1")
     out = str(tmp_path / "dsite")
     data_docs.build_data_docs(store, spark, out)
-    page = [p for p in os.listdir(out) if p != "index.html"][0]
+    page = [p for p in os.listdir(out)
+            if p != "index.html" and not p.startswith("suite__")][0]
     body = open(os.path.join(out, page)).read()
 
     # detail anchors exist and the summary table links to them
