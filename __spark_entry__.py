@@ -1400,6 +1400,55 @@ def q_media_decodable_validation(spark, sf):
     ).orderBy("first_format")
 
 
+def q_vector_validation_embeddings(spark, sf):
+    """Embedding-column expectations over the real embeddings table,
+    deterministically perturbed to seed each violation class: vec_id%97
+    truncates to 63 dims, %89 scales by 3 (norm 3), %83 injects a NaN
+    component (CASE order matters and matches the oracle). The suite —
+    vector_lengths_to_equal(64), vector_norms in [0.9, 1.1],
+    vector_values_to_be_finite — runs through validate_df (JVM HOFs, no
+    Python), and the oracle recomputes every count with DuckDB list
+    functions over the SAME perturbation: exact, nothing pinned."""
+    from sparkcheck import ExpectationSuite, validate_df
+
+    e = _t(spark, sf, "embeddings")
+    emb2 = (
+        F.when(F.col("vec_id") % 97 == 0, F.slice("embedding", 1, 63))
+        .when(
+            F.col("vec_id") % 89 == 0,
+            F.transform("embedding", lambda x: x * F.lit(3.0).cast("float")),
+        )
+        .when(
+            F.col("vec_id") % 83 == 0,
+            F.concat(
+                F.slice("embedding", 1, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+    )
+    df = e.select("vec_id", emb2.alias("embedding"))
+    suite = ExpectationSuite("vectors")
+    suite.add("expect_column_vector_lengths_to_equal", column="embedding", value=64)
+    suite.add(
+        "expect_column_vector_norms_to_be_between",
+        column="embedding", min_value=0.9, max_value=1.1,
+    )
+    suite.add("expect_column_vector_values_to_be_finite", column="embedding")
+    rep = validate_df(df, suite)
+    rows = [
+        (
+            r["expectation_config"]["expectation_type"],
+            int(r["result"]["element_count"]),
+            int(r["result"]["unexpected_count"]),
+        )
+        for r in rep["results"]
+    ]
+    return spark.createDataFrame(
+        rows, "expectation string, element_count long, unexpected_count long"
+    ).orderBy("expectation")
+
+
 def q_fused_validation_documents(spark, sf):
     """Single-scan fused validation (fused.validate_and_extract): the
     suite's whole-table aggregates (null count, regex violations, row
@@ -2200,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "media_gif_roundtrip": q_media_gif_roundtrip,
         "media_decodable_validation": q_media_decodable_validation,
+        "vector_validation_embeddings": q_vector_validation_embeddings,
         "media_progressive_jpeg": q_media_progressive_jpeg,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
@@ -3312,6 +3362,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'jpg' || i AS media_ref, 16::BIGINT AS width, "
             "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
             "0::BIGINT AS n_bad FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "vector_validation_embeddings": (
+            # same perturbation in DuckDB list functions; counts exact
+            "WITH p AS (SELECT vec_id, CASE "
+            "WHEN vec_id % 97 = 0 THEN embedding[1:63] "
+            "WHEN vec_id % 89 = 0 THEN "
+            "list_transform(embedding, x -> CAST(x * 3.0::FLOAT AS FLOAT)) "
+            "WHEN vec_id % 83 = 0 THEN "
+            "list_append(embedding[1:63], 'NaN'::FLOAT) "
+            "ELSE embedding END AS emb FROM embeddings), "
+            "m AS (SELECT vec_id, emb, "
+            "sqrt(list_sum(list_transform(emb, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, "
+            "len(emb) AS dim, "
+            "len(list_filter(emb, x -> x IS NULL OR isnan(x) "
+            "OR isinf(x))) > 0 AS nonfinite FROM p) "
+            "SELECT expectation, element_count, unexpected_count FROM ("
+            "SELECT 'expect_column_vector_lengths_to_equal' AS expectation, "
+            "count(*)::BIGINT AS element_count, "
+            "sum(CASE WHEN dim != 64 THEN 1 ELSE 0 END)::BIGINT "
+            "AS unexpected_count FROM m "
+            "UNION ALL "
+            "SELECT 'expect_column_vector_norms_to_be_between', "
+            "count(*)::BIGINT, "
+            "sum(CASE WHEN isnan(nrm) OR nrm < 0.9 OR nrm > 1.1 "
+            "THEN 1 ELSE 0 END)::BIGINT FROM m "
+            "UNION ALL "
+            "SELECT 'expect_column_vector_values_to_be_finite', "
+            "count(*)::BIGINT, "
+            "sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT FROM m"
+            ") ORDER BY expectation"
         ),
         "media_decodable_validation": (
             # counts pinned by construction: 48 payloads, 10 truncated

@@ -352,6 +352,54 @@ def _strftime(domain: Domain, kw: dict) -> Column:
     return F.coalesce(*probes).isNotNull() if len(probes) > 1 else probes[0].isNotNull()
 
 
+@condition("column_values.vector_size.equals")
+def _vector_size_equals(domain: Domain, kw: dict) -> Column:
+    # no reference analog (GX has no vector columns): an embedding column
+    # validates its dimensionality JVM-side — size() on the array, no
+    # Python. A model change that re-embeds at a different width fails
+    # loudly instead of poisoning downstream ANN/dedup stages.
+    return F.size(F.col(domain.column)) == F.lit(int(kw["value"]))
+
+
+@condition("column_values.vector_norm.between")
+def _vector_norm_between(domain: Domain, kw: dict) -> Column:
+    # L2 norm via the aggregate HOF — whole expression stays in the JVM
+    # (zip-free fold: acc + x^2), so the check agg-bundles like any other
+    # map condition. strict_min/strict_max mirror `between`'s knobs.
+    # NaN/Inf components poison the sum -> norm is NaN/Inf -> comparisons
+    # are false -> such rows are unexpected, which is the point: a single
+    # non-finite embedding silently corrupts cosine/IP similarity.
+    sq = F.aggregate(
+        F.col(domain.column),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    conds = [~F.isnan(norm)]  # non-finite never passes
+    if kw.get("min_value") is not None:
+        lo = F.lit(float(kw["min_value"]))
+        conds.append(norm > lo if kw.get("strict_min") else norm >= lo)
+    if kw.get("max_value") is not None:
+        hi = F.lit(float(kw["max_value"]))
+        conds.append(norm < hi if kw.get("strict_max") else norm <= hi)
+    return reduce(lambda a, b: a & b, conds)
+
+
+@condition("column_values.vector_finite")
+def _vector_finite(domain: Domain, kw: dict) -> Column:
+    # every component finite (and none NULL): exists() over the array,
+    # JVM-side. isnan() errors on +-Inf only via arithmetic, so compare
+    # against the literal infinities explicitly.
+    bad = F.exists(
+        F.col(domain.column),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (x.cast("double") == F.lit(float("inf")))
+        | (x.cast("double") == F.lit(float("-inf"))),
+    )
+    return ~bad
+
+
 @condition("column_values.json_parseable")
 def _json_parseable(domain: Domain, kw: dict) -> Column:
     # reference: per-row json.loads udf (column_values_json_parseable.py:30-40);

@@ -928,3 +928,24 @@ register_expectation(
         ("formats", "check"),
     )
 )
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_vector_lengths_to_equal",
+        "column_values.vector_size.equals",
+        ("value",),
+    )
+)
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_vector_norms_to_be_between",
+        "column_values.vector_norm.between",
+        ("min_value", "max_value", "strict_min", "strict_max"),
+    )
+)
+register_expectation(
+    ColumnMapExpectation(
+        "expect_column_vector_values_to_be_finite",
+        "column_values.vector_finite",
+        (),
+    )
+)

@@ -313,6 +313,47 @@ def test_media_decodable_expectation(spark):
     assert not r["success"] and "header" in str(r["exception_info"])
 
 
+def test_vector_expectations(spark):
+    """Embedding-column expectations — dimension, L2 norm band, finite
+    components — all JVM-side (size/aggregate/exists HOFs, no Python)."""
+    import math
+
+    rows = [
+        ([3.0, 4.0],),            # norm 5, dim 2
+        ([1.0, 0.0],),            # norm 1
+        ([6.0, 8.0],),            # norm 10
+        ([1.0, 2.0, 2.0],),       # dim 3 (wrong)
+        ([float("nan"), 1.0],),   # non-finite
+        ([float("inf"), 0.0],),   # non-finite
+        (None,),                  # missing
+    ]
+    df = spark.createDataFrame(rows, "emb array<double>")
+
+    r = _one(df, {
+        "expectation_type": "expect_column_vector_lengths_to_equal",
+        "kwargs": {"column": "emb", "value": 2}})
+    assert r["result"]["unexpected_count"] == 1  # the dim-3 row
+    assert r["result"]["missing_count"] == 1
+
+    r = _one(df, {
+        "expectation_type": "expect_column_vector_norms_to_be_between",
+        "kwargs": {"column": "emb", "min_value": 1.0, "max_value": 5.0}})
+    # norm 10 out of band; nan norm fails; inf norm > 5 fails; dim-3 row
+    # has norm 3 -> passes
+    assert r["result"]["unexpected_count"] == 3
+    r = _one(df, {
+        "expectation_type": "expect_column_vector_norms_to_be_between",
+        "kwargs": {"column": "emb", "min_value": 1.0, "strict_min": True}})
+    # strict: norm exactly 1.0 now unexpected too (plus nan; inf passes >1)
+    assert r["result"]["unexpected_count"] == 2
+
+    r = _one(df, {
+        "expectation_type": "expect_column_vector_values_to_be_finite",
+        "kwargs": {"column": "emb"}})
+    assert r["result"]["unexpected_count"] == 2  # nan row + inf row
+    assert math.isclose(r["result"]["unexpected_percent"], 100 * 2 / 6)
+
+
 def test_evaluation_parameters(spark, orders):
     r = _one(
         orders,
