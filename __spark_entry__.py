@@ -1449,6 +1449,115 @@ def q_vector_validation_embeddings(spark, sf):
     ).orderBy("expectation")
 
 
+def q_interleaved_media_validation(spark, sf):
+    """The north-star loop end-to-end: interleaved docs (spans referencing
+    media) -> span explode -> broadcast dimension join on media_ref ->
+    REAL payload decode validation -> span- and doc-level verdicts.
+
+    Deterministic construction both engines replay: 200 media rows
+    (i%3 picks png/jpeg/gif, all REAL encodes; i%11==0 truncates to 50%
+    so only a full decode catches it) and 400 docs whose media spans
+    reference m{j%200} and m{(j*7+3)%200}, plus a dangling ref when
+    j%13==0. Spark runs the actual machinery — explode, left broadcast
+    join, expect_column_values_to_not_be_null (dangling) and
+    expect_column_values_to_be_media_decodable (corrupt) through
+    validate_df, one groupBy for per-doc verdicts. The oracle recomputes
+    every count from the same modular arithmetic — computed, not pinned."""
+    import pandas as _pd
+
+    from sparkcheck import ExpectationSuite, validate_df
+    from sparkcheck.gif import encode_gif
+    from sparkcheck.jpeg import encode_jpeg
+    from sparkcheck.media import encode_png
+
+    def gen_media(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                img = (_np.arange(64, dtype=_np.int64) * (i + 7) % 256).astype(
+                    _np.uint8
+                ).reshape(8, 8)
+                if i % 3 == 0:
+                    buf = encode_png(_np.stack([img] * 3, axis=2))
+                elif i % 3 == 1:
+                    buf = encode_jpeg(img)
+                else:
+                    buf = encode_gif(img // 32 * 32)
+                if i % 11 == 0:
+                    buf = buf[: len(buf) // 2]
+                rows.append((f"m{i}", bytearray(buf)))
+            yield _pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    media = spark.range(200).repartition(4).mapInPandas(
+        gen_media, "media_ref string, payload binary"
+    )
+    d = spark.range(400)
+    spans = F.array(
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.format_string("m%d", F.col("id") % 200).alias("media_ref"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.format_string("m%d", (F.col("id") * 7 + 3) % 200).alias("media_ref"),
+        ),
+    )
+    spans = F.when(
+        F.col("id") % 13 == 0,
+        F.concat(
+            spans,
+            F.array(
+                F.struct(
+                    F.lit("image").alias("kind"),
+                    F.format_string("m_dead%d", F.col("id")).alias("media_ref"),
+                )
+            ),
+        ),
+    ).otherwise(spans)
+    docs = d.select(F.col("id").alias("doc_id"), spans.alias("spans"))
+
+    exploded = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    joined = exploded.join(F.broadcast(media), "media_ref", "left")
+
+    suite = ExpectationSuite("interleaved_media")
+    suite.add("expect_column_values_to_not_be_null", column="payload")
+    suite.add(
+        "expect_column_values_to_be_media_decodable",
+        column="payload", check="full",
+    )
+    rep = validate_df(joined, suite)
+    n_spans = int(rep["results"][0]["result"]["element_count"]) + int(
+        rep["results"][0]["result"]["missing_count"]
+    )
+    n_dangling = int(rep["results"][0]["result"]["unexpected_count"])
+    n_undecodable = int(rep["results"][1]["result"]["unexpected_count"])
+
+    from sparkcheck.conditions import get_condition
+    from sparkcheck.metrics import Domain
+
+    ok = get_condition("column_values.media_decodable").build(
+        Domain(column="payload"), {"check": "full"}
+    )
+    bad_span = F.col("payload").isNull() | ~F.coalesce(ok, F.lit(False))
+    n_docs_bad = int(
+        joined.withColumn("__bad", bad_span)
+        .groupBy("doc_id")
+        .agg(F.max("__bad").alias("bad"))
+        .where("bad")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_spans, n_dangling, n_undecodable, n_docs_bad)],
+        "n_media_spans long, n_dangling long, n_undecodable long, "
+        "n_docs_bad long",
+    )
+
+
 def q_fused_validation_documents(spark, sf):
     """Single-scan fused validation (fused.validate_and_extract): the
     suite's whole-table aggregates (null count, regex violations, row
@@ -2250,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_roundtrip": q_media_gif_roundtrip,
         "media_decodable_validation": q_media_decodable_validation,
         "vector_validation_embeddings": q_vector_validation_embeddings,
+        "interleaved_media_validation": q_interleaved_media_validation,
         "media_progressive_jpeg": q_media_progressive_jpeg,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
@@ -3362,6 +3472,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'jpg' || i AS media_ref, 16::BIGINT AS width, "
             "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
             "0::BIGINT AS n_bad FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "interleaved_media_validation": (
+            # the same modular arithmetic, computed in SQL: refs j%200 and
+            # (j*7+3)%200 per doc, dangling when j%13=0, payload corrupt
+            # when ref%11=0 (the 50%-truncation rule) — counts derived,
+            # not pinned
+            "WITH d AS (SELECT unnest(range(0, 400))::INT AS j), "
+            "refs AS (SELECT j, j % 200 AS r FROM d "
+            "UNION ALL SELECT j, (j * 7 + 3) % 200 FROM d), "
+            "bad AS (SELECT j, (r % 11 = 0) AS undec FROM refs), "
+            "dang AS (SELECT j FROM d WHERE j % 13 = 0) "
+            "SELECT "
+            "((SELECT count(*) FROM refs) + (SELECT count(*) FROM dang))"
+            "::BIGINT AS n_media_spans, "
+            "(SELECT count(*) FROM dang)::BIGINT AS n_dangling, "
+            "(SELECT count(*) FROM bad WHERE undec)::BIGINT "
+            "AS n_undecodable, "
+            "(SELECT count(DISTINCT j) FROM "
+            "(SELECT j FROM bad WHERE undec UNION SELECT j FROM dang))"
+            "::BIGINT AS n_docs_bad"
         ),
         "vector_validation_embeddings": (
             # same perturbation in DuckDB list functions; counts exact
