@@ -114,60 +114,25 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
 
 
-def decode_png(buf: bytes):
-    """REAL decode for 8-bit non-interlaced PNG — stdlib zlib + numpy, no
-    codec library. Supports color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA) and all five scanline filters. Returns
-    (array[h, w, c], width, height); palette images come back expanded to
-    RGB. Raises ValueError on a non-PNG payload or an unsupported profile
-    (16-bit, interlaced).
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec 8.2 — passes 4
+#: and 6 start at y=0 (they fill the odd COLUMNS of already-started rows)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Filters 1/3/4 (Sub/Average/Paeth) are defined recursively on the left
-    neighbor, so their unfilter loop is sequential per scanline (pure
-    Python); filters 0/2 vectorize. This is a correctness-first decoder
-    for modest images — at bulk-decode scale swap in PIL/opencv inside the
-    same mapInPandas stage; the Spark-side plumbing is identical.
-    """
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, p: int, w: int, h: int, channels: int):
+    """Unfilter one filtered sub-image of ``h`` scanlines × ``w`` pixels
+    starting at offset ``p`` in the decompressed stream; returns
+    ((h, w*channels) array, offset after the sub-image)."""
     import numpy as np  # noqa: PLC0415
 
-    if buf[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, plte = 8, [], None
-    w = h = color = None
-    while pos + 8 <= len(buf):
-        ln = int.from_bytes(buf[pos : pos + 4], "big")
-        typ = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if bitd != 8:
-                raise ValueError(f"only 8-bit PNG supported (got {bitd})")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            if color not in _PNG_CHANNELS:
-                raise ValueError(f"unknown PNG color type {color}")
-        elif typ == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    channels = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) - p < h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    p = 0
     for y in range(h):
         f = raw[p]
         cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
@@ -194,7 +159,77 @@ def decode_png(buf: bytes):
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = cur
-    arr = out.reshape(h, w, channels)
+    return out, p
+
+
+def decode_png(buf: bytes):
+    """REAL decode for 8-bit PNG — stdlib zlib + numpy, no codec library.
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), all five scanline filters, and BOTH interlace methods
+    (none and Adam7 — each of the seven passes unfilters as its own
+    sub-image, then scatters onto the x0::dx / y0::dy grid). Returns
+    (array[h, w, c], width, height); palette images come back expanded to
+    RGB. Raises ValueError on a non-PNG payload or 16-bit depth.
+
+    Filters 1/3/4 (Sub/Average/Paeth) are defined recursively on the left
+    neighbor, so their unfilter loop is sequential per scanline (pure
+    Python); filters 0/2 vectorize. This is a correctness-first decoder
+    for modest images — at bulk-decode scale swap in PIL/opencv inside the
+    same mapInPandas stage; the Spark-side plumbing is identical.
+    """
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: PLC0415
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = color = None
+    interlace = 0
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8:
+                raise ValueError(f"only 8-bit PNG supported (got {bitd})")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color}")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        grid = np.zeros((h, w, channels), np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, p = _png_unfilter(raw, p, pw, ph, channels)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if p != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = grid
+    else:
+        out, p = _png_unfilter(raw, 0, w, h, channels)
+        if p != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = out.reshape(h, w, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -202,10 +237,12 @@ def decode_png(buf: bytes):
     return arr, w, h
 
 
-def encode_png(arr) -> bytes:
+def encode_png(arr, interlace: bool = False) -> bytes:
     """Minimal PNG encoder (filter 0 scanlines, one IDAT) for uint8 arrays
     shaped [h, w, c] with c in {1, 2, 3, 4} — the synthesis counterpart of
-    ``decode_png`` so tests can round-trip real PNG bytes without PIL."""
+    ``decode_png`` so tests can round-trip real PNG bytes without PIL.
+    ``interlace=True`` writes Adam7 (seven filter-0 sub-images in pass
+    order), exercising the decoder's scatter path."""
     import struct
     import zlib
 
@@ -223,8 +260,19 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -103,11 +103,34 @@ def test_rejects_unsupported():
     bad[24] = 16
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(bytes(bad))
-    # interlaced
+    # flipping the interlace byte alone lies about the stream layout: the
+    # seven-pass walk misreads pixel bytes as filter bytes or runs out of
+    # IDAT — either way a loud ValueError, never silent garbage
     bad = bytearray(buf)
     bad[28] = 1
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="filter byte|IDAT length mismatch"):
         decode_png(bytes(bad))
+    # unknown interlace method
+    bad = bytearray(buf)
+    bad[28] = 2
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(bytes(bad))
+
+
+def test_adam7_interlace_roundtrip():
+    """Adam7 PNGs decode bit-exactly: every color type, odd dims (empty
+    late-pass rows/cols), and sub-8px images where most passes are empty."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (7, 5, 1), (33, 17, 4), (1, 1, 3),
+                  (8, 64, 2), (9, 9, 3), (2, 3, 1), (5, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = encode_png(img, interlace=True)
+        assert bytes(buf)[28 + 0:29] != b"\x00"  # IHDR interlace byte set
+        arr, w, h = decode_png(buf)
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(arr, img), shape
 
 
 def test_decode_image_real_png_path():
