@@ -122,13 +122,15 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, p: int, w: int, h: int, channels: int):
-    """Unfilter one filtered sub-image of ``h`` scanlines × ``w`` pixels
-    starting at offset ``p`` in the decompressed stream; returns
-    ((h, w*channels) array, offset after the sub-image)."""
+def _png_unfilter(raw: bytes, p: int, stride: int, h: int, bpp: int):
+    """Unfilter one filtered sub-image of ``h`` scanlines × ``stride``
+    BYTES starting at offset ``p`` in the decompressed stream. ``bpp`` is
+    the filter unit in bytes (max(1, bit_depth * channels // 8) per
+    spec — filters are byte-wise at every depth, with the 'left
+    neighbor' ``bpp`` bytes back). Returns ((h, stride) array, offset
+    after the sub-image)."""
     import numpy as np  # noqa: PLC0415
 
-    stride = w * channels
     if len(raw) - p < h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), np.uint8)
@@ -143,14 +145,14 @@ def _png_unfilter(raw: bytes, p: int, w: int, h: int, channels: int):
             cur += prev
         elif f in (1, 3, 4):
             for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     cur[x] = (int(cur[x]) + a) & 0xFF
                 elif f == 3:
                     cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) & 0xFF
                 else:
                     b = int(prev[x])
-                    c = int(prev[x - channels]) if x >= channels else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     q = a + b - c
                     pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -162,14 +164,46 @@ def _png_unfilter(raw: bytes, p: int, w: int, h: int, channels: int):
     return out, p
 
 
+def _png_expand_scanlines(
+    out, w: int, channels: int, bitd: int, is_palette: bool
+):
+    """(h, stride_bytes) unfiltered scanlines -> (h, w, channels) uint8.
+    16-bit samples keep their high byte (8-bit output contract); 1/2/4-bit
+    samples unpack MSB-first and gray scales by 255/(2^d - 1) while
+    palette indices stay raw for the PLTE lookup."""
+    import numpy as np  # noqa: PLC0415
+
+    h = out.shape[0]
+    if bitd == 8:
+        return out[:, : w * channels].reshape(h, w, channels)
+    if bitd == 16:
+        pairs = out[:, : w * channels * 2].reshape(h, w * channels, 2)
+        return pairs[:, :, 0].reshape(h, w, channels)  # high byte
+    # sub-byte depths: gray (type 0) or palette (type 3), one channel
+    bits = np.unpackbits(out, axis=1)
+    per = bits[:, : w * bitd].reshape(h, w, bitd)
+    vals = np.zeros((h, w), np.uint8)
+    for b in range(bitd):
+        vals = (vals << 1) | per[:, :, b]
+    if not is_palette:
+        vals = (vals.astype(np.uint16) * 255 // ((1 << bitd) - 1)).astype(
+            np.uint8
+        )
+    return vals.reshape(h, w, 1)
+
+
 def decode_png(buf: bytes):
-    """REAL decode for 8-bit PNG — stdlib zlib + numpy, no codec library.
-    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), all five scanline filters, and BOTH interlace methods
-    (none and Adam7 — each of the seven passes unfilters as its own
+    """REAL decode for PNG at EVERY legal bit depth — stdlib zlib +
+    numpy, no codec library. Color types 0 (gray: 1/2/4/8/16-bit),
+    2 (RGB: 8/16), 3 (palette: 1/2/4/8), 4 (gray+alpha: 8/16),
+    6 (RGBA: 8/16); all five scanline filters (byte-wise with the
+    spec's bpp left-neighbor distance); BOTH interlace methods (none
+    and Adam7 — each of the seven passes unfilters as its own
     sub-image, then scatters onto the x0::dx / y0::dy grid). Returns
-    (array[h, w, c], width, height); palette images come back expanded to
-    RGB. Raises ValueError on a non-PNG payload or 16-bit depth.
+    (array[h, w, c] uint8, width, height): 16-bit samples keep the high
+    byte, sub-byte gray scales to full range, palette images come back
+    expanded to RGB. Raises ValueError on a non-PNG payload or an
+    illegal depth/type combination.
 
     Filters 1/3/4 (Sub/Average/Paeth) are defined recursively on the left
     neighbor, so their unfilter loop is sequential per scanline (pure
@@ -196,12 +230,16 @@ def decode_png(buf: bytes):
             w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bitd != 8:
-                raise ValueError(f"only 8-bit PNG supported (got {bitd})")
-            if interlace not in (0, 1):
-                raise ValueError(f"unknown PNG interlace method {interlace}")
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"unknown PNG color type {color}")
+            if bitd not in legal[color]:
+                raise ValueError(
+                    f"illegal PNG depth {bitd} for color type {color}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -212,6 +250,11 @@ def decode_png(buf: bytes):
         raise ValueError("PNG missing IHDR/IDAT")
     channels = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, bitd * channels // 8)
+
+    def scan_bytes(width: int) -> int:
+        return -(-(width * bitd * channels) // 8)
+
     if interlace:
         grid = np.zeros((h, w, channels), np.uint8)
         p = 0
@@ -220,16 +263,18 @@ def decode_png(buf: bytes):
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, p = _png_unfilter(raw, p, pw, ph, channels)
-            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            sub, p = _png_unfilter(raw, p, scan_bytes(pw), ph, bpp)
+            grid[y0::dy, x0::dx] = _png_expand_scanlines(
+                sub, pw, channels, bitd, color == 3
+            )
         if p != len(raw):
             raise ValueError("PNG IDAT length mismatch")
         arr = grid
     else:
-        out, p = _png_unfilter(raw, 0, w, h, channels)
+        out, p = _png_unfilter(raw, 0, scan_bytes(w), h, bpp)
         if p != len(raw):
             raise ValueError("PNG IDAT length mismatch")
-        arr = out.reshape(h, w, channels)
+        arr = _png_expand_scanlines(out, w, channels, bitd, color == 3)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -98,10 +98,15 @@ def test_rejects_unsupported():
     buf = bytearray(encode_png(img))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JUNK" + bytes(buf))
-    # 16-bit depth
+    # a lying depth byte (16 on an 8-bit stream) breaks the stream
+    # layout loudly; an illegal depth value is rejected at the header
     bad = bytearray(buf)
     bad[24] = 16
-    with pytest.raises(ValueError, match="8-bit"):
+    with pytest.raises(ValueError, match="IDAT length mismatch"):
+        decode_png(bytes(bad))
+    bad = bytearray(buf)
+    bad[24] = 3
+    with pytest.raises(ValueError, match="illegal PNG depth"):
         decode_png(bytes(bad))
     # flipping the interlace byte alone lies about the stream layout: the
     # seven-pass walk misreads pixel bytes as filter bytes or runs out of
@@ -131,6 +136,60 @@ def test_adam7_interlace_roundtrip():
         arr, w, h = decode_png(buf)
         assert (w, h) == (shape[1], shape[0])
         assert np.array_equal(arr, img), shape
+
+
+def _build_png(w, h, bitd, color, scanlines, plte=None, filters=None):
+    """Hand-built PNG stream (arbitrary depth/filters) — validates the
+    decoder independently of our own encoder."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color, 0, 0, 0)
+    raw = b"".join(
+        bytes([filters[y] if filters else 0]) + scanlines[y] for y in range(h)
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_and_subbyte_depths():
+    """Every legal depth decodes: 16-bit keeps the high byte, sub-byte
+    gray scales to full range, sub-byte palette indexes the PLTE, and the
+    filter bpp distance is the 16-bit pixel width (byte-wise filters)."""
+    # 16-bit gray 2x2
+    arr, w, h = decode_png(_build_png(
+        2, 2, 16, 0, [b"\x01\x02\xff\x00", b"\x80\x81\x00\x01"]))
+    assert (w, h) == (2, 2) and arr[:, :, 0].tolist() == [[1, 255], [128, 0]]
+    # 16-bit RGB with filter 1: deltas are taken 6 bytes back (bpp=6)
+    row = bytes([0x11, 0, 0x22, 0, 0x33, 0, 0x10, 0, 0x20, 0, 0x30, 0])
+    deltas = row[:6] + bytes((row[6 + i] - row[i]) & 0xFF for i in range(6))
+    arr, _, _ = decode_png(_build_png(2, 1, 16, 2, [deltas], filters=[1]))
+    assert arr[0, 0].tolist() == [0x11, 0x22, 0x33]
+    assert arr[0, 1].tolist() == [0x10, 0x20, 0x30]
+    # 1-bit gray 10x2 (scanline padding bits ignored)
+    arr, _, _ = decode_png(_build_png(
+        10, 2, 1, 0,
+        [bytes([0b10101010, 0b10000000]), bytes([0b11111000, 0b00000000])]))
+    assert arr[0, :, 0].tolist() == [255, 0] * 5
+    assert arr[1, :, 0].tolist() == [255] * 5 + [0] * 5
+    # 2-bit gray scales 0..3 -> 0,85,170,255
+    arr, _, _ = decode_png(_build_png(5, 1, 2, 0, [bytes([0b00011011, 0])]))
+    assert arr[0, :, 0].tolist() == [0, 85, 170, 255, 0]
+    # 4-bit palette
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    arr, _, _ = decode_png(_build_png(3, 1, 4, 3, [b"\x20\x10"], plte=plte))
+    assert arr[0].tolist() == [[70, 80, 90], [10, 20, 30], [40, 50, 60]]
+    # illegal depth/type combination refuses loudly
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        decode_png(_build_png(2, 1, 2, 2, [b"\x00"]))
 
 
 def test_decode_image_real_png_path():
