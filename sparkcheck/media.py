@@ -725,18 +725,20 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_wav(buf: bytes):
-    """REAL decode for RIFF/WAVE PCM audio (8- and 16-bit integer PCM) —
-    stdlib struct + numpy, no codec library. Returns
-    (samples[n, channels] as float64 in [-1, 1), sample_rate). Raises
-    ValueError on non-WAV payloads or unsupported encodings (float PCM,
-    24-bit, ADPCM...)."""
+    """REAL decode for RIFF/WAVE PCM audio — stdlib struct + numpy, no
+    codec library. Integer PCM at 8 (unsigned), 16, 24 (packed triads),
+    and 32 bits, IEEE-float PCM at 32 and 64 bits (format 3), and the
+    WAVE_FORMAT_EXTENSIBLE wrapper (format 0xFFFE, resolved by its
+    SubFormat GUID). Returns (samples[n, channels] as float64 in
+    [-1, 1], sample_rate). Raises ValueError on non-WAV payloads or
+    compressed encodings (ADPCM, MP3-in-WAV...)."""
     import struct
 
     import numpy as np  # noqa: PLC0415
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         ln = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -744,21 +746,50 @@ def decode_wav(buf: bytes):
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"only integer PCM WAV supported (format {audio_format})")
-    if bits == 16:
-        raw = np.frombuffer(data, dtype="<i2")
-        norm = raw.astype(np.float64) / 32768.0
-    elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
-        raw = np.frombuffer(data, dtype=np.uint8)
-        norm = (raw.astype(np.float64) - 128.0) / 128.0
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: first 2 GUID
+        # bytes of SubFormat carry the real format code
+        if len(fmt_body) < 26:
+            raise ValueError("extensible WAV missing SubFormat")
+        audio_format = int.from_bytes(fmt_body[24:26], "little")
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            norm = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            norm = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"{bits}-bit float PCM unsupported")
+    elif audio_format == 1:
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2")
+            norm = raw.astype(np.float64) / 32768.0
+        elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+            raw = np.frombuffer(data, dtype=np.uint8)
+            norm = (raw.astype(np.float64) - 128.0) / 128.0
+        elif bits == 24:  # packed little-endian triads, sign-extended
+            n3 = (len(data) // 3) * 3
+            b3 = np.frombuffer(data[:n3], dtype=np.uint8).reshape(-1, 3)
+            raw = (
+                b3[:, 0].astype(np.int64)
+                | (b3[:, 1].astype(np.int64) << 8)
+                | (b3[:, 2].astype(np.int64) << 16)
+            )
+            raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+            norm = raw.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            raw = np.frombuffer(data, dtype="<i4")
+            norm = raw.astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"{bits}-bit PCM unsupported")
     else:
-        raise ValueError(f"{bits}-bit PCM unsupported")
+        raise ValueError(
+            f"only integer/float PCM WAV supported (format {audio_format})"
+        )
     n = (len(norm) // n_ch) * n_ch
     return norm[:n].reshape(-1, n_ch), rate
 

@@ -49,15 +49,67 @@ def test_8bit_wav():
     assert np.allclose(samples[:, 0], (vals.astype(np.float64) - 128) / 128)
 
 
+def _wav(fmt_fields: bytes, data: bytes) -> bytes:
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_fields))
+            + fmt_fields + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_24_and_32bit_int_wav():
+    # 24-bit packed triads, sign-extended: full-scale +, -, mid values
+    triads = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little")
+        for v in [0x7FFFFF, -0x800000, 0, 0x400000, -0x400000]
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
+    samples, rate = decode_wav(_wav(fmt, triads))
+    assert rate == 16000
+    expect = np.array([0x7FFFFF, -0x800000, 0, 0x400000, -0x400000],
+                      np.float64) / (1 << 23)
+    assert np.allclose(samples[:, 0], expect)
+    # 32-bit int stereo
+    vals = np.array([[1 << 30, -(1 << 30)], [0, -(1 << 31)]], "<i4")
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 8, 8, 32)
+    samples, _ = decode_wav(_wav(fmt, vals.tobytes()))
+    assert np.allclose(samples, vals.astype(np.float64) / (1 << 31))
+
+
+def test_float_and_extensible_wav():
+    # IEEE float32 (format 3)
+    vals = np.array([0.5, -1.0, 0.25, 0.0], "<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    samples, rate = decode_wav(_wav(fmt, vals.tobytes()))
+    assert rate == 44100 and np.allclose(samples[:, 0], vals)
+    # float64
+    vals64 = np.array([0.125, -0.75], "<f8")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    samples, _ = decode_wav(_wav(fmt, vals64.tobytes()))
+    assert np.allclose(samples[:, 0], vals64)
+    # WAVE_FORMAT_EXTENSIBLE wrapping integer PCM 16-bit: fmt chunk gains
+    # cbSize + valid bits + channel mask + SubFormat GUID (PCM = 1)
+    ivals = np.array([1000, -2000, 32767], "<i2")
+    guid = (1).to_bytes(2, "little") + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+         0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + struct.pack("<HHI", 22, 16, 0x4) + guid)
+    samples, _ = decode_wav(_wav(fmt, ivals.tobytes()))
+    assert np.allclose(samples[:, 0], ivals.astype(np.float64) / 32768.0)
+
+
 def test_rejects_unsupported():
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav(b"OggS....")
-    # float PCM (format 3)
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(ValueError, match="integer PCM"):
-        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # ADPCM (format 2) still refuses
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+    with pytest.raises(ValueError, match="integer/float PCM"):
+        decode_wav(_wav(fmt, b"\x00" * 4))
+    # float at a depth float PCM doesn't define
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError, match="float PCM unsupported"):
+        decode_wav(_wav(fmt, b"\x00" * 4))
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3-ish-bytes", fake=False)
 
