@@ -439,12 +439,16 @@ def test_merge_states_corrupt_negative_m2_raises(spark):
 def test_mi_and_gain_release_their_caches(spark):
     # long-lived sessions profile many pairs; each call must unpersist
     # its joint frame after materializing the dimension-sized result
+    # assert no NET growth rather than absolute emptiness: other modules'
+    # localCheckpoint RDDs are legitimately retained until GC, so under
+    # full-suite ordering the absolute count is not ours to pin
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame(
         [(i % 3, i % 4, i % 2) for i in range(120)], "a int, b int, y int"
     )
     mi = it.mutual_information(df, "a", "b").collect()
     ig = it.information_gain(df, "y", ["a", "b"]).collect()
     assert len(mi) == 1 and len(ig) == 2
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= before
