@@ -387,6 +387,47 @@ def main():
         "merge is free at any corpus size: this is the resume path that "
         "lets corpus stats skip already-committed partitions.")
 
+    from pyspark.sql import functions as F
+
+    from sparkcheck.conditions import get_condition
+    from sparkcheck.metrics import Domain
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    norm_ok = get_condition("column_values.vector_norm.between").build(
+        Domain(column="embedding"), {"min_value": 0.9, "max_value": 1.1}
+    )
+    add("Vector-norm expectation (vector_validation_embeddings condition)",
+        emb.select(F.sum(F.when(~norm_ok, 1).otherwise(0)).alias("n_bad")),
+        "The L2-norm check is an `aggregate` HOF inside the single "
+        "HashAggregate — the whole expectation is one JVM expression over "
+        "the scan (no BatchEvalPython/ArrowEval node anywhere in the "
+        "plan), so it agg-bundles with every other map condition and "
+        "ships in the same fused pass at any corpus size.")
+
+    spans_df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array(
+                F.format_string("m%d", F.col("id") % 200),
+                F.format_string("m%d", (F.col("id") * 7 + 3) % 200),
+            )).alias("media_ref"),
+        )
+    )
+    media_dim = spark.range(200).select(
+        F.format_string("m%d", F.col("id")).alias("media_ref"),
+        F.sha2(F.format_string("m%d", F.col("id")).cast("binary"), 256)
+        .cast("binary").alias("payload"),
+    )
+    add("Interleaved media join (interleaved_media_validation shape)",
+        spans_df.join(F.broadcast(media_dim), "media_ref", "left"),
+        "The exploded span->payload join is a `BroadcastHashJoin ... "
+        "BuildRight` — media dimensions broadcast, the exploded fact side "
+        "never shuffles. At 10^12 docs the payload table is NOT "
+        "broadcastable; the engine's referential module switches to the "
+        "salted sort-merge form, and the decode stage itself is "
+        "mapInPandas over the joined frame either way.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
