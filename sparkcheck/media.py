@@ -218,7 +218,7 @@ def decode_png(buf: bytes):
 
     if buf[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, plte = 8, [], None
+    pos, idat, plte, trns = 8, [], None, None
     w = h = color = None
     interlace = 0
     while pos + 8 <= len(buf):
@@ -242,6 +242,8 @@ def decode_png(buf: bytes):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -278,7 +280,16 @@ def decode_png(buf: bytes):
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        arr = plte[arr[:, :, 0]]
+        idxs = arr[:, :, 0]
+        if trns is not None:
+            # palette transparency: per-entry alpha, 255 past tRNS's end
+            alpha_lut = np.full(len(plte), 255, np.uint8)
+            alpha_lut[: min(len(trns), len(plte))] = trns[: len(plte)]
+            arr = np.concatenate(
+                [plte[idxs], alpha_lut[idxs][:, :, None]], axis=2
+            )
+        else:
+            arr = plte[idxs]
     return arr, w, h
 
 

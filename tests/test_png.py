@@ -192,6 +192,36 @@ def test_png_16bit_and_subbyte_depths():
         decode_png(_build_png(2, 1, 2, 2, [b"\x00"]))
 
 
+def test_png_palette_trns_alpha():
+    """tRNS on a palette PNG expands to RGBA: per-entry alpha from the
+    chunk, 255 for entries past its end."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([0, 128])  # entry0 transparent, entry1 half, entry2 -> 255
+    raw = b"\x00" + bytes([0, 1, 2])  # one row, indices 0,1,2 (8-bit)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", trns)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr, w, h = decode_png(buf)
+    assert arr.shape == (1, 3, 4)
+    assert arr[0].tolist() == [
+        [255, 0, 0, 0], [0, 255, 0, 128], [0, 0, 255, 255]
+    ]
+
+
 def test_decode_image_real_png_path():
     img = _rng_img(8, 8, 3, seed=1)
     feats = decode_image(encode_png(img), fake=False)
