@@ -1338,8 +1338,8 @@ def q_media_decodable_validation(spark, sf):
     counts are pinned by construction; the unrestricted and the
     formats=[png,jpeg]-restricted expectations both run, so the oracle
     checks 2 rows of counts only an actual Arrow-batched decode can
-    produce. 48 ids: 10 truncated (%5), 6 garbage (%7 not %5-overlapping
-    counted once), rest decodable."""
+    produce. 48 ids: 10 truncated (%5), 5 garbage (%7 minus the %35
+    overlap: 7,14,21,28,42), 33 decodable."""
     import pandas as _pd
 
     from sparkcheck import ExpectationSuite, validate_df

@@ -153,6 +153,23 @@ class WebhookAction(ValidationAction):
         self.slack_format = slack_format
         self.timeout = timeout
 
+    def _post_json(
+        self, body: dict[str, Any], extra_headers: dict[str, str] | None = None
+    ) -> dict[str, Any]:
+        """Shared transport for every HTTP-shaped action: one place for
+        the request construction, timeout, and outcome shape."""
+        headers = {"Content-Type": "application/json"}
+        if extra_headers:
+            headers.update(extra_headers)
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, default=str).encode(),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return {"http_status": resp.status}
+
     def _run(self, result, context):
         payload = self.summary_payload(result, context)
         if self.slack_format:
@@ -168,14 +185,7 @@ class WebhookAction(ValidationAction):
             }
         else:
             body = payload
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(body, default=str).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return {"http_status": resp.status}
+        return self._post_json(body)
 
 
 class EmailAction(ValidationAction):
@@ -271,14 +281,7 @@ class SlackNotificationAction(WebhookAction):
             show_failed_expectations=self.show_failed_expectations,
             data_docs_link=self.data_docs_link,
         )
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(body, default=str).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return {"http_status": resp.status}
+        return self._post_json(body)
 
 
 class TeamsNotificationAction(WebhookAction):
@@ -304,14 +307,7 @@ class TeamsNotificationAction(WebhookAction):
         body = render_teams_payload(
             result, context, data_docs_link=self.data_docs_link
         )
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(body, default=str).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return {"http_status": resp.status}
+        return self._post_json(body)
 
 
 class PagerdutyAlertAction(WebhookAction):
@@ -344,14 +340,7 @@ class PagerdutyAlertAction(WebhookAction):
         body = render_pagerduty_event(
             result, context, self.routing_key, severity=self.severity
         )
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(body, default=str).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return {"http_status": resp.status}
+        return self._post_json(body)
 
 
 class OpsgenieAlertAction(WebhookAction):
@@ -388,17 +377,9 @@ class OpsgenieAlertAction(WebhookAction):
         body = render_opsgenie_alert(
             result, context, priority=self.priority, tags=self.tags
         )
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(body, default=str).encode(),
-            headers={
-                "Content-Type": "application/json",
-                "Authorization": f"GenieKey {self.api_key}",
-            },
-            method="POST",
+        return self._post_json(
+            body, extra_headers={"Authorization": f"GenieKey {self.api_key}"}
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return {"http_status": resp.status}
 
 
 class SNSNotificationAction(ValidationAction):

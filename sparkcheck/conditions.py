@@ -375,7 +375,10 @@ def _vector_norm_between(domain: Domain, kw: dict) -> Column:
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
     norm = F.sqrt(sq)
-    conds = [~F.isnan(norm)]  # non-finite never passes
+    # non-finite never passes: NaN components give a NaN norm, but Inf
+    # components (or squares overflowing double) give +Inf — sqrt(Inf)
+    # is Inf, not NaN, so a min_value-only check would wave it through
+    conds = [~F.isnan(norm), norm < F.lit(float("inf"))]
     if kw.get("min_value") is not None:
         lo = F.lit(float(kw["min_value"]))
         conds.append(norm > lo if kw.get("strict_min") else norm >= lo)
@@ -690,20 +693,12 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
     # fast path that skips entropy decode, for suites where wrong-format
     # and lying-magic rows are the target and deep corruption is
     # acceptable to miss (or sampled separately with check="full").
-    formats = kw.get("formats")
+    from .media import validate_media_formats  # noqa: PLC0415
+
     check = kw.get("check", "full")
     if check not in ("full", "header"):
         raise ValueError(
             f"check must be 'full' or 'header', got {check!r}"
         )
-    if formats is not None:
-        from .media import _decoders  # noqa: PLC0415
-
-        formats = list(formats)
-        unknown = [f for f in formats if f not in _decoders()]
-        if unknown:
-            raise ValueError(
-                f"unknown media formats {unknown}; "
-                f"known: {sorted(_decoders())}"
-            )
+    formats = validate_media_formats(kw.get("formats"))
     return _media_decodable_udf(formats, check)(F.col(domain.column))

@@ -502,6 +502,39 @@ _SNIFFERS = {
 }
 
 
+def validate_media_formats(formats: list[str] | None) -> list[str] | None:
+    """Driver-side validation of a ``formats`` kwarg — one place for the
+    accepted-format set and the error message, shared by try_decode,
+    sniff_media, and the media_decodable expectation."""
+    if formats is None:
+        return None
+    formats = list(formats)
+    unknown = [f for f in formats if f not in _SNIFFERS]
+    if unknown:
+        raise ValueError(
+            f"unknown media formats {unknown}; known: {sorted(_SNIFFERS)}"
+        )
+    return formats
+
+
+def _probe(buf: bytes, formats: list[str] | None, registry) -> str | None:
+    """Try each format's probe callable until one accepts the payload;
+    ANY exception means "not this format" — truncated/corrupt payloads
+    can raise whatever the codec's guts hit first (zlib.error,
+    struct.error, Index/KeyError past a lying header)."""
+    if buf is None:
+        return None
+    names = validate_media_formats(formats) or list(registry)
+    b = bytes(buf)
+    for name in names:
+        try:
+            registry[name](b)
+            return name
+        except Exception:  # noqa: BLE001 — every failure means the same thing
+            continue
+    return None
+
+
 def sniff_media(buf: bytes, formats: list[str] | None = None) -> str | None:
     """Header-only media check: magic bytes + a structural header walk
     (PNG IHDR, JPEG marker walk to SOF, GIF logical screen, PPM token
@@ -510,24 +543,7 @@ def sniff_media(buf: bytes, formats: list[str] | None = None) -> str | None:
     format, lying magics, and nonsense dimensions; misses corruption
     past the header (that's ``try_decode``'s job). Returns the format
     name or None."""
-    if buf is None:
-        return None
-    sniffs = _SNIFFERS
-    if formats is not None:
-        unknown = [f for f in formats if f not in sniffs]
-        if unknown:
-            raise ValueError(
-                f"unknown media formats {unknown}; known: {sorted(sniffs)}"
-            )
-        sniffs = {f: sniffs[f] for f in formats}
-    b = bytes(buf)
-    for name, sniff in sniffs.items():
-        try:
-            sniff(b)
-            return name
-        except Exception:  # noqa: BLE001 — same contract as try_decode
-            continue
-    return None
+    return _probe(buf, formats, _SNIFFERS)
 
 
 def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
@@ -537,26 +553,7 @@ def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
     which codecs count (e.g. ["png", "jpeg"] for an image-only column).
     This is a full decode, not a magic-byte sniff — truncated or corrupt
     payloads with intact headers return None."""
-    if buf is None:
-        return None
-    decs = _decoders()
-    if formats is not None:
-        unknown = [f for f in formats if f not in decs]
-        if unknown:
-            raise ValueError(
-                f"unknown media formats {unknown}; known: {sorted(decs)}"
-            )
-        decs = {f: decs[f] for f in formats}
-    for name, dec in decs.items():
-        try:
-            dec(bytes(buf))
-            return name
-        except Exception:  # noqa: BLE001 — truncated/corrupt payloads can
-            # raise anything the codec's guts hit first (zlib.error,
-            # struct.error, Index/KeyError past a lying header); for a
-            # decodability check every failure means the same thing
-            continue
-    return None
+    return _probe(buf, formats, _decoders())
 
 
 def resize_image(buf: bytes, out_w: int, out_h: int) -> bytes:

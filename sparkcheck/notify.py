@@ -263,9 +263,10 @@ def render_opsgenie_alert(
         f"Expectations evaluated: {stats.get('evaluated_expectations', 0)}",
         f"Expectations failed: {stats.get('unsuccessful_expectations', 0)}",
     ]
-    failed = failed_expectations_text(rep.get("results") or [])
-    if failed:
-        lines.append(failed)
+    # only when something actually failed — failed_expectations_text always
+    # emits its header line, so gate on the results, not the string
+    if any(not r.get("success") for r in rep.get("results") or []):
+        lines.append(failed_expectations_text(rep.get("results") or []))
     return {
         "message": f"Validation suite {suite} {verdict}",
         "description": "\n".join(lines),

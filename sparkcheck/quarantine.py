@@ -148,8 +148,13 @@ def suite_masks(
 def _is_arrow_rowlocal(spec) -> bool:
     """Some conditions are flagged is_window only because their pandas-UDF
     mask cannot join the fused agg pass — the mask itself is still a
-    row-local Column (dateutil_parseable). True window functions are not."""
-    return spec.name in ("column_values.dateutil_parseable",)
+    row-local Column (dateutil_parseable, json-schema, media decode).
+    True window functions (unique/compound/increasing) are not."""
+    return spec.name in (
+        "column_values.dateutil_parseable",
+        "column_values.match_json_schema",
+        "column_values.media_decodable",
+    )
 
 
 def _unique_flags(

@@ -950,6 +950,7 @@ def semantic_dedup(
         import math as _math
         import warnings as _warnings
 
+        oversize: list | None = None  # None = never checked (depth 0)
         for _depth in range(max_split_depth):
             sizes = work.groupBy("__ckey").agg(F.count(F.lit(1)).alias("__n"))
             oversize = [
@@ -994,25 +995,34 @@ def semantic_dedup(
             for p in pieces[1:]:
                 work = work.unionByName(p)
             work = work.localCheckpoint(eager=False)
-        # anything STILL oversize after the depth cap cannot be split
-        # (bit-identical vectors tie every seed): keep whole, but say so
-        sizes = work.groupBy("__ckey").agg(F.count(F.lit(1)).alias("__n"))
-        stuck = sizes.where(F.col("__n") > max_cluster)
-        n_stuck = stuck.limit(1).count()
-        if n_stuck:
-            _warnings.warn(
-                "semantic_dedup: some clusters exceed max_cluster="
-                f"{max_cluster} even after {max_split_depth} re-cluster "
-                "levels (unsplittable — likely bit-identical vectors); "
-                "their members are kept whole. Consider exact dedup "
-                "(dedup.exact) upstream.",
-                stacklevel=2,
+        if oversize == []:
+            # the loop's last size check already proved every cluster
+            # fits — no extra jobs in the common path
+            comparable = work
+        else:
+            # oversize is None (depth 0: never checked) or non-empty
+            # the depth cap ended the loop right after a split: one fresh
+            # size check decides whether that split worked. Anything
+            # STILL oversize cannot be split (bit-identical vectors tie
+            # every seed): keep whole, but say so.
+            sizes = work.groupBy("__ckey").agg(
+                F.count(F.lit(1)).alias("__n")
             )
-        comparable = work.join(
-            sizes.where(F.col("__n") <= max_cluster).select("__ckey"),
-            "__ckey",
-            "left_semi",
-        )
+            stuck = sizes.where(F.col("__n") > max_cluster)
+            if stuck.limit(1).count():
+                _warnings.warn(
+                    "semantic_dedup: some clusters exceed max_cluster="
+                    f"{max_cluster} even after {max_split_depth} "
+                    "re-cluster levels (unsplittable — likely "
+                    "bit-identical vectors); their members are kept "
+                    "whole. Consider exact dedup (dedup.exact) upstream.",
+                    stacklevel=2,
+                )
+            comparable = work.join(
+                sizes.where(F.col("__n") <= max_cluster).select("__ckey"),
+                "__ckey",
+                "left_semi",
+            )
     else:
         comparable = work
     if pair_impl == "arrow":

@@ -479,6 +479,12 @@ def test_opsgenie_action_reference_alert_shape(http_server):
     # region picks the EU host exactly like the reference
     eu = OpsgenieAlertAction("gk-1", region="eu")
     assert eu.url == "https://api.eu.opsgenie.com/v2/alerts"
+    # a success alert must not carry a dangling empty failures header
+    ok = OpsgenieAlertAction("gk-1", url=http_server, notify_on="all")
+    ok.run(_rich_result(True), {"suite_name": "docs_suite"})
+    body = _Recorder.bodies[-1]
+    assert "succeeded" in body["message"]
+    assert "Failed Expectations" not in body["description"]
 
 
 def test_sns_action_reference_publish_kwargs():

@@ -344,8 +344,10 @@ def test_vector_expectations(spark):
     r = _one(df, {
         "expectation_type": "expect_column_vector_norms_to_be_between",
         "kwargs": {"column": "emb", "min_value": 1.0, "strict_min": True}})
-    # strict: norm exactly 1.0 now unexpected too (plus nan; inf passes >1)
-    assert r["result"]["unexpected_count"] == 2
+    # strict: norm exactly 1.0 now unexpected too, and non-finite NEVER
+    # passes — an Inf norm with only a min bound must still fail (sqrt of
+    # an Inf sum is Inf, not NaN, so an isnan guard alone would miss it)
+    assert r["result"]["unexpected_count"] == 3
 
     r = _one(df, {
         "expectation_type": "expect_column_vector_values_to_be_finite",

@@ -69,6 +69,35 @@ def test_skips_are_reported_not_fatal(toy):
     assert res.valid.count() == 2
 
 
+def test_arrow_rowlocal_conditions_route_not_skip(spark):
+    """Pandas-UDF map conditions whose masks are row-local (media decode,
+    json schema, dateutil) must ROUTE rows to quarantine, not be skipped
+    with the window-dependence excuse — their verdict depends on the row
+    alone."""
+    import numpy as np
+
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.media import encode_png
+
+    png = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    rows = [
+        (1, png, '{"a": 1}'),
+        (2, bytearray(b"not-media"), '{"a": 2}'),
+        (3, png, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary, j string")
+    s = ExpectationSuite("rowlocal")
+    s.add("expect_column_values_to_be_media_decodable", column="payload")
+    s.add("expect_column_values_to_match_json_schema", column="j",
+          json_schema={"type": "object", "required": ["a"]})
+    res = quarantine(df, s)
+    assert res.skipped == {}
+    assert sorted(r.id for r in res.valid.collect()) == [1]
+    bad = {r.id: sorted(r[FAILED_COL]) for r in res.quarantined.collect()}
+    assert bad[2] == ["expect_column_values_to_be_media_decodable:payload"]
+    assert bad[3] == ["expect_column_values_to_match_json_schema:j"]
+
+
 def test_row_condition_scopes_the_check(toy):
     s = ExpectationSuite("scoped")
     s.add(
