@@ -123,7 +123,10 @@ QUIET_REF = {
     "curation_funnel": 0.80,
     "passage_dedup_documents": 2.01,
     "lm_quality_documents": 0.64,
-    "semantic_dedup": 2.90,
+    # 2.90 predates the r5 oversize-cluster re-clustering: dense modes
+    # are now split and pair-compared instead of skipped (strictly more
+    # work for strictly more recall); steady-state quiet is 3.5-4.3
+    "semantic_dedup": 3.60,
     "importance_resample": 1.33,
     "robust_stats_quantity": 0.84,
     "novelty_documents": 1.30,
