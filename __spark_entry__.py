@@ -1328,6 +1328,139 @@ def q_media_progressive_jpeg(spark, sf):
     )
 
 
+def q_media_video_roundtrip(spark, sf):
+    """AVI + Y4M video-container proof, oracle-gated (sparkcheck.video;
+    no reference analog — GX never decodes media). Frame f of video i is
+    an 8x8 flat gray whose level is the first md5 byte of 'i:f'. Three
+    container paths per video: AVI/MJPEG at quality 95 (flat-block DC
+    envelope — every pixel within +-1 of the level, avi_bad pinned 0),
+    AVI/raw-DIB (lossless, dib_exact pinned 1), and Y4M C444 (gray
+    frames put Cb=Cr exactly at 128, so full-range YCbCr is lossless on
+    them — y4m_exact pinned 1); the rational frame rate survives both
+    containers (fps_ok pinned 1). The oracle rebuilds levels from the
+    md5 formula — constants only real encode/decode loops can hit."""
+    import pandas as _pd
+
+    from sparkcheck.video import (
+        decode_avi,
+        decode_y4m,
+        encode_avi,
+        encode_y4m,
+    )
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                levels = [
+                    int(_h.md5(f"{i}:{f}".encode()).hexdigest()[:2], 16)
+                    for f in range(3)
+                ]
+                orig = [
+                    _np.full((8, 8), lv, dtype=_np.uint8) for lv in levels
+                ]
+                mjpg, _, _, afps = decode_avi(
+                    encode_avi(orig, fps=(30000, 1001), quality=95)
+                )
+                dib, _, _, _ = decode_avi(encode_avi(orig, codec="dib"))
+                y4m, w, h, yfps = decode_y4m(
+                    encode_y4m(orig, fps=(24, 1), colorspace="444")
+                )
+                fps_ok = int(afps == (30000, 1001) and yfps == (24, 1))
+                for f, lv in enumerate(levels):
+                    exp = _np.full((8, 8, 3), lv, dtype=_np.uint8)
+                    out.append((
+                        f"vid{i}", f, w, h, lv,
+                        int((
+                            _np.abs(mjpg[f].astype(_np.int64) - lv) > 1
+                        ).sum()),
+                        int(_np.array_equal(dib[f], exp)),
+                        int(_np.array_equal(y4m[f], exp)),
+                        fps_ok,
+                    ))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "frame_index", "width", "height",
+                    "level", "avi_bad", "dib_exact", "y4m_exact", "fps_ok",
+                ],
+            )
+
+    schema = (
+        "media_ref string, frame_index long, width long, height long, "
+        "level long, avi_bad long, dib_exact long, y4m_exact long, "
+        "fps_ok long"
+    )
+    return (
+        spark.range(12).repartition(4).mapInPandas(gen, schema)
+        .orderBy("media_ref", "frame_index")
+    )
+
+
+def q_video_frame_sampling(spark, sf):
+    """media.sample_frames(fake=False) over REAL AVI payloads — the
+    distributed-operator proof on top of the codec proof above. One
+    executor-side mapInPandas stage builds video i as an AVI/raw-DIB of
+    n_i = (first md5 nibble of 'v<i>') % 6 + 2 flat 4x4 frames whose
+    per-frame gray level is (first md5 nibble of 'i:f') * 16; a second
+    stage (media.sample_frames) really decodes the RIFF container and
+    emits every 3rd frame's sha256 pixel digest. The aggregate's
+    per-video sampled counts, frame-index sums, and distinct-digest
+    counts are recomputed by the DuckDB oracle from the same md5
+    arithmetic (digest distinctness == level distinctness: sha256 is
+    injective on these 48-byte buffers). Payload bytes never leave the
+    executors — only the 3-column aggregate crosses to the driver."""
+    import pandas as _pd
+
+    from sparkcheck import media as _media
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        from sparkcheck.video import encode_avi
+
+        for pdf in batches:
+            refs, kinds, bufs = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                n = int(_h.md5(f"v{i}".encode()).hexdigest()[0], 16) % 6 + 2
+                frames = [
+                    _np.full(
+                        (4, 4),
+                        int(_h.md5(f"{i}:{f}".encode()).hexdigest()[0], 16) * 16,
+                        dtype=_np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                refs.append(f"vid{i}")
+                kinds.append("video")
+                bufs.append(encode_avi(frames, codec="dib"))
+            yield _pd.DataFrame(
+                {"media_ref": refs, "kind": kinds, "media_bytes": bufs}
+            )
+
+    vids = spark.range(48).repartition(4).mapInPandas(
+        gen, "media_ref string, kind string, media_bytes binary"
+    )
+    sampled = _media.sample_frames(vids, every_n=3, fake=False)
+    return (
+        sampled.groupBy("media_ref")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("frame_index").alias("idx_sum"),
+            F.countDistinct("frame_digest").alias("n_digests"),
+        )
+        .orderBy("media_ref")
+    )
+
+
 def q_media_decodable_validation(spark, sf):
     """expect_column_values_to_be_media_decodable run as a SUITE MEMBER
     over a deterministic mixed-payload media table: per id, a real PNG
@@ -2361,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_validation_embeddings": q_vector_validation_embeddings,
         "interleaved_media_validation": q_interleaved_media_validation,
         "media_progressive_jpeg": q_media_progressive_jpeg,
+        "media_video_roundtrip": q_media_video_roundtrip,
+        "video_frame_sampling": q_video_frame_sampling,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
         "regex_inference_documents": q_regex_inference_documents,
@@ -3565,6 +3700,40 @@ def oracle_sql() -> dict[str, str]:
             "16::BIGINT AS height, sum(lvl)::BIGINT AS level_sum, "
             "0::BIGINT AS n_bad, 1::BIGINT AS twin_equal "
             "FROM v GROUP BY i ORDER BY media_ref"
+        ),
+        "media_video_roundtrip": (
+            # levels from the md5-byte formula; the codec invariants
+            # (MJPEG DC envelope, lossless DIB, gray-through-C444, fps)
+            # are pins only real encode/decode loops can hit
+            "WITH imgs AS (SELECT unnest(range(0, 12))::INT AS i), "
+            "fr AS (SELECT i, unnest(range(0, 3))::INT AS f FROM imgs), "
+            "v AS (SELECT i, f, "
+            + (
+                lambda h: f"({_nib(h, 1)} * 16 + {_nib(h, 2)})"
+            )("md5(i || ':' || f)")
+            + " AS lvl FROM fr) "
+            "SELECT 'vid' || i AS media_ref, f::BIGINT AS frame_index, "
+            "8::BIGINT AS width, 8::BIGINT AS height, lvl::BIGINT AS level, "
+            "0::BIGINT AS avi_bad, 1::BIGINT AS dib_exact, "
+            "1::BIGINT AS y4m_exact, 1::BIGINT AS fps_ok "
+            "FROM v ORDER BY media_ref, frame_index"
+        ),
+        "video_frame_sampling": (
+            # rebuild of the sampler arithmetic: n_i frames, every 3rd
+            # sampled; distinct digests == distinct levels (sha256 is
+            # injective on these buffers)
+            "WITH vids AS (SELECT unnest(range(0, 48))::INT AS i), "
+            "n AS (SELECT i, "
+            + "(({}) % 6) + 2 AS nf ".format(_nib("md5('v' || i)", 1))
+            + "FROM vids), "
+            "fr AS (SELECT i, unnest(range(0, nf))::INT AS f FROM n), "
+            "samp AS (SELECT i, f, "
+            + "({}) * 16 AS lvl ".format(_nib("md5(i || ':' || f)", 1))
+            + "FROM fr WHERE f % 3 = 0) "
+            "SELECT 'vid' || i AS media_ref, count(*)::BIGINT AS n_sampled, "
+            "sum(f)::BIGINT AS idx_sum, "
+            "count(DISTINCT lvl)::BIGINT AS n_digests "
+            "FROM samp GROUP BY i ORDER BY media_ref"
         ),
         "media_png_roundtrip": (
             # luma recomputed straight from the md5 pixel formula — no

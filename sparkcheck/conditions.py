@@ -684,7 +684,8 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
     # no reference analog (GX treats binaries as opaque): a media payload
     # column validates by REALLY decoding each payload against the
     # pure-python codecs (media.try_decode: ppm/png/jpeg-incl-progressive/
-    # gif-incl-animated/wav) in an Arrow-batched pandas UDF — full decode,
+    # gif-incl-animated/wav/avi-mjpg-dib/y4m) in an Arrow-batched pandas
+    # UDF — full decode,
     # not a magic-byte sniff, so truncation and bit-rot past the header
     # are unexpected values. kwargs: formats=["png", ...] narrows the
     # accepted set (validated eagerly on the driver so a typo fails the
@@ -701,4 +702,13 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
             f"check must be 'full' or 'header', got {check!r}"
         )
     formats = validate_media_formats(kw.get("formats"))
+    if check == "full" and formats:
+        from .media import SNIFF_ONLY_FORMATS  # noqa: PLC0415
+
+        sniff_only = sorted(set(formats) & SNIFF_ONLY_FORMATS)
+        if sniff_only:
+            raise ValueError(
+                f"formats {sniff_only} are sniff-only (mp4/mp3 have no "
+                "pure-python decoder); run them with check='header'"
+            )
     return _media_decodable_udf(formats, check)(F.col(domain.column))

@@ -394,6 +394,7 @@ def decode_image(buf: bytes, fake: bool = False) -> dict[str, Any]:
 def _decoders():
     from .gif import decode_gif  # noqa: PLC0415
     from .jpeg import decode_jpeg  # noqa: PLC0415
+    from .video import decode_avi, decode_y4m  # noqa: PLC0415
 
     return {
         "ppm": decode_ppm,
@@ -401,6 +402,8 @@ def _decoders():
         "jpeg": decode_jpeg,
         "gif": decode_gif,
         "wav": decode_wav,
+        "avi": decode_avi,
+        "y4m": decode_y4m,
     }
 
 
@@ -493,13 +496,176 @@ def _sniff_wav(buf: bytes):
     return rate, int.from_bytes(buf[22:24], "little")
 
 
+def _sniff_avi(buf: bytes):
+    # RIFF walk to the avih main header without touching frame data
+    if len(buf) < 24 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not AVI")
+    pos, n = 12, len(buf)
+    while pos + 8 <= n:
+        fourcc = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if fourcc == b"LIST" and buf[pos + 8 : pos + 12] == b"hdrl":
+            body = buf[pos + 12 : pos + 8 + size]
+            if body[:4] != b"avih" or len(body) < 48:
+                raise ValueError("AVI missing avih")
+            w = int.from_bytes(body[40:44], "little")
+            h = int.from_bytes(body[44:48], "little")
+            if w == 0 or h == 0:
+                raise ValueError("bad AVI dimensions")
+            return w, h
+        pos += 8 + size + (size & 1)
+    raise ValueError("AVI missing hdrl")
+
+
+def _sniff_y4m(buf: bytes):
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not Y4M")
+    eol = buf.find(b"\n", 0, 2048)
+    if eol < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = 0
+    for tok in buf[9:eol].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    return w, h
+
+
+def _mp4_find_tkhd(buf: bytes, pos: int, end: int):
+    """Walk moov's children for trak/tkhd; return the first nonzero
+    (width, height) — audio tracks carry 0x0 and are skipped."""
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        if typ == b"trak":
+            got = _mp4_find_tkhd(buf, pos + hdr, pos + size)
+            if got is not None:
+                return got
+        elif typ == b"tkhd":
+            body = buf[pos + hdr : pos + size]
+            if not body:
+                raise ValueError("empty tkhd")
+            off = 88 if body[0] == 1 else 76  # version 1 widens 3 times
+            if len(body) < off + 8:
+                raise ValueError("short tkhd")
+            w = int.from_bytes(body[off : off + 4], "big") >> 16
+            h = int.from_bytes(body[off + 4 : off + 8], "big") >> 16
+            if w and h:
+                return w, h
+            return None  # 0x0: audio/other track
+        pos += size
+    return None
+
+
+def _sniff_mp4(buf: bytes):
+    """SNIFF-ONLY (no decoder): ISO-BMFF box walk — ftyp first, then
+    moov -> trak -> tkhd for the video track's 16.16 fixed-point
+    dimensions. moov commonly sits at the END of the file; payload
+    columns hold whole files, so both faststart and trailer layouts
+    parse."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError("not MP4 (no ftyp)")
+    pos, n = 0, len(buf)
+    while pos + 8 <= n:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > n:
+                raise ValueError("truncated MP4 box")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box runs to EOF
+            size = n - pos
+        if size < hdr or pos + size > n:
+            raise ValueError("truncated MP4 box")
+        if typ == b"moov":
+            dims = _mp4_find_tkhd(buf, pos + hdr, pos + size)
+            if dims is not None:
+                return dims
+        pos += size
+    raise ValueError("MP4 missing moov/tkhd video dimensions")
+
+
+# MPEG audio bitrate (kbps) and sample-rate tables, MPEG1/2 layer III
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _sniff_mp3(buf: bytes):
+    """SNIFF-ONLY (no decoder): skip an ID3v2 tag (syncsafe size), then
+    validate an MPEG-1/2/2.5 layer-III frame header — sync bits, legal
+    version/layer/bitrate/samplerate — and require a SECOND frame sync
+    at the computed frame length (when the buffer reaches it), which
+    kills the false-positive rate of bare 0xFFE syncs in random bytes.
+    Returns (sample_rate, channels)."""
+    pos, n = 0, len(buf)
+    if buf[:3] == b"ID3":
+        if n < 10:
+            raise ValueError("truncated ID3 tag")
+        tag = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+        pos = 10 + tag
+
+    def frame_at(p: int):
+        if p + 4 > n:
+            raise ValueError("truncated MP3 frame header")
+        b1, b2, b3, b4 = buf[p : p + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError("no MP3 frame sync")
+        version = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (b2 >> 1) & 3  # 1 = layer III
+        if version == 1 or layer != 1:
+            raise ValueError("not a layer-III frame")
+        br_idx = b3 >> 4
+        sr_idx = (b3 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-form/bad MP3 bitrate or sample rate")
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        bitrate = table[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b3 >> 1) & 1
+        per_frame = 144 if version == 3 else 72  # samples/8 per frame
+        flen = per_frame * bitrate // rate + padding
+        channels = 1 if (b4 >> 6) & 3 == 3 else 2
+        return rate, channels, flen
+
+    rate, channels, flen = frame_at(pos)
+    nxt = pos + flen
+    if nxt + 2 <= n and not (
+        buf[nxt] == 0xFF and (buf[nxt + 1] & 0xE0) == 0xE0
+    ):
+        raise ValueError("MP3 second frame sync missing")
+    return rate, channels
+
+
 _SNIFFERS = {
     "ppm": _sniff_ppm,
     "png": _sniff_png,
     "jpeg": _sniff_jpeg,
     "gif": _sniff_gif,
     "wav": _sniff_wav,
+    "avi": _sniff_avi,
+    "y4m": _sniff_y4m,
+    "mp4": _sniff_mp4,
+    "mp3": _sniff_mp3,
 }
+
+#: formats with a structural header sniff but NO pure-python decoder
+#: (h264/aac entropy decode needs ffmpeg): valid for check="header",
+#: rejected loudly for check="full" rather than silently failing rows
+SNIFF_ONLY_FORMATS = frozenset({"mp4", "mp3"})
 
 
 def validate_media_formats(formats: list[str] | None) -> list[str] | None:
@@ -538,7 +704,8 @@ def _probe(buf: bytes, formats: list[str] | None, registry) -> str | None:
 def sniff_media(buf: bytes, formats: list[str] | None = None) -> str | None:
     """Header-only media check: magic bytes + a structural header walk
     (PNG IHDR, JPEG marker walk to SOF, GIF logical screen, PPM token
-    scan, RIFF/WAVE fmt) with NO entropy/pixel decode — O(header) per
+    scan, RIFF/WAVE fmt, RIFF/AVI walk to avih, Y4M header parse) with
+    NO entropy/pixel decode — O(header) per
     payload instead of O(bytes). The 100 TB fast path: catches wrong
     format, lying magics, and nonsense dimensions; misses corruption
     past the header (that's ``try_decode``'s job). Returns the format
@@ -548,11 +715,23 @@ def sniff_media(buf: bytes, formats: list[str] | None = None) -> str | None:
 
 def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
     """Attempt a REAL decode of ``buf`` against the pure-python codecs
-    (ppm/pgm, png, jpeg incl. progressive, gif incl. animated, wav);
-    returns the format name that decoded, or None. ``formats`` restricts
+    (ppm/pgm, png, jpeg incl. progressive, gif incl. animated, wav,
+    avi with MJPG/DIB video, y4m); returns the format name that
+    decoded, or None. ``formats`` restricts
     which codecs count (e.g. ["png", "jpeg"] for an image-only column).
     This is a full decode, not a magic-byte sniff — truncated or corrupt
-    payloads with intact headers return None."""
+    payloads with intact headers return None. Sniff-only formats
+    (mp4, mp3 — no pure-python decoder exists) are rejected eagerly
+    with ValueError rather than silently failing every payload; use
+    sniff_media for those."""
+    requested = validate_media_formats(formats)
+    if requested:
+        sniff_only = sorted(set(requested) & SNIFF_ONLY_FORMATS)
+        if sniff_only:
+            raise ValueError(
+                f"formats {sniff_only} are sniff-only (no pure-python "
+                "decoder); use sniff_media / check='header' for them"
+            )
     return _probe(buf, formats, _decoders())
 
 
@@ -588,12 +767,29 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Frame sampling for video rows: emits 0..k rows per input row (the
-    mapInPandas contract allows fan-out). With ``fake=False``, animated
-    GIF payloads REALLY decode (gif.py: LZW + disposal compositing) and
-    each sampled row's digest is the sha256 of that frame's composited
-    RGB pixels; other containers (mp4/webm/...) need ffmpeg and raise.
-    The fake path derives a deterministic frame count from the payload
-    size so non-decodable plumbing stays testable end-to-end."""
+    mapInPandas contract allows fan-out). With ``fake=False``, payloads
+    REALLY decode — animated GIF (gif.py: LZW + disposal compositing),
+    AVI with MJPG/DIB codecs (video.py: RIFF walk + per-frame JPEG), and
+    Y4M (video.py: planar YCbCr) — and each sampled row's digest is the
+    sha256 of that frame's composited RGB pixels; other containers
+    (mp4/webm/...) need ffmpeg and raise. The fake path derives a
+    deterministic frame count from the payload size so non-decodable
+    plumbing stays testable end-to-end."""
+
+    def _decode_frames(buf: bytes):
+        # dispatch on magic so each codec sees only its own container
+        b = bytes(buf)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from .video import decode_avi
+
+            return decode_avi(b)[0]
+        if b[:9] == b"YUV4MPEG2":
+            from .video import decode_y4m
+
+            return decode_y4m(b)[0]
+        from .gif import decode_gif
+
+        return decode_gif(b)[0]
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -601,13 +797,12 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
             for ref, buf in zip(pdf["media_ref"], pdf["media_bytes"]):
                 if not fake:
                     try:
-                        from .gif import decode_gif
-
-                        frames, _, _, _ = decode_gif(buf)
+                        frames = _decode_frames(buf)
                     except ValueError as e:
                         raise NotImplementedError(
-                            "real frame sampling covers animated GIF; "
-                            "other containers require ffmpeg"
+                            "real frame sampling covers animated GIF, "
+                            "AVI (MJPG/DIB), and Y4M; other containers "
+                            "require ffmpeg"
                         ) from e
                     for i in range(0, len(frames), every_n):
                         refs.append(ref)

@@ -279,10 +279,16 @@ def test_media_decodable_expectation(spark):
     # unknown format name -> failed EVR with a loud exception, not a crash
     r = _one(df, {
         "expectation_type": "expect_column_values_to_be_media_decodable",
-        "kwargs": {"column": "payload", "formats": ["mp4"]}})
+        "kwargs": {"column": "payload", "formats": ["tiff"]}})
     assert not r["success"] and "unknown media formats" in str(
         r["exception_info"]
     )
+    # sniff-only format (mp4 has a header walk but no decoder) in FULL
+    # mode -> loud failure, not silently-unexpected rows
+    r = _one(df, {
+        "expectation_type": "expect_column_values_to_be_media_decodable",
+        "kwargs": {"column": "payload", "formats": ["mp4"]}})
+    assert not r["success"] and "sniff-only" in str(r["exception_info"])
     # non-binary column -> reference-style type guard
     sdf = spark.createDataFrame([("x",)], "s string")
     r = _one(sdf, {
