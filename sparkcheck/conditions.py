@@ -702,13 +702,8 @@ def _media_decodable(domain: Domain, kw: dict) -> Column:
             f"check must be 'full' or 'header', got {check!r}"
         )
     formats = validate_media_formats(kw.get("formats"))
-    if check == "full" and formats:
-        from .media import SNIFF_ONLY_FORMATS  # noqa: PLC0415
+    if check == "full":
+        from .media import reject_sniff_only  # noqa: PLC0415
 
-        sniff_only = sorted(set(formats) & SNIFF_ONLY_FORMATS)
-        if sniff_only:
-            raise ValueError(
-                f"formats {sniff_only} are sniff-only (mp4/mp3 have no "
-                "pure-python decoder); run them with check='header'"
-            )
+        reject_sniff_only(formats)
     return _media_decodable_udf(formats, check)(F.col(domain.column))

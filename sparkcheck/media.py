@@ -616,7 +616,7 @@ def _sniff_mp3(buf: bytes):
         if n < 10:
             raise ValueError("truncated ID3 tag")
         tag = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
-        pos = 10 + tag
+        pos = 10 + tag + (10 if buf[5] & 0x10 else 0)  # footer flag
 
     def frame_at(p: int):
         if p + 4 > n:
@@ -724,15 +724,23 @@ def try_decode(buf: bytes, formats: list[str] | None = None) -> str | None:
     (mp4, mp3 — no pure-python decoder exists) are rejected eagerly
     with ValueError rather than silently failing every payload; use
     sniff_media for those."""
-    requested = validate_media_formats(formats)
-    if requested:
-        sniff_only = sorted(set(requested) & SNIFF_ONLY_FORMATS)
-        if sniff_only:
-            raise ValueError(
-                f"formats {sniff_only} are sniff-only (no pure-python "
-                "decoder); use sniff_media / check='header' for them"
-            )
+    reject_sniff_only(validate_media_formats(formats))
     return _probe(buf, formats, _decoders())
+
+
+def reject_sniff_only(formats: list[str] | None) -> None:
+    """Raise if ``formats`` asks a FULL decode for a sniff-only format —
+    one driver-callable guard shared by try_decode and the
+    media_decodable expectation, so the loud-failure contract (never
+    silently mark every mp4/mp3 row unexpected) lives in one place."""
+    if not formats:
+        return
+    sniff_only = sorted(set(formats) & SNIFF_ONLY_FORMATS)
+    if sniff_only:
+        raise ValueError(
+            f"formats {sniff_only} are sniff-only (no pure-python "
+            "decoder exists); run them with check='header' / sniff_media"
+        )
 
 
 def resize_image(buf: bytes, out_w: int, out_h: int) -> bytes:

@@ -200,7 +200,9 @@ def decode_y4m(buf: bytes):
     pos = eol + 1
     n = len(buf)
     while pos < n:
-        feol = buf.find(b"\n", pos, pos + 256)
+        # frame parameter lines are unbounded by spec; give them the
+        # same window as the stream header
+        feol = buf.find(b"\n", pos, pos + 2048)
         if buf[pos : pos + 5] != b"FRAME" or feol < 0:
             raise ValueError("Y4M stream lost FRAME sync")
         pos = feol + 1
@@ -390,6 +392,12 @@ def decode_avi(buf: bytes):
     compression = strf[16:20]
     h = abs(bih_h)
     if w <= 0 or h == 0:
+        # some muxers zero the BITMAPINFOHEADER dims; the avih main
+        # header is the documented fallback
+        w, h = avih_wh
+        if bih_h == 0:
+            bih_h = h  # treat as bottom-up, the DIB default
+    if w <= 0 or h <= 0:
         raise ValueError("bad AVI dimensions")
     num, den = s.get("rate", 0), s.get("scale", 0)
     if num <= 0 or den <= 0:
@@ -437,6 +445,4 @@ def decode_avi(buf: bytes):
         collect(b0, b1)
     if not frames:
         raise ValueError("AVI video stream holds no frames")
-    out_w = w if w else avih_wh[0]
-    out_h = h if h else avih_wh[1]
-    return frames, out_w, out_h, (num, den)
+    return frames, w, h, (num, den)

@@ -109,6 +109,15 @@ def test_y4m_frame_params_tolerated():
     assert frames[0][0, 0, 0] == 0x7F
 
 
+def test_y4m_long_frame_params_tolerated():
+    """Frame parameter lines are unbounded by spec — a 300-byte X-param
+    must not be mistaken for lost sync."""
+    tag = b"FRAME X" + b"p" * 300 + b"\n\x7f"
+    buf = FIX_Y4M_1PX.replace(b"FRAME\n\x7f", tag)
+    frames, *_ = decode_y4m(buf)
+    assert frames[0][0, 0, 0] == 0x7F
+
+
 def test_y4m_default_colorspace_is_420():
     """Spec default when C is absent is 420jpeg — plane size must follow."""
     y = np.full((2, 2), 50, dtype=np.uint8)
@@ -215,6 +224,18 @@ def test_avi_rec_list_grouping():
     buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
     frames, *_ = decode_avi(buf)
     assert len(frames) == 1 and np.array_equal(frames[0], img)
+
+
+def test_avi_zeroed_strf_dims_fall_back_to_avih():
+    """Some muxers zero BITMAPINFOHEADER dims; the avih main header is
+    the fallback."""
+    img = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    buf = bytearray(encode_avi(img, codec="dib"))
+    strf_at = bytes(buf).find(b"strf")
+    struct.pack_into("<ii", buf, strf_at + 8 + 4, 0, 0)  # biWidth=biHeight=0
+    frames, w, h, _ = decode_avi(bytes(buf))
+    assert (w, h) == (4, 3)
+    assert np.array_equal(frames[0], img)
 
 
 def test_avi_top_down_dib():
@@ -452,6 +473,9 @@ def test_mp3_sniff_plain_and_id3():
     assert sniff_media(two) == "mp3"
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + two
     assert _sniff_mp3(id3) == (44100, 2)
+    # ID3v2.4 footer flag adds 10 trailing bytes to skip
+    id3f = b"ID3\x04\x00\x10\x00\x00\x00\x0a" + b"\x00" * 20 + two
+    assert _sniff_mp3(id3f) == (44100, 2)
     # short buffer that can't reach the second frame still sniffs
     assert _sniff_mp3(_mp3_frame()[:100]) == (44100, 2)
 
