@@ -1461,6 +1461,63 @@ def q_video_frame_sampling(spark, sf):
     )
 
 
+def q_video_features_profile(spark, sf):
+    """media.video_features(fake=False) over real AVI payloads: video i
+    holds n_i = (first md5 nibble of 'vf<i>') % 4 + 2 flat 4x4 frames of
+    level (first md5 nibble of 'i:f') * 17. The features stage really
+    decodes the container; every emitted column is an exact integer
+    (luma_sum = mean_luma*255*n = the plain sum of levels; fps and
+    duration scaled to integral centi-units by choosing fps=25), so the
+    DuckDB oracle replays them with no float rounding anywhere."""
+    import pandas as _pd
+
+    from sparkcheck import media as _media
+
+    def gen(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        from sparkcheck.video import encode_avi
+
+        for pdf in batches:
+            refs, kinds, bufs = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                n = int(_h.md5(f"vf{i}".encode()).hexdigest()[0], 16) % 4 + 2
+                frames = [
+                    _np.full(
+                        (4, 4),
+                        int(_h.md5(f"{i}:{f}".encode()).hexdigest()[0], 16) * 17,
+                        dtype=_np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                refs.append(f"vf{i}")
+                kinds.append("video")
+                bufs.append(encode_avi(frames, fps=(25, 1), codec="dib"))
+            yield _pd.DataFrame(
+                {"media_ref": refs, "kind": kinds, "media_bytes": bufs}
+            )
+
+    vids = spark.range(24).repartition(4).mapInPandas(
+        gen, "media_ref string, kind string, media_bytes binary"
+    )
+    feats = _media.video_features(vids, fake=False)
+    return feats.select(
+        "media_ref",
+        "container",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.col("mean_luma") * 255 * F.col("n_frames"))
+        .cast("long")
+        .alias("luma_sum"),
+        F.round(F.col("fps") * 100).cast("long").alias("fps_x100"),
+        F.round(F.col("duration_s") * 100).cast("long").alias("dur_cs"),
+    ).orderBy("media_ref")
+
+
 def q_media_decodable_validation(spark, sf):
     """expect_column_values_to_be_media_decodable run as a SUITE MEMBER
     over a deterministic mixed-payload media table: per id, a real PNG
@@ -2496,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_progressive_jpeg": q_media_progressive_jpeg,
         "media_video_roundtrip": q_media_video_roundtrip,
         "video_frame_sampling": q_video_frame_sampling,
+        "video_features_profile": q_video_features_profile,
         "fused_validation_documents": q_fused_validation_documents,
         "multibatch_profile_documents": q_multibatch_profile_documents,
         "regex_inference_documents": q_regex_inference_documents,
@@ -3734,6 +3792,24 @@ def oracle_sql() -> dict[str, str]:
             "sum(f)::BIGINT AS idx_sum, "
             "count(DISTINCT lvl)::BIGINT AS n_digests "
             "FROM samp GROUP BY i ORDER BY media_ref"
+        ),
+        "video_features_profile": (
+            # exact-integer replay of the really-decoded features:
+            # luma_sum is the plain sum of frame levels, fps=25 makes
+            # duration_cs = 4 * n_frames integral
+            "WITH vids AS (SELECT unnest(range(0, 24))::INT AS i), "
+            "n AS (SELECT i, "
+            + "(({}) % 4) + 2 AS nf ".format(_nib("md5('vf' || i)", 1))
+            + "FROM vids), "
+            "fr AS (SELECT i, nf, unnest(range(0, nf))::INT AS f FROM n), "
+            "lv AS (SELECT i, nf, "
+            + "({}) * 17 AS lvl ".format(_nib("md5(i || ':' || f)", 1))
+            + "FROM fr) "
+            "SELECT 'vf' || i AS media_ref, 'avi' AS container, "
+            "nf::BIGINT AS n_frames, 4::BIGINT AS width, "
+            "4::BIGINT AS height, sum(lvl)::BIGINT AS luma_sum, "
+            "2500::BIGINT AS fps_x100, (4 * nf)::BIGINT AS dur_cs "
+            "FROM lv GROUP BY i, nf ORDER BY media_ref"
         ),
         "media_png_roundtrip": (
             # luma recomputed straight from the md5 pixel formula — no

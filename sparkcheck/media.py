@@ -1080,3 +1080,101 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     pruned = media.where(F.col("kind") == "audio").select("media_ref", "media_bytes")
     return pruned.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_luma", T.DoubleType()),  # of [0,1] RGB means
+        T.StructField("digest", T.StringType()),  # sha256 over frame pixels
+    ]
+)
+
+
+def _video_features_one(buf: bytes, fake: bool) -> dict[str, Any]:
+    import numpy as np  # noqa: PLC0415
+
+    b = bytes(buf)
+    if fake:
+        d = hashlib.sha256(b).hexdigest()
+        return {
+            "container": "fake",
+            "n_frames": max(1, len(b) // 32),
+            "width": 0,
+            "height": 0,
+            "fps": 0.0,
+            "duration_s": 0.0,
+            "mean_luma": int(d[:2], 16) / 255.0,
+            "digest": d,
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .video import decode_avi  # noqa: PLC0415
+
+        frames, w, h, (num, den) = decode_avi(b)
+        container, fps = "avi", num / den
+        duration = len(frames) * den / num
+    elif b[:9] == b"YUV4MPEG2":
+        from .video import decode_y4m  # noqa: PLC0415
+
+        frames, w, h, (num, den) = decode_y4m(b)
+        container, fps = "y4m", num / den
+        duration = len(frames) * den / num
+    else:
+        from .gif import decode_gif  # noqa: PLC0415
+
+        frames, w, h, delays_cs = decode_gif(b)
+        container = "gif"
+        duration = sum(delays_cs) / 100.0
+        fps = len(frames) / duration if duration > 0 else 0.0
+    h256 = hashlib.sha256()
+    total = 0.0
+    for f in frames:
+        h256.update(f.tobytes())
+        total += float(np.mean(f))
+    return {
+        "container": container,
+        "n_frames": len(frames),
+        "width": int(w),
+        "height": int(h),
+        "fps": float(fps),
+        "duration_s": float(duration),
+        "mean_luma": total / len(frames) / 255.0,
+        "digest": h256.hexdigest(),
+    }
+
+
+def video_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched video feature extraction via mapInPandas — the
+    motion analog of image_features/audio_features, completing the
+    trio. With ``fake=False`` the payload REALLY decodes (GIF / AVI
+    MJPG+DIB / Y4M, dispatched on magic bytes) and the features are
+    container, frame count, dimensions, frame rate, duration, mean
+    luma across frames, and a sha256 over the composited RGB pixels
+    of every frame; payload bytes never leave the executors. Other
+    containers raise NotImplementedError (ffmpeg territory), mirroring
+    sample_frames."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["media_bytes"]:
+                try:
+                    feats.append(_video_features_one(b, fake))
+                except ValueError as e:
+                    raise NotImplementedError(
+                        "real video features cover animated GIF, AVI "
+                        "(MJPG/DIB), and Y4M; other containers require "
+                        "ffmpeg"
+                    ) from e
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_ref", pdf["media_ref"].values)
+            yield out
+
+    pruned = media.where(F.col("kind") == "video").select("media_ref", "media_bytes")
+    return pruned.mapInPandas(extract, schema=VIDEO_FEATURES_SCHEMA)

@@ -545,3 +545,56 @@ def test_media_decodable_header_mode_accepts_sniff_only(spark):
     r = validate_df(df, suite)["results"][0]
     assert not r["success"]
     assert r["result"]["unexpected_count"] == 1
+
+
+def test_video_features_logic_cross_container():
+    """_video_features_one really decodes all three containers; frames
+    with identical pixels produce identical sha256 digests regardless
+    of container, and luma/fps/duration follow the container math."""
+    from sparkcheck.gif import encode_gif
+    from sparkcheck.media import _video_features_one  # noqa: PLC2701
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (0, 128, 255)]
+    avi = _video_features_one(
+        encode_avi(frames, fps=(30, 1), codec="dib"), fake=False
+    )
+    assert avi["container"] == "avi" and avi["n_frames"] == 3
+    assert (avi["width"], avi["height"]) == (4, 4)
+    assert abs(avi["fps"] - 30.0) < 1e-12
+    assert abs(avi["duration_s"] - 0.1) < 1e-12
+    assert abs(avi["mean_luma"] - (0 + 128 + 255) / 3 / 255.0) < 1e-12
+    y4m = _video_features_one(
+        encode_y4m(frames, fps=(30, 1), colorspace="mono"), fake=False
+    )
+    gif = _video_features_one(
+        encode_gif([np.stack([f] * 3, axis=2) for f in frames],
+                   delays_cs=[10, 10, 10]),
+        fake=False,
+    )
+    assert y4m["digest"] == avi["digest"] == gif["digest"]
+    assert gif["container"] == "gif"
+    assert abs(gif["duration_s"] - 0.3) < 1e-12 and abs(gif["fps"] - 10.0) < 1e-12
+    # fake path stays deterministic and decode-free
+    fk = _video_features_one(b"\x00" * 64, fake=True)
+    assert fk["container"] == "fake" and fk["n_frames"] == 2
+
+
+def test_video_features_stage(spark):
+    """The mapInPandas stage: kind pruning, real decode, feature rows."""
+    from sparkcheck.media import video_features
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (10, 20)]
+    df = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(encode_avi(frames, fps=5, codec="dib"))),
+            ("v2", "video", bytearray(encode_y4m(frames, colorspace="mono"))),
+            ("i1", "image", bytearray(b"\x00")),  # pruned by kind
+        ],
+        "media_ref string, kind string, media_bytes binary",
+    )
+    out = {r["media_ref"]: r.asDict() for r in video_features(df, fake=False).collect()}
+    assert set(out) == {"v1", "v2"}
+    assert out["v1"]["container"] == "avi" and out["v1"]["fps"] == 5.0
+    assert out["v2"]["container"] == "y4m"
+    assert out["v1"]["digest"] == out["v2"]["digest"]
+    assert abs(out["v1"]["mean_luma"] - 15 / 255.0) < 1e-12
