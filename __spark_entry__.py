@@ -2481,6 +2481,44 @@ def q_information_gain_lineitem(spark, sf):
     )
 
 
+def q_duplicate_spans_documents(spark, sf):
+    """Exact duplicated-substring spans (dedup.duplicate_spans, the
+    ExactSubstr variant of Lee et al. 2022 reformulated without the
+    single-machine suffix array): every maximal character span covered
+    by a >=25-char substring occurring more than once corpus-wide. One
+    posexplode to ~one row per corpus character (the honest cost of
+    span-exact dedup), a map-side-combined groupBy on the 64-bit gram
+    hash, a co-partitioned join back, and a per-document gaps-and-
+    islands window bounded by document length. Oracle shuffles the gram
+    TEXT (collision-free); at 500 docs the 64-bit hash has no
+    collisions, so both sides agree exactly."""
+    d = _t(spark, sf, "documents")
+    out = dedup.duplicate_spans(d, min_len=25)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+def q_scrub_dup_spans_documents(spark, sf):
+    """Removal half of exact-substring dedup (dedup.scrub_duplicate_
+    spans): cut every duplicate_spans region out of each document and
+    rebuild the text from the gaps with a pure-JVM F.aggregate fold
+    over the (sorted, disjoint) span list — no Python touches the
+    strings. Oracle rebuilds via string_agg of lag-windowed gap pieces
+    plus the tail, so the reconstructed text_clean is compared
+    byte-for-byte."""
+    d = _t(spark, sf, "documents")
+    out = dedup.scrub_duplicate_spans(d, min_len=25)
+    return out.select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "text_clean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2596,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_states_lineitem": q_merged_states_lineitem,
         "runner_profile_documents": q_runner_profile_documents,
         "information_gain_lineitem": q_information_gain_lineitem,
+        "duplicate_spans_documents": q_duplicate_spans_documents,
+        "scrub_dup_spans_documents": q_scrub_dup_spans_documents,
     }
 
 
@@ -3925,7 +3965,55 @@ def oracle_sql() -> dict[str, str]:
             )
             + ", 6) AS kl_ab FROM a, b"
         ),
+
+        "duplicate_spans_documents": _dup_spans_cte(25)
+        + "SELECT doc_id, min(p)::BIGINT AS span_start, "
+        "(max(p) + 25)::BIGINT AS span_end "
+        "FROM isl GROUP BY doc_id, island",
+
+        "scrub_dup_spans_documents": _dup_spans_cte(25)
+        + ", sp AS (SELECT doc_id, min(p) AS s, max(p) + 25 AS e "
+        "FROM isl GROUP BY doc_id, island), "
+        # gap piece before each span = text between the previous span's
+        # end (0 for the first) and this span's start
+        "w AS (SELECT doc_id, s, e, coalesce(lag(e) OVER "
+        "(PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp), "
+        "r AS (SELECT w.doc_id, count(*)::BIGINT AS n_dup_spans, "
+        "sum(e - s)::BIGINT AS dup_chars, "
+        "string_agg(substr(d.text, pe::INT + 1, (s - pe)::INT), '' "
+        "ORDER BY s) AS head, max(e) AS last_e "
+        "FROM w JOIN documents d USING (doc_id) GROUP BY w.doc_id) "
+        "SELECT d.doc_id, coalesce(r.n_dup_spans, 0)::BIGINT AS "
+        "n_dup_spans, coalesce(r.dup_chars, 0)::BIGINT AS dup_chars, "
+        "CASE WHEN r.doc_id IS NULL THEN d.text "
+        "ELSE coalesce(r.head, '') || substr(d.text, r.last_e::INT + 1) "
+        "END AS text_clean "
+        "FROM documents d LEFT JOIN r USING (doc_id)",
     }
+
+
+def _dup_spans_cte(L: int) -> str:
+    """Shared CTE chain replaying dedup.duplicate_spans in SQL with the
+    gram TEXT as the key (collision-free; Spark uses xxhash64 of the
+    same gram — identical classes when no 64-bit collision exists):
+    per-position L-grams -> keys occurring >1 time corpus-wide ->
+    duplicated positions -> gaps-and-islands (break when the gap
+    exceeds L, i.e. spans no longer overlap or touch)."""
+    return (
+        f"WITH b AS (SELECT doc_id, text FROM documents "
+        f"WHERE length(text) >= {L}), "
+        f"g AS (SELECT doc_id, unnest(range(0, length(text) - {L} + 1)) "
+        f"AS p, text FROM b), "
+        f"gr AS (SELECT doc_id, p, substr(text, p::INT + 1, {L}) AS k "
+        f"FROM g), "
+        f"dup AS (SELECT k FROM gr GROUP BY k HAVING count(*) > 1), "
+        f"pos AS (SELECT gr.doc_id, gr.p FROM gr JOIN dup USING (k)), "
+        f"brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER w + {L} "
+        f"THEN 1 ELSE 0 END AS brk FROM pos WINDOW w AS "
+        f"(PARTITION BY doc_id ORDER BY p)), "
+        f"isl AS (SELECT doc_id, p, sum(brk) OVER "
+        f"(PARTITION BY doc_id ORDER BY p) AS island FROM brk)"
+    )
 
 
 def _windowed_drift_oracle() -> str:

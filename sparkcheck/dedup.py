@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles
@@ -888,3 +888,160 @@ def incremental_dedup(
     ).drop("__keep_id")
     new_fps = kept.select(F.col("__fp").alias("fingerprint"))
     return kept.withColumnRenamed("__fp", "fingerprint"), new_fps
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr variant)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Maximal character spans covered by substrings of length >= min_len
+    that occur more than once in the WHOLE corpus (across documents or
+    within one) — the span-level exact-substring dedup of Lee et al.
+    2022, reformulated for Spark without the single-machine suffix array.
+
+    Returns (id, span_start, span_end) rows, end exclusive, 0-based.
+    Coverage is exact by construction: a character sits inside a span
+    iff it belongs to some duplicated substring of length >= min_len.
+    Proof sketch: a duplicated s[a:b) with b-a >= L makes every L-gram
+    starting in [a, b-L] duplicated, so [a, b) is fully covered by the
+    merged [p, p+L) intervals; conversely every marked position IS a
+    duplicated L-gram.
+
+    Rows are identified by CONTENT, not just ``id_col``: grouping and
+    the scrub join-back key on ``xxhash64(id, text)``, so two rows that
+    share an id but differ in text get independent (correct) spans —
+    they merely share the id in the output. Identical (id, text) rows
+    collapse to one span set (their positions are unioned first, which
+    is the same set).
+
+    Scale shape (the suffix-array-free formulation): one posexplode to
+    (id, position, gram-key) — ~one row per corpus CHARACTER, the
+    honest cost of span-exact dedup; with ``exact=False`` the key is
+    xxhash64(gram) so shuffle rows are ~20 bytes regardless of
+    min_len (a 64-bit collision falsely marks one position duplicated
+    — at 10^15 positions that is a ~1e-5 fraction of false spans,
+    acceptable for scrubbing; pass ``exact=True`` to shuffle the gram
+    text itself and make discovery collision-free, at min_len x the
+    bytes). Occurrence counting is a groupBy on the key — map-side
+    combine collapses a billion-fold hot gram (whitespace runs,
+    boilerplate) to one row per input partition; the join back to
+    positions is key-co-partitioned and AQE-skew-splittable. Span
+    merging is a per-document window (lag + running sum — gaps and
+    islands), bounded by document length."""
+    return _dup_spans_keyed(docs, min_len, text_col, id_col, exact).select(
+        id_col, "span_start", "span_end"
+    )
+
+
+def _dup_spans_keyed(
+    docs: DataFrame,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    exact: bool,
+) -> DataFrame:
+    """duplicate_spans core, returning (__rk, id, span_start, span_end)
+    where __rk = xxhash64(id, text) is the per-row-content key used for
+    grouping (and by scrub_duplicate_spans for the join-back)."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    base = docs.where(F.length(text_col) >= L).select(
+        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk"),
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+    )
+    gram = lambda p: F.col("__t").substr(p + 1, F.lit(L))  # noqa: E731
+    key_fn = (lambda p: gram(p)) if exact else (lambda p: F.xxhash64(gram(p)))
+    grams = base.select(
+        "__rk",
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.length("__t") - L), key_fn)
+        ).alias("p", "k"),
+    )
+    dup_keys = (
+        grams.groupBy("k").agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("k")
+    )
+    dup_pos = grams.join(dup_keys, "k").select("__rk", id_col, "p")
+    w = Window.partitionBy("__rk").orderBy("p")
+    islands = dup_pos.withColumn(
+        "__brk",
+        F.when(F.col("p") > F.lag("p").over(w) + L, 1).otherwise(0),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    return islands.groupBy("__rk", id_col, "__island").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + L).alias("span_end"),
+    ).select("__rk", id_col, "span_start", "span_end")
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Cut every ``duplicate_spans`` region out of each document's text
+    — the removal half of exact-substring dedup. Returns
+    (id, n_dup_spans, dup_chars, text_clean); untouched documents come
+    back whole with zero counts, fully-duplicated ones with ''.
+
+    The rebuild is one groupBy collecting each document's (disjoint,
+    sorted) spans plus a pure-JVM F.aggregate fold over them — cursor
+    walks the original text, concatenating the gaps between spans and
+    the tail after the last one; no Python touches the strings. The
+    join-back keys on xxhash64(id, text) (see duplicate_spans), so
+    same-id rows with different text each get their own correct
+    rebuild."""
+    spans = _dup_spans_keyed(docs, min_len, text_col, id_col, exact)
+    per_doc = spans.groupBy("__rk").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = docs.select(
+        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk"),
+        id_col,
+        F.col(text_col).alias("__t"),
+    ).join(per_doc, "__rk", "left")
+    sp = F.coalesce(
+        "__spans",
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    clean = F.aggregate(
+        sp,
+        F.struct(F.lit(0).alias("c"), F.lit("").alias("acc")),
+        lambda st, s: F.struct(
+            s["span_end"].alias("c"),
+            F.concat(
+                st["acc"],
+                F.col("__t").substr(st["c"] + 1, s["span_start"] - st["c"]),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.col("__t").substr(st["c"] + 1, F.length("__t") - st["c"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size(sp).alias("n_dup_spans"),
+        F.aggregate(
+            sp,
+            F.lit(0),
+            lambda a, s: a + s["span_end"] - s["span_start"],
+        ).alias("dup_chars"),
+        clean.alias("text_clean"),
+    )

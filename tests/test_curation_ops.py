@@ -850,3 +850,147 @@ def test_semantic_dedup_oversize_cluster_recluster(spark):
     assert out[200]["kept"] and out[201]["kept"]
     # every sub-cluster kept at least one canonical representative
     assert len([v for v in out if out[v]["kept"]]) >= 3
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _ref_dup_spans(rows, L):
+    """Brute-force reference: every position whose L-gram occurs >1 time
+    corpus-wide, merged into maximal (overlap-or-adjacent) spans."""
+    from collections import Counter
+
+    c = Counter()
+    for _, t in rows:
+        for p in range(len(t) - L + 1):
+            c[t[p : p + L]] += 1
+    out = {}
+    for did, t in rows:
+        spans = []
+        for p in range(len(t) - L + 1):
+            if c[t[p : p + L]] > 1:
+                if spans and p <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], p + L)
+                else:
+                    spans.append((p, p + L))
+        if spans:
+            out[did] = spans
+    return out
+
+
+def _rand_corpus(seed, n=40):
+    """Deterministic corpus with planted repeats: shared sentences pasted
+    into random-ish filler at varying offsets."""
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    shared = ["the quick brown fox jumps over the lazy dog tail",
+              "lorem ipsum dolor sit amet consectetur adipiscing"]
+    rows = []
+    for i in range(n):
+        filler = h(f"{seed}:{i}:a") + h(f"{seed}:{i}:b")
+        k = int(h(f"{seed}:{i}:c")[0], 16) % 4
+        t = filler[: 10 + i % 7]
+        if k in (1, 3):
+            t += shared[0]
+        t += filler[20:40]
+        if k in (2, 3):
+            t += shared[1]
+        t += filler[40 : 40 + i % 13]
+        rows.append((f"d{i:03d}", t))
+    return rows
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    rows = _rand_corpus(7)
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for L in (12, 30):
+        exp = _ref_dup_spans(rows, L)
+        got = {}
+        for r in dedup.duplicate_spans(df, min_len=L).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for v in got.values():
+            v.sort()
+        assert got == exp, f"L={L}"
+
+
+def test_duplicate_spans_exact_text_keys_agree(spark):
+    rows = _rand_corpus(11, n=25)
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, dedup.duplicate_spans(df, 15).collect()))
+    b = sorted(map(tuple, dedup.duplicate_spans(df, 15, exact=True).collect()))
+    assert a == b
+
+
+def test_scrub_duplicate_spans_rebuild(spark):
+    rows = [
+        ("full", "AAAA unique middle text here BBBB shared tail sentence x"),
+        ("copy", "AAAA unique middle text here BBBB shared tail sentence x"),
+        ("mid", "zz BBBB shared tail sentence x yy"),
+        ("tiny", "short"),
+        ("clean", "nothing here repeats anywhere at all, honest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    L = 10
+    exp = _ref_dup_spans(rows, L)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.scrub_duplicate_spans(df, min_len=L).collect()
+    }
+    assert set(out) == {d for d, _ in rows}
+    for did, t in rows:
+        spans = exp.get(did, [])
+        cut, cur = [], 0
+        for s, e in spans:
+            cut.append(t[cur:s])
+            cur = e
+        cut.append(t[cur:])
+        assert out[did]["text_clean"] == "".join(cut), did
+        assert out[did]["n_dup_spans"] == len(spans)
+        assert out[did]["dup_chars"] == sum(e - s for s, e in spans)
+    # exact duplicates scrub to empty; untouched docs come back whole
+    assert out["full"]["text_clean"] == "" and out["copy"]["text_clean"] == ""
+    assert out["clean"]["text_clean"] == rows[4][1]
+    assert out["tiny"]["text_clean"] == "short" and out["tiny"]["n_dup_spans"] == 0
+
+
+def test_scrub_duplicate_spans_same_id_rows_independent(spark):
+    """Rows are identified by content (xxhash64(id, text)), so two rows
+    sharing an id but differing in text each get their own correct
+    rebuild — the grouping/join-back never conflates them."""
+    shared = "shared core sentence repeated verbatim here"
+    rows = [
+        ("a", "completely unique prefix one 123 " + shared),
+        ("c", "same id different text case x"),
+        ("c", "same id different text case y9999 " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    by_id = {}
+    for r in dedup.scrub_duplicate_spans(df, min_len=20).collect():
+        by_id.setdefault(r["doc_id"], []).append(r.asDict())
+    assert len(by_id["c"]) == 2
+    cs = sorted(by_id["c"], key=lambda d: d["dup_chars"])
+    # the 28-char "same id different text case " prefix is duplicated
+    # ACROSS the two c rows -> scrubbed from both; the rest is per-row
+    assert cs[0]["dup_chars"] == 28 and cs[0]["text_clean"] == "x"
+    assert shared not in cs[1]["text_clean"] and "y9999" in cs[1]["text_clean"]
+    # identical (id, text) rows collapse to ONE span set but BOTH rows
+    # come back from scrub
+    twin = df.union(spark.createDataFrame([rows[0]], df.schema))
+    spans = dedup.duplicate_spans(twin, min_len=20)
+    assert spans.where("doc_id = 'a'").count() == 1
+    assert dedup.scrub_duplicate_spans(twin, 20).where("doc_id='a'").count() == 2
+
+
+def test_duplicate_spans_min_len_guard(spark):
+    df = spark.createDataFrame([("a", "xx")], "doc_id string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.duplicate_spans(df, min_len=1)
