@@ -2519,6 +2519,25 @@ def q_scrub_dup_spans_documents(spark, sf):
     )
 
 
+def q_dup_span_stats_documents(spark, sf):
+    """One-row corpus duplication summary (dedup.duplicate_span_stats,
+    the metric behind expect_column_duplicate_span_fraction_to_be_less_
+    than): what fraction of corpus characters sits inside >=25-char
+    substrings occurring more than once. Multiplicity-exact (identical
+    rows re-weighted by content-key row count); the final join is
+    document-count-sized on both sides."""
+    d = _t(spark, sf, "documents")
+    out = dedup.duplicate_span_stats(d, min_len=25)
+    return out.select(
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("docs_with_dups").cast("long").alias("docs_with_dups"),
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "dup_fraction",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2636,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "information_gain_lineitem": q_information_gain_lineitem,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "scrub_dup_spans_documents": q_scrub_dup_spans_documents,
+        "dup_span_stats_documents": q_dup_span_stats_documents,
     }
 
 
@@ -3989,6 +4009,20 @@ def oracle_sql() -> dict[str, str]:
         "ELSE coalesce(r.head, '') || substr(d.text, r.last_e::INT + 1) "
         "END AS text_clean "
         "FROM documents d LEFT JOIN r USING (doc_id)",
+
+        "dup_span_stats_documents": _dup_spans_cte(25)
+        + ", sp AS (SELECT doc_id, min(p) AS s, max(p) + 25 AS e "
+        "FROM isl GROUP BY doc_id, island), "
+        "per AS (SELECT doc_id, count(*) AS nsp, sum(e - s) AS dup "
+        "FROM sp GROUP BY doc_id) "
+        "SELECT count(*)::BIGINT AS total_docs, "
+        "coalesce(sum(length(d.text)), 0)::BIGINT AS total_chars, "
+        "count(per.doc_id)::BIGINT AS docs_with_dups, "
+        "coalesce(sum(per.nsp), 0)::BIGINT AS dup_spans, "
+        "coalesce(sum(per.dup), 0)::BIGINT AS dup_chars, "
+        "round(coalesce(sum(per.dup), 0)::DOUBLE / "
+        "greatest(sum(length(d.text)), 1), 6) AS dup_fraction "
+        "FROM documents d LEFT JOIN per USING (doc_id)",
     }
 
 

@@ -275,6 +275,25 @@ def main():
         "64-bit hash, so a collision can never silently delete a unique "
         "passage. The verdict join and the rebuild groupBy reuse the "
         "same hashpartitioning.")
+    add("Exact-substring span dedup (duplicate_spans_documents)",
+        qs["duplicate_spans_documents"](spark, SF),
+        "The per-position gram explode stays narrow: `Generate "
+        "posexplode` emits (rowkey, id, p, xxhash64(gram)) — ~20 bytes "
+        "per corpus character through the occurrence-count Exchange "
+        "regardless of min_len, with a partial_count below it, so a "
+        "whitespace-run gram duplicated a billion times collapses to one "
+        "row per input partition map-side. The join back to positions is "
+        "co-partitioned on the same gram key (AQE can skew-split it), "
+        "and the gaps-and-islands window partitions by the per-document "
+        "row key — bounded by document length, never a global sort.")
+    add("Span scrub rebuild (scrub_dup_spans_documents)",
+        qs["scrub_dup_spans_documents"](spark, SF),
+        "The rebuild joins the document-sized span-list frame back on "
+        "the 8-byte xxhash64(id,text) row key and folds the (sorted, "
+        "disjoint) span array with a pure-JVM `aggregate` expression in "
+        "a single Project — the document text crosses exactly one "
+        "shuffle boundary (the join), and no Python touches the "
+        "strings.")
     add("Incremental revalidation (incremental_validation_orders)",
         qs["incremental_validation_orders"](spark, SF),
         "Both table versions reduce to (key, xxhash64) before the "

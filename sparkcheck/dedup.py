@@ -1045,3 +1045,148 @@ def scrub_duplicate_spans(
         ).alias("dup_chars"),
         clean.alias("text_clean"),
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """One-row corpus summary of exact-substring duplication: how much
+    of the corpus sits inside ``duplicate_spans`` regions. Columns:
+    total_docs, total_chars, docs_with_dups, dup_spans, dup_chars,
+    dup_fraction (= dup_chars / total_chars, 6dp).
+
+    Multiplicity-exact: identical (id, text) rows collapse to one span
+    set inside duplicate_spans, so their per-row dup_chars is re-weighted
+    by the row count of each content key — the fraction counts every
+    physical copy, matching what a per-row scrub would remove. Both
+    frames in the final join are document-count-sized; NULL texts count
+    as zero-length (in domain, never duplicated)."""
+    spans = _dup_spans_keyed(docs, min_len, text_col, id_col, exact)
+    per_key = spans.groupBy("__rk").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__dup"),
+        F.count(F.lit(1)).alias("__nspans"),
+    )
+    counts = docs.groupBy(
+        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk")
+    ).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.coalesce(F.length(text_col), F.lit(0))).alias("__chars"),
+    )
+    j = counts.join(per_key, "__rk", "left")
+    dup = F.coalesce(F.col("__dup"), F.lit(0))
+    return j.agg(
+        F.sum("__m").alias("total_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("__dup") > 0, F.col("__m"))), F.lit(0)
+        ).alias("docs_with_dups"),
+        F.sum(F.coalesce(F.col("__nspans"), F.lit(0)) * F.col("__m")).alias(
+            "dup_spans"
+        ),
+        F.sum(dup * F.col("__m")).alias("dup_chars"),
+        F.round(
+            F.sum(dup * F.col("__m"))
+            / F.greatest(F.sum("__chars"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+class DuplicateSpanFractionExpectation:
+    """expect_column_duplicate_span_fraction_to_be_less_than(column=...,
+    threshold=..., min_len=40, id_column="doc_id", exact=False): success
+    iff the fraction of corpus characters inside exact duplicated
+    substrings of length >= min_len (duplicate_spans semantics) is below
+    ``threshold`` — the checkpointable "is tomorrow's delivery still
+    mostly novel text" gate, the suite-level form of
+    dedup.duplicate_span_stats. No reference analog (GX has no
+    corpus-level dedup expectation); registered as a sparkcheck
+    extension."""
+
+    name = "expect_column_duplicate_span_fraction_to_be_less_than"
+    condition_name = None
+
+    def _metric_cfg(self, cfg):
+        from .expectations import build_domain
+        from .metrics import MetricConfiguration, freeze_kwargs
+
+        return MetricConfiguration(
+            "column.duplicate_span_fraction",
+            build_domain(cfg),
+            freeze_kwargs(
+                min_len=int(cfg.get("min_len", 40)),
+                id_column=cfg.get("id_column", "doc_id"),
+                exact=bool(cfg.get("exact", False)),
+            ),
+        )
+
+    def metric_requests(self, cfg, rf):
+        return {"stats": self._metric_cfg(cfg)}
+
+    def stage2_requests(self, cfg, rf, resolver):
+        return {}
+
+    def validate(self, cfg, rf, resolver):
+        threshold = cfg.get("threshold")
+        if threshold is None:
+            raise ValueError(
+                "expect_column_duplicate_span_fraction_to_be_less_than "
+                "needs threshold"
+            )
+        obs = resolver[self._metric_cfg(cfg)]
+        if obs is None:  # empty domain: vacuous success, like benford
+            ret = {"success": True, "result": {"observed_value": None}}
+        else:
+            ret = {"success": obs["dup_fraction"] < float(threshold)}
+            if rf["result_format"] != "BOOLEAN_ONLY":
+                ret["result"] = {
+                    "observed_value": obs["dup_fraction"],
+                    "details": {
+                        k: obs[k]
+                        for k in (
+                            "total_docs",
+                            "total_chars",
+                            "docs_with_dups",
+                            "dup_spans",
+                            "dup_chars",
+                        )
+                    },
+                }
+        if rf["result_format"] == "BOOLEAN_ONLY":
+            ret.pop("result", None)
+        return ret
+
+
+def _register_duplicate_span_fraction():
+    from .expectations import register_expectation
+    from .metrics import eager_metric
+
+    @eager_metric("column.duplicate_span_fraction")
+    def _dup_span_fraction_metric(resolver, ddf, cfg, resolved):
+        col = cfg.domain.column
+        id_col = cfg.kw("id_column", "doc_id")
+        if id_col not in ddf.columns:
+            raise ValueError(
+                "column.duplicate_span_fraction needs id_column "
+                f"{id_col!r} in the frame (pass id_column=... on the "
+                "expectation to point at the document-identity column)"
+            )
+        row = duplicate_span_stats(
+            ddf.select(id_col, col),
+            min_len=int(cfg.kw("min_len", 40)),
+            text_col=col,
+            id_col=id_col,
+            exact=bool(cfg.kw("exact", False)),
+        ).collect()[0]
+        if not row["total_docs"] or not row["total_chars"]:
+            return None
+        return row.asDict()
+
+    register_expectation(DuplicateSpanFractionExpectation())
+
+
+_register_duplicate_span_fraction()

@@ -994,3 +994,87 @@ def test_duplicate_spans_min_len_guard(spark):
 
     with _pytest.raises(ValueError):
         dedup.duplicate_spans(df, min_len=1)
+
+
+def test_duplicate_span_stats_multiplicity_exact(spark):
+    shared = "shared core sentence repeated verbatim here!"  # 45 chars
+    rows = [
+        ("a", "completely unique prefix one 123 " + shared),
+        ("b", "another unique prefix two 456 " + shared),
+        ("c", "totally novel text with no repeats at all xyz"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # an identical physical copy of row a: its dup_chars must count TWICE
+    twin = df.union(spark.createDataFrame([rows[0]], df.schema))
+    one = dedup.duplicate_span_stats(df, min_len=20).collect()[0]
+    two = dedup.duplicate_span_stats(twin, min_len=20).collect()[0]
+    assert one["total_docs"] == 4 and two["total_docs"] == 5
+    assert one["docs_with_dups"] == 2
+    # the whole of row a duplicates once twinned -> strictly more dup mass
+    assert two["docs_with_dups"] == 3
+    assert two["dup_chars"] > one["dup_chars"]
+    # reconcile against the per-row scrub: stats == sum over scrub rows
+    for frame, st in ((df, one), (twin, two)):
+        sc = dedup.scrub_duplicate_spans(frame, min_len=20).collect()
+        assert st["dup_chars"] == sum(r["dup_chars"] for r in sc)
+        assert st["dup_spans"] == sum(r["n_dup_spans"] for r in sc)
+    assert one["total_chars"] == sum(len(t) for _, t in rows if t)
+    assert abs(one["dup_fraction"] - one["dup_chars"] / one["total_chars"]) < 1e-6
+
+
+def test_expect_duplicate_span_fraction(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    shared = "shared core sentence repeated verbatim here!"
+    rows = [
+        ("a", "completely unique prefix one 123 " + shared),
+        ("b", "another unique prefix two 456 " + shared),
+        ("c", "totally novel text with no repeats at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    s = ExpectationSuite("spans")
+    s.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+        threshold=0.9,
+        min_len=20,
+    )
+    s.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+        threshold=0.05,
+        min_len=20,
+    )
+    rep = validate_df(df, s, result_format="SUMMARY")
+    r_loose, r_tight = rep["results"]
+    assert r_loose["success"] and not r_tight["success"]
+    obs = r_loose["result"]["observed_value"]
+    assert obs == r_tight["result"]["observed_value"]
+    det = r_loose["result"]["details"]
+    assert det["docs_with_dups"] == 2 and det["total_docs"] == 3
+    assert 0.0 < obs < 0.9 and det["dup_chars"] > 0
+
+    # empty domain -> vacuous success with observed None
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    s2 = ExpectationSuite("empty")
+    s2.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+        threshold=0.1,
+    )
+    rep2 = validate_df(empty, s2, result_format="SUMMARY")
+    assert rep2["results"][0]["success"]
+    assert rep2["results"][0]["result"]["observed_value"] is None
+
+    # missing id column -> loud error (not a silent wrong answer)
+    s3 = ExpectationSuite("noid")
+    s3.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+        threshold=0.1,
+        id_column="nope",
+    )
+    rep3 = validate_df(df, s3, result_format="SUMMARY")
+    assert not rep3["results"][0]["success"]
+    assert "nope" in str(rep3["results"][0].get("exception_info", ""))
