@@ -283,9 +283,13 @@ def main():
         "regardless of min_len, with a partial_count below it, so a "
         "whitespace-run gram duplicated a billion times collapses to one "
         "row per input partition map-side. The join back to positions is "
-        "co-partitioned on the same gram key (AQE can skew-split it), "
-        "and the gaps-and-islands window partitions by the per-document "
-        "row key — bounded by document length, never a global sort.")
+        "co-partitioned on the same gram key (AQE can skew-split it; at "
+        "this SF the duplicated-key dictionary is small enough that the "
+        "plan shows the BroadcastHashJoin form instead — zero shuffle of "
+        "the position side), and the gaps-and-islands window partitions "
+        "by the per-document row key — bounded by document length, never "
+        "a global sort. Both lag and the running sum share ONE "
+        "Sort+Exchange (two Window nodes, no second sort between).")
     add("Span scrub rebuild (scrub_dup_spans_documents)",
         qs["scrub_dup_spans_documents"](spark, SF),
         "The rebuild joins the document-sized span-list frame back on "
