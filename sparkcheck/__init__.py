@@ -34,6 +34,7 @@ from . import keys as _keys  # noqa: F401
 from . import temporal as _temporal  # noqa: F401
 from . import text as _text  # noqa: F401
 from . import infotheory as _infotheory  # noqa: F401
+from . import dedup as _dedup  # noqa: F401
 
 __all__ = [
     "ExpectationConfiguration",

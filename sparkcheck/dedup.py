@@ -32,6 +32,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .expectations import Expectation as _Expectation
 from .text import fingerprint, shingles
 
 
@@ -1096,19 +1097,20 @@ def duplicate_span_stats(
     )
 
 
-class DuplicateSpanFractionExpectation:
+class DuplicateSpanFractionExpectation(_Expectation):
     """expect_column_duplicate_span_fraction_to_be_less_than(column=...,
     threshold=..., min_len=40, id_column="doc_id", exact=False): success
     iff the fraction of corpus characters inside exact duplicated
     substrings of length >= min_len (duplicate_spans semantics) is below
     ``threshold`` — the checkpointable "is tomorrow's delivery still
     mostly novel text" gate, the suite-level form of
-    dedup.duplicate_span_stats. No reference analog (GX has no
+    dedup.duplicate_span_stats. An all-NULL/empty text column observes
+    0.0 (rows present, nothing duplicated); only a truly empty domain is
+    a vacuous success with observed None. No reference analog (GX has no
     corpus-level dedup expectation); registered as a sparkcheck
     extension."""
 
     name = "expect_column_duplicate_span_fraction_to_be_less_than"
-    condition_name = None
 
     def _metric_cfg(self, cfg):
         from .expectations import build_domain
@@ -1125,18 +1127,17 @@ class DuplicateSpanFractionExpectation:
         )
 
     def metric_requests(self, cfg, rf):
-        return {"stats": self._metric_cfg(cfg)}
-
-    def stage2_requests(self, cfg, rf, resolver):
-        return {}
-
-    def validate(self, cfg, rf, resolver):
-        threshold = cfg.get("threshold")
-        if threshold is None:
+        # a missing threshold must fail BEFORE the corpus-wide span
+        # scan runs, not after it
+        if cfg.get("threshold") is None:
             raise ValueError(
                 "expect_column_duplicate_span_fraction_to_be_less_than "
                 "needs threshold"
             )
+        return {"stats": self._metric_cfg(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        threshold = cfg.get("threshold")
         obs = resolver[self._metric_cfg(cfg)]
         if obs is None:  # empty domain: vacuous success, like benford
             ret = {"success": True, "result": {"observed_value": None}}
@@ -1182,7 +1183,9 @@ def _register_duplicate_span_fraction():
             id_col=id_col,
             exact=bool(cfg.kw("exact", False)),
         ).collect()[0]
-        if not row["total_docs"] or not row["total_chars"]:
+        # only a rowless domain is "no observation"; rows with all-NULL
+        # text are in domain and observe dup_fraction 0.0
+        if not row["total_docs"]:
             return None
         return row.asDict()
 

@@ -1055,6 +1055,33 @@ def test_expect_duplicate_span_fraction(spark):
     assert det["docs_with_dups"] == 2 and det["total_docs"] == 3
     assert 0.0 < obs < 0.9 and det["dup_chars"] > 0
 
+    # all-NULL text: rows are in domain, nothing duplicated -> 0.0,
+    # NOT a vacuous None (a feed that lost its text column must be
+    # distinguishable from an empty table)
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", None)], "doc_id string, text string"
+    )
+    s_nulls = ExpectationSuite("nulls")
+    s_nulls.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+        threshold=0.1,
+    )
+    rep_n = validate_df(nulls, s_nulls, result_format="SUMMARY")
+    rn = rep_n["results"][0]
+    assert rn["success"] and rn["result"]["observed_value"] == 0.0
+    assert rn["result"]["details"]["total_docs"] == 2
+
+    # missing threshold fails BEFORE the corpus scan (config error)
+    s_nothr = ExpectationSuite("nothr")
+    s_nothr.add(
+        "expect_column_duplicate_span_fraction_to_be_less_than",
+        column="text",
+    )
+    rep_t = validate_df(nulls, s_nothr, result_format="SUMMARY")
+    assert not rep_t["results"][0]["success"]
+    assert "threshold" in str(rep_t["results"][0].get("exception_info", ""))
+
     # empty domain -> vacuous success with observed None
     empty = spark.createDataFrame([], "doc_id string, text string")
     s2 = ExpectationSuite("empty")
