@@ -2538,6 +2538,43 @@ def q_dup_span_stats_documents(spark, sf):
     )
 
 
+def q_contaminated_spans_documents(spark, sf):
+    """Span-level benchmark decontamination, discovery half
+    (dedup.contaminated_spans): maximal spans of 'corpus' docs
+    (doc_id %% 7 != 0) covered by >=25-char substrings appearing
+    anywhere in the 'benchmark' docs (doc_id %% 7 == 0). The benchmark
+    side reduces to its DISTINCT gram-hash set before the semi-join
+    (benchmark text never crosses the shuffle); oracle joins the gram
+    TEXT itself."""
+    d = _t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    out = dedup.contaminated_spans(corpus, bench, min_len=25)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+def q_scrub_contamination_documents(spark, sf):
+    """Span-level benchmark decontamination, removal half
+    (dedup.scrub_contaminated_spans): leaked >=25-char benchmark
+    substrings are cut out of each corpus document and the text is
+    rebuilt with the pure-JVM fold; clean docs come back whole. Oracle
+    rebuilds via lag-windowed gap pieces, compared byte-for-byte."""
+    d = _t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    out = dedup.scrub_contaminated_spans(corpus, bench, min_len=25)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_spans").cast("long").alias("n_contaminated_spans"),
+        F.col("contaminated_chars").cast("long").alias("contaminated_chars"),
+        "text_clean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2656,6 +2693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "scrub_dup_spans_documents": q_scrub_dup_spans_documents,
         "dup_span_stats_documents": q_dup_span_stats_documents,
+        "contaminated_spans_documents": q_contaminated_spans_documents,
+        "scrub_contamination_documents": q_scrub_contamination_documents,
     }
 
 
@@ -4023,7 +4062,56 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(sum(per.dup), 0)::DOUBLE / "
         "greatest(sum(length(d.text)), 1), 6) AS dup_fraction "
         "FROM documents d LEFT JOIN per USING (doc_id)",
+
+        "contaminated_spans_documents": _contam_spans_cte(25)
+        + "SELECT doc_id, min(p)::BIGINT AS span_start, "
+        "(max(p) + 25)::BIGINT AS span_end "
+        "FROM isl GROUP BY doc_id, island",
+
+        "scrub_contamination_documents": _contam_spans_cte(25)
+        + ", sp AS (SELECT doc_id, min(p) AS s, max(p) + 25 AS e "
+        "FROM isl GROUP BY doc_id, island), "
+        "w AS (SELECT doc_id, s, e, coalesce(lag(e) OVER "
+        "(PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp), "
+        "r AS (SELECT w.doc_id, count(*)::BIGINT AS n, "
+        "sum(e - s)::BIGINT AS ch, "
+        "string_agg(substr(d.text, pe::INT + 1, (s - pe)::INT), '' "
+        "ORDER BY s) AS head, max(e) AS last_e "
+        "FROM w JOIN documents d USING (doc_id) GROUP BY w.doc_id) "
+        "SELECT d.doc_id, coalesce(r.n, 0)::BIGINT AS "
+        "n_contaminated_spans, coalesce(r.ch, 0)::BIGINT AS "
+        "contaminated_chars, "
+        "CASE WHEN r.doc_id IS NULL THEN d.text "
+        "ELSE coalesce(r.head, '') || substr(d.text, r.last_e::INT + 1) "
+        "END AS text_clean "
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) d "
+        "LEFT JOIN r USING (doc_id)",
     }
+
+
+def _contam_spans_cte(L: int) -> str:
+    """CTE chain replaying dedup.contaminated_spans in SQL: corpus =
+    doc_id %% 7 != 0, benchmark = doc_id %% 7 == 0; corpus positions
+    whose L-gram appears anywhere in the benchmark's distinct gram set,
+    merged gaps-and-islands into maximal spans. The gram TEXT is the
+    key (collision-free; Spark uses xxhash64 of the same gram)."""
+    return (
+        f"WITH c AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % 7 <> 0 AND length(text) >= {L}), "
+        f"bq AS (SELECT DISTINCT substr(text, p::INT + 1, {L}) AS k FROM "
+        f"(SELECT text, unnest(range(0, length(text) - {L} + 1)) AS p "
+        f"FROM documents WHERE doc_id % 7 = 0 AND length(text) >= {L})), "
+        f"g AS (SELECT doc_id, unnest(range(0, length(text) - {L} + 1)) "
+        f"AS p, text FROM c), "
+        f"gr AS (SELECT doc_id, p, substr(text, p::INT + 1, {L}) AS k "
+        f"FROM g), "
+        f"pos AS (SELECT gr.doc_id, gr.p FROM gr JOIN bq USING (k)), "
+        f"brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER w + {L} "
+        f"THEN 1 ELSE 0 END AS brk FROM pos WINDOW w AS "
+        f"(PARTITION BY doc_id ORDER BY p)), "
+        f"isl AS (SELECT doc_id, p, sum(brk) OVER "
+        f"(PARTITION BY doc_id ORDER BY p) AS island FROM brk)"
+    )
 
 
 def _dup_spans_cte(L: int) -> str:

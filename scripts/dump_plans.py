@@ -298,6 +298,16 @@ def main():
         "a single Project — the document text crosses exactly one "
         "shuffle boundary (the join), and no Python touches the "
         "strings.")
+    add("Span-level decontamination (contaminated_spans_documents)",
+        qs["contaminated_spans_documents"](spark, SF),
+        "The benchmark side collapses to its DISTINCT gram-key set "
+        "before the join — array_distinct inside the per-doc projection, "
+        "then a map-side-combined HashAggregate — and only 8-byte hashes "
+        "reach the LeftSemi join (benchmark text never shuffles). At "
+        "this SF the distinct key set broadcasts, so the corpus-side "
+        "gram explode flows straight into the semi-join with zero "
+        "shuffle of the position stream; at benchmark sizes above the "
+        "broadcast threshold it becomes a key-co-partitioned semi-join.")
     add("Incremental revalidation (incremental_validation_orders)",
         qs["incremental_validation_orders"](spark, SF),
         "Both table versions reduce to (key, xxhash64) before the "

@@ -943,6 +943,52 @@ def duplicate_spans(
     )
 
 
+def _gram_keys(text: Column, L: int, exact: bool) -> Column:
+    """Array of per-position L-gram keys for one text Column — the gram
+    hash (20-byte shuffle rows at any L) or the gram text (exact)."""
+    gram = lambda p: text.substr(p + 1, F.lit(L))  # noqa: E731
+    key_fn = (lambda p: gram(p)) if exact else (lambda p: F.xxhash64(gram(p)))
+    return F.transform(F.sequence(F.lit(0), F.length(text) - L), key_fn)
+
+
+def _gram_frame(
+    docs: DataFrame, min_len: int, text_col: str, id_col: str, exact: bool
+) -> DataFrame:
+    """(__rk, id, p, k): one row per corpus character position, where
+    __rk = xxhash64(id, text) is the per-row-content key and k the
+    L-gram key at position p."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    base = docs.where(F.length(text_col) >= L).select(
+        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk"),
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+    )
+    return base.select(
+        "__rk",
+        id_col,
+        F.posexplode(_gram_keys(F.col("__t"), L, exact)).alias("p", "k"),
+    )
+
+
+def _positions_to_spans(
+    pos: DataFrame, min_len: int, id_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of marked positions into maximal
+    (overlapping-or-adjacent) [p, p+L) spans, per content key."""
+    L = int(min_len)
+    w = Window.partitionBy("__rk").orderBy("p")
+    islands = pos.withColumn(
+        "__brk",
+        F.when(F.col("p") > F.lag("p").over(w) + L, 1).otherwise(0),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    return islands.groupBy("__rk", id_col, "__island").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + L).alias("span_end"),
+    ).select("__rk", id_col, "span_start", "span_end")
+
+
 def _dup_spans_keyed(
     docs: DataFrame,
     min_len: int,
@@ -953,38 +999,14 @@ def _dup_spans_keyed(
     """duplicate_spans core, returning (__rk, id, span_start, span_end)
     where __rk = xxhash64(id, text) is the per-row-content key used for
     grouping (and by scrub_duplicate_spans for the join-back)."""
-    L = int(min_len)
-    if L < 2:
-        raise ValueError("min_len must be >= 2")
-    base = docs.where(F.length(text_col) >= L).select(
-        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk"),
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-    )
-    gram = lambda p: F.col("__t").substr(p + 1, F.lit(L))  # noqa: E731
-    key_fn = (lambda p: gram(p)) if exact else (lambda p: F.xxhash64(gram(p)))
-    grams = base.select(
-        "__rk",
-        id_col,
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.length("__t") - L), key_fn)
-        ).alias("p", "k"),
-    )
+    grams = _gram_frame(docs, min_len, text_col, id_col, exact)
     dup_keys = (
         grams.groupBy("k").agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") > 1)
         .select("k")
     )
     dup_pos = grams.join(dup_keys, "k").select("__rk", id_col, "p")
-    w = Window.partitionBy("__rk").orderBy("p")
-    islands = dup_pos.withColumn(
-        "__brk",
-        F.when(F.col("p") > F.lag("p").over(w) + L, 1).otherwise(0),
-    ).withColumn("__island", F.sum("__brk").over(w))
-    return islands.groupBy("__rk", id_col, "__island").agg(
-        F.min("p").alias("span_start"),
-        (F.max("p") + L).alias("span_end"),
-    ).select("__rk", id_col, "span_start", "span_end")
+    return _positions_to_spans(dup_pos, min_len, id_col)
 
 
 def scrub_duplicate_spans(
@@ -1007,7 +1029,23 @@ def scrub_duplicate_spans(
     same-id rows with different text each get their own correct
     rebuild."""
     spans = _dup_spans_keyed(docs, min_len, text_col, id_col, exact)
-    per_doc = spans.groupBy("__rk").agg(
+    return _scrub_spans(
+        docs, spans, text_col, id_col, "n_dup_spans", "dup_chars"
+    )
+
+
+def _scrub_spans(
+    docs: DataFrame,
+    spans_keyed: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_col: str,
+    chars_col: str,
+) -> DataFrame:
+    """Shared rebuild: cut the (__rk, span_start, span_end) regions out
+    of each document and re-concatenate the gaps with a pure-JVM
+    F.aggregate fold; join-back keys on xxhash64(id, text)."""
+    per_doc = spans_keyed.groupBy("__rk").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans")
@@ -1038,13 +1076,104 @@ def scrub_duplicate_spans(
     )
     return joined.select(
         id_col,
-        F.size(sp).alias("n_dup_spans"),
+        F.size(sp).alias(n_col),
         F.aggregate(
             sp,
             F.lit(0),
             lambda a, s: a + s["span_end"] - s["span_start"],
-        ).alias("dup_chars"),
+        ).alias(chars_col),
         clean.alias("text_clean"),
+    )
+
+
+def _contaminated_pos(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None,
+    exact: bool,
+) -> DataFrame:
+    """Corpus character positions whose L-gram also occurs anywhere in
+    the benchmark: corpus gram explode semi-joined against the
+    benchmark's DISTINCT gram-key set (array_distinct per doc before the
+    explode, then a map-side-combined distinct — benchmark-internal
+    repetition never inflates the join input)."""
+    grams = _gram_frame(corpus, min_len, text_col, id_col, exact)
+    btc = bench_text_col or text_col
+    L = int(min_len)
+    bkeys = (
+        benchmark.where(F.length(btc) >= L)
+        .select(
+            F.explode(
+                F.array_distinct(_gram_keys(F.col(btc), L, exact))
+            ).alias("k")
+        )
+        .distinct()
+    )
+    return grams.join(bkeys, "k", "left_semi").select("__rk", id_col, "p")
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Maximal character spans of ``corpus`` documents covered by
+    substrings of length >= min_len that ALSO appear anywhere in
+    ``benchmark`` — the span-level form of benchmark decontamination
+    (``contamination`` counts whole-doc n-gram overlap; this localizes
+    the leaked text). Returns (id, span_start, span_end), end
+    exclusive; same coverage-exactness argument as duplicate_spans.
+
+    Scale shape: the corpus side is the duplicate_spans gram explode
+    (~one narrow row per corpus character). The benchmark side reduces
+    to its DISTINCT gram-key set BEFORE the join — array_distinct per
+    doc, then a map-side-combined distinct, so benchmark-internal
+    repetition never inflates the join input — and benchmark text
+    itself never crosses the shuffle (keys are 8-byte hashes unless
+    ``exact=True``). Benchmarks are corpus-tiny, so the semi-join
+    usually broadcasts; at worst it is key-co-partitioned."""
+    pos = _contaminated_pos(
+        corpus, benchmark, min_len, text_col, id_col, bench_text_col, exact
+    )
+    return _positions_to_spans(pos, min_len, id_col).select(
+        id_col, "span_start", "span_end"
+    )
+
+
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Cut every ``contaminated_spans`` region out of each corpus
+    document — span-level benchmark decontamination: the document
+    survives, the leaked eval text does not. Returns (id,
+    n_contaminated_spans, contaminated_chars, text_clean); clean
+    documents come back whole, fully-leaked ones with ''. Same
+    fold-rebuild and xxhash64(id, text) join-back as
+    scrub_duplicate_spans."""
+    pos = _contaminated_pos(
+        corpus, benchmark, min_len, text_col, id_col, bench_text_col, exact
+    )
+    spans = _positions_to_spans(pos, min_len, id_col)
+    return _scrub_spans(
+        corpus,
+        spans,
+        text_col,
+        id_col,
+        "n_contaminated_spans",
+        "contaminated_chars",
     )
 
 

@@ -1105,3 +1105,107 @@ def test_expect_duplicate_span_fraction(spark):
     rep3 = validate_df(df, s3, result_format="SUMMARY")
     assert not rep3["results"][0]["success"]
     assert "nope" in str(rep3["results"][0].get("exception_info", ""))
+
+
+# ---------------------------------------------------------------------------
+# span-level benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _ref_contaminated_spans(corpus_rows, bench_rows, L):
+    """Brute-force reference: every corpus position whose L-gram occurs
+    anywhere in the benchmark, merged into maximal spans."""
+    bench = set()
+    for _, t in bench_rows:
+        for p in range(len(t) - L + 1):
+            bench.add(t[p : p + L])
+    out = {}
+    for did, t in corpus_rows:
+        spans = []
+        for p in range(len(t) - L + 1):
+            if t[p : p + L] in bench:
+                if spans and p <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], p + L)
+                else:
+                    spans.append((p, p + L))
+        if spans:
+            out[did] = spans
+    return out
+
+
+def test_contaminated_spans_matches_bruteforce(spark):
+    corpus_rows = _rand_corpus(3, n=30)
+    # benchmark shares the planted sentences plus one corpus doc verbatim
+    bench_rows = [
+        ("q1", "the quick brown fox jumps over the lazy dog tail"),
+        ("q2", corpus_rows[5][1]),
+        ("q3", "never appears in the corpus anywhere at all ok"),
+    ]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    for L in (12, 25):
+        exp = _ref_contaminated_spans(corpus_rows, bench_rows, L)
+        got = {}
+        for r in dedup.contaminated_spans(cdf, bdf, min_len=L).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for v in got.values():
+            v.sort()
+        assert got == exp, f"L={L}"
+    # the verbatim-shared doc is fully covered at L=12
+    full = dict(got).get("d005")
+    assert full == [(0, len(corpus_rows[5][1]))]
+
+
+def test_scrub_contaminated_spans_rebuild(spark):
+    corpus_rows = [
+        ("a", "intro text then THE SECRET EVAL ANSWER IS FORTY TWO and more"),
+        ("b", "completely clean document with nothing leaked at all"),
+        ("c", "THE SECRET EVAL ANSWER IS FORTY TWO"),
+    ]
+    bench_rows = [("q", "THE SECRET EVAL ANSWER IS FORTY TWO")]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    L = 15
+    exp = _ref_contaminated_spans(corpus_rows, bench_rows, L)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.scrub_contaminated_spans(cdf, bdf, min_len=L).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    for did, t in corpus_rows:
+        spans = exp.get(did, [])
+        cut, cur = [], 0
+        for st, e in spans:
+            cut.append(t[cur:st])
+            cur = e
+        cut.append(t[cur:])
+        assert out[did]["text_clean"] == "".join(cut), did
+        assert out[did]["n_contaminated_spans"] == len(spans)
+        assert out[did]["contaminated_chars"] == sum(e - s for s, e in spans)
+    assert "SECRET" not in out["a"]["text_clean"]
+    assert "intro text" in out["a"]["text_clean"]
+    assert out["b"]["text_clean"] == corpus_rows[1][1]
+    assert out["c"]["text_clean"] == ""
+    # corpus-internal duplication alone is NOT contamination: two corpus
+    # docs sharing text that is absent from the benchmark stay whole
+    cdf2 = spark.createDataFrame(
+        [("x", "corpus shared sentence present twice ok"),
+         ("y", "corpus shared sentence present twice ok")],
+        "doc_id string, text string",
+    )
+    out2 = dedup.scrub_contaminated_spans(cdf2, bdf, min_len=L).collect()
+    assert all(r["n_contaminated_spans"] == 0 for r in out2)
+
+
+def test_contaminated_spans_exact_and_hash_agree(spark):
+    corpus_rows = _rand_corpus(9, n=20)
+    bench_rows = [("q", "lorem ipsum dolor sit amet consectetur adipiscing")]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    a = sorted(map(tuple, dedup.contaminated_spans(cdf, bdf, 14).collect()))
+    b = sorted(
+        map(tuple, dedup.contaminated_spans(cdf, bdf, 14, exact=True).collect())
+    )
+    assert a == b and len(a) > 0
