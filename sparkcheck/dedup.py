@@ -938,8 +938,9 @@ def duplicate_spans(
     positions is key-co-partitioned and AQE-skew-splittable. Span
     merging is a per-document window (lag + running sum — gaps and
     islands), bounded by document length."""
-    return _dup_spans_keyed(docs, min_len, text_col, id_col, exact).select(
-        id_col, "span_start", "span_end"
+    return _attach_id(
+        _dup_spans_keyed(docs, min_len, text_col, id_col, exact),
+        docs, text_col, id_col,
     )
 
 
@@ -951,42 +952,62 @@ def _gram_keys(text: Column, L: int, exact: bool) -> Column:
     return F.transform(F.sequence(F.lit(0), F.length(text) - L), key_fn)
 
 
+def _row_key(docs: DataFrame, text_col: str, id_col: str) -> Column:
+    """Per-row content key: xxhash64(id, text)."""
+    return F.xxhash64(F.col(id_col), F.col(text_col))
+
+
 def _gram_frame(
     docs: DataFrame, min_len: int, text_col: str, id_col: str, exact: bool
 ) -> DataFrame:
-    """(__rk, id, p, k): one row per corpus character position, where
+    """(__rk, p, k): one row per corpus character position, where
     __rk = xxhash64(id, text) is the per-row-content key and k the
-    L-gram key at position p."""
+    L-gram key at position p. Deliberately id-free: the position stream
+    is the largest frame in the pipeline (it crosses the occurrence
+    count AND the probe join), so it carries only three fixed-width
+    columns; callers re-attach the id from a document-count-sized
+    (__rk, id) map at the end."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be >= 2")
     base = docs.where(F.length(text_col) >= L).select(
-        F.xxhash64(F.col(id_col), F.col(text_col)).alias("__rk"),
-        F.col(id_col),
+        _row_key(docs, text_col, id_col).alias("__rk"),
         F.col(text_col).alias("__t"),
     )
     return base.select(
         "__rk",
-        id_col,
         F.posexplode(_gram_keys(F.col("__t"), L, exact)).alias("p", "k"),
     )
 
 
-def _positions_to_spans(
-    pos: DataFrame, min_len: int, id_col: str
-) -> DataFrame:
+def _positions_to_spans(pos: DataFrame, min_len: int) -> DataFrame:
     """Gaps-and-islands merge of marked positions into maximal
-    (overlapping-or-adjacent) [p, p+L) spans, per content key."""
+    (overlapping-or-adjacent) [p, p+L) spans, per content key:
+    (__rk, span_start, span_end)."""
     L = int(min_len)
     w = Window.partitionBy("__rk").orderBy("p")
     islands = pos.withColumn(
         "__brk",
         F.when(F.col("p") > F.lag("p").over(w) + L, 1).otherwise(0),
     ).withColumn("__island", F.sum("__brk").over(w))
-    return islands.groupBy("__rk", id_col, "__island").agg(
+    return islands.groupBy("__rk", "__island").agg(
         F.min("p").alias("span_start"),
         (F.max("p") + L).alias("span_end"),
-    ).select("__rk", id_col, "span_start", "span_end")
+    ).select("__rk", "span_start", "span_end")
+
+
+def _attach_id(
+    spans: DataFrame, docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Join the per-row-content-keyed spans back to ids over the
+    document-count-sized (__rk, id) map (distinct: identical (id, text)
+    rows share one span set by design)."""
+    rk_map = docs.select(
+        _row_key(docs, text_col, id_col).alias("__rk"), F.col(id_col)
+    ).distinct()
+    return spans.join(rk_map, "__rk").select(
+        id_col, "span_start", "span_end"
+    )
 
 
 def _dup_spans_keyed(
@@ -996,7 +1017,7 @@ def _dup_spans_keyed(
     id_col: str,
     exact: bool,
 ) -> DataFrame:
-    """duplicate_spans core, returning (__rk, id, span_start, span_end)
+    """duplicate_spans core, returning (__rk, span_start, span_end)
     where __rk = xxhash64(id, text) is the per-row-content key used for
     grouping (and by scrub_duplicate_spans for the join-back)."""
     grams = _gram_frame(docs, min_len, text_col, id_col, exact)
@@ -1005,8 +1026,8 @@ def _dup_spans_keyed(
         .where(F.col("__c") > 1)
         .select("k")
     )
-    dup_pos = grams.join(dup_keys, "k").select("__rk", id_col, "p")
-    return _positions_to_spans(dup_pos, min_len, id_col)
+    dup_pos = grams.join(dup_keys, "k").select("__rk", "p")
+    return _positions_to_spans(dup_pos, min_len)
 
 
 def scrub_duplicate_spans(
@@ -1112,7 +1133,7 @@ def _contaminated_pos(
         )
         .distinct()
     )
-    return grams.join(bkeys, "k", "left_semi").select("__rk", id_col, "p")
+    return grams.join(bkeys, "k", "left_semi").select("__rk", "p")
 
 
 def contaminated_spans(
@@ -1142,8 +1163,8 @@ def contaminated_spans(
     pos = _contaminated_pos(
         corpus, benchmark, min_len, text_col, id_col, bench_text_col, exact
     )
-    return _positions_to_spans(pos, min_len, id_col).select(
-        id_col, "span_start", "span_end"
+    return _attach_id(
+        _positions_to_spans(pos, min_len), corpus, text_col, id_col
     )
 
 
@@ -1166,7 +1187,7 @@ def scrub_contaminated_spans(
     pos = _contaminated_pos(
         corpus, benchmark, min_len, text_col, id_col, bench_text_col, exact
     )
-    spans = _positions_to_spans(pos, min_len, id_col)
+    spans = _positions_to_spans(pos, min_len)
     return _scrub_spans(
         corpus,
         spans,
