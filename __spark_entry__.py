@@ -2449,7 +2449,11 @@ def q_runner_profile_documents(spark, sf):
     suite = ExpectationSuite("profile_run")
     suite.add("expect_column_values_to_not_be_null", column="doc_id")
     runner = CheckpointRunner(
-        spark, store, n_buckets=4, profile_columns=["n_chars"]
+        spark, store, n_buckets=4, profile_columns=["n_chars"],
+        # the production shape: partitions validate concurrently (the GX
+        # AsyncExecutor analog); store appends serialize behind the
+        # runner's write lock, and the merged profile is order-invariant
+        max_concurrency=4,
     )
     runner.run(docs, suite, run_id="entry")
     merged = runner.corpus_profile("entry", round_to=5)

@@ -131,6 +131,10 @@ QUIET_REF = {
     "robust_stats_quantity": 0.84,
     "novelty_documents": 1.30,
     "kmeans_refine": 4.24,
+    # r5: control-plane store writes became driver-side Arrow appends
+    # (ParquetStore.append_rows) and the entry runner validates its 4
+    # buckets concurrently — 8.8 -> ~2 s
+    "runner_profile_documents": 2.0,
     "validate_synth_corpus": 3.65,
     "validate_synth_corpus_fused": 2.16,
 }

@@ -520,15 +520,21 @@ class StoreMetricsAction(ValidationAction):
             )
         rows = self._rows(result, context)
         if rows:
-            store.append(
-                "metrics",
-                spark.createDataFrame(
-                    rows,
-                    "run_id string, suite string, metric string, "
-                    "column string, value double, value_json string, "
-                    "ts timestamp",
-                ),
+            schema_s = (
+                "run_id string, suite string, metric string, "
+                "column string, value double, value_json string, "
+                "ts timestamp"
             )
+            if hasattr(store, "append_rows"):
+                from pyspark.sql.types import StructType
+
+                store.append_rows(
+                    "metrics", rows, StructType.fromDDL(schema_s)
+                )
+            else:
+                store.append(
+                    "metrics", spark.createDataFrame(rows, schema_s)
+                )
         return {"metrics_written": len(rows)}
 
 

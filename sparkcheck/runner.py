@@ -43,6 +43,38 @@ def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+#: Spark -> Arrow types for the control-plane schemas (schema.py). Only
+#: the scalar types those schemas use; anything else falls back to the
+#: Spark write path in append_rows.
+_PA_SCALAR_TYPES = {
+    "string": "string",
+    "boolean": "bool_",
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+}
+
+
+def _pa_schema_for(schema) -> "Any":
+    import pyarrow as pa
+
+    fields = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s == "timestamp":
+            # isAdjustedToUTC=true so Spark reads these back as
+            # TimestampType (LTZ), matching its own written files —
+            # naive-UTC datetimes round-trip bit-identically
+            t = pa.timestamp("us", tz="UTC")
+        elif s in _PA_SCALAR_TYPES:
+            t = getattr(pa, _PA_SCALAR_TYPES[s])()
+        else:
+            raise KeyError(s)
+        fields.append((f.name, t))
+    return pa.schema(fields)
+
+
 class ParquetStore:
     """Append-only local results store with an atomic partition manifest."""
 
@@ -75,6 +107,50 @@ class ParquetStore:
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(os.path.join(self.root, table))
+
+    def append_rows(self, table: str, rows: list, schema) -> None:
+        """Driver-side append of dimension-sized control-plane records
+        (per-partition EVRs, lineage/metric rows — data that is already
+        a Python list on the driver): one small parquet file written
+        with Arrow, no Spark job. Row-scale data (violations) must go
+        through ``append`` — this path is only for driver-resident
+        frames. In production (IcebergStore) these appends are table
+        commits either way; locally a 1-row ``createDataFrame().write``
+        costs a full 32-task job plus the Hadoop committer's temp-dir
+        rename dance (~0.3-0.5 s), which multiplied by 3 control writes
+        × n_buckets dominated the checkpoint runner's wall at small
+        scale."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            pa_schema = _pa_schema_for(schema)
+        except KeyError:
+            # exotic column type — keep the Spark write path
+            spark = SparkSession.getActiveSession()
+            self.append(table, spark.createDataFrame(rows, schema=schema))
+            return
+        cols = list(zip(*rows)) if rows else [[] for _ in pa_schema]
+        tbl = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
+            schema=pa_schema,
+        )
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tdir, f"part-{uuid.uuid4().hex}-arrow.parquet"))
+
+    def append_small(self, table: str, df: DataFrame) -> None:
+        """Append a dimension-sized Spark frame (e.g. per-partition
+        aggregation states: #columns rows) by collecting it to Arrow on
+        the driver and writing one file — the aggregation still runs as
+        a Spark job, but the Hadoop committer round-trip is skipped.
+        Never use for row-scale frames."""
+        import pyarrow.parquet as pq
+
+        tbl = df.toArrow()
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tdir, f"part-{uuid.uuid4().hex}-arrow.parquet"))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, table))
@@ -135,6 +211,14 @@ class IcebergStore:
         else:
             df.writeTo(full).create()
 
+    def append_rows(self, table: str, rows: list, schema) -> None:
+        # Iceberg appends ARE the atomic commit protocol — always go
+        # through a table commit, never a bare file write
+        self.append(table, self.spark.createDataFrame(rows, schema=schema))
+
+    def append_small(self, table: str, df: DataFrame) -> None:
+        self.append(table, df)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(f"{self.namespace}.{table}")
 
@@ -163,10 +247,13 @@ def store_validation_result(
         for r in report.get("results", [])
     ]
     if rows:
-        store.append(
-            "evaluation_parameters",
-            spark.createDataFrame(rows, schema=EVAL_PARAM_SCHEMA),
-        )
+        if hasattr(store, "append_rows"):
+            store.append_rows("evaluation_parameters", rows, EVAL_PARAM_SCHEMA)
+        else:  # third-party store: Spark append path
+            store.append(
+                "evaluation_parameters",
+                spark.createDataFrame(rows, schema=EVAL_PARAM_SCHEMA),
+            )
 
 
 def _iter_evr_rows_desc(matches: DataFrame, page_size: int, stats: dict | None = None):
@@ -538,14 +625,17 @@ class CheckpointRunner:
             state_key=f"'{pid}'",
             include_hll=self.profile_hll,
         )
-        self.store.append(
-            "column_states",
-            st.select(
-                F.lit(run_id).alias("run_id"),
-                "*",
-                F.lit(_utcnow()).alias("ts"),
-            ),
+        stamped = st.select(
+            F.lit(run_id).alias("run_id"),
+            "*",
+            F.lit(_utcnow()).alias("ts"),
         )
+        if hasattr(self.store, "append_small"):
+            # dimension-sized (#profiled columns rows): the aggregation
+            # runs as one Spark job, the write is driver-side Arrow
+            self.store.append_small("column_states", stamped)
+        else:
+            self.store.append("column_states", stamped)
 
     def corpus_profile(self, run_id: str, round_to: int = 6) -> DataFrame:
         """Corpus-level column profile for a run, folded from the
@@ -600,9 +690,12 @@ class CheckpointRunner:
                     now,
                 )
             )
-        self.store.append(
-            "results", self.spark.createDataFrame(rows, schema=RESULT_SCHEMA)
-        )
+        if hasattr(self.store, "append_rows"):
+            self.store.append_rows("results", rows, RESULT_SCHEMA)
+        else:
+            self.store.append(
+                "results", self.spark.createDataFrame(rows, schema=RESULT_SCHEMA)
+            )
 
     def _write_lineage(
         self, run_id: str, pid: str, result: dict[str, Any], n_docs: int
@@ -622,9 +715,12 @@ class CheckpointRunner:
                         now,
                     )
                 )
-        self.store.append(
-            "lineage", self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
-        )
+        if hasattr(self.store, "append_rows"):
+            self.store.append_rows("lineage", rows, LINEAGE_SCHEMA)
+        else:
+            self.store.append(
+                "lineage", self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
+            )
 
 
 class PartitionedCorpusRunner(CheckpointRunner):

@@ -460,13 +460,24 @@ class FreshnessMonitor:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         lag = (now - row.mx).total_seconds() if row.mx is not None else None
         spark = batch_df.sparkSession
-        out = spark.createDataFrame(
-            [(int(batch_id), now, int(row.n), row.mn, row.mx,
-              float(lag) if lag is not None else None)],
+        fresh_row = (int(batch_id), now, int(row.n), row.mn, row.mx,
+                     float(lag) if lag is not None else None)
+        fresh_schema_s = (
             "batch_id long, processed_at timestamp, n_rows long, "
-            "min_ts timestamp, max_ts timestamp, lag_seconds double",
+            "min_ts timestamp, max_ts timestamp, lag_seconds double"
         )
-        self.store.append("freshness", out)
+        if hasattr(self.store, "append_rows"):
+            from pyspark.sql.types import StructType
+
+            # 1-row control record per micro-batch: the driver-side Arrow
+            # write keeps the store append off the micro-batch latency path
+            self.store.append_rows(
+                "freshness", [fresh_row], StructType.fromDDL(fresh_schema_s)
+            )
+        else:
+            self.store.append(
+                "freshness", spark.createDataFrame([fresh_row], fresh_schema_s)
+            )
         self.store.commit_partition(
             self.run_id, pid,
             {"n_docs": int(row.n), "lag_seconds": lag},

@@ -26,7 +26,14 @@ def test_store_interface_parity():
     # IcebergStore must never silently fall back to the POSIX manifest
     from sparkcheck.runner import IcebergStore, ParquetStore
 
-    for name in ("committed_partitions", "commit_partition", "append", "read"):
+    for name in (
+        "committed_partitions",
+        "commit_partition",
+        "append",
+        "append_rows",
+        "append_small",
+        "read",
+    ):
         assert callable(getattr(IcebergStore, name))
         assert getattr(IcebergStore, name) is not getattr(
             ParquetStore, name, None

@@ -452,3 +452,65 @@ def test_mi_and_gain_release_their_caches(spark):
     ig = it.information_gain(df, "y", ["a", "b"]).collect()
     assert len(mi) == 1 and len(ig) == 2
     assert jsc.getPersistentRDDs().size() <= before
+
+
+# ---------------------------------------------------------------------------
+# driver-side Arrow control-plane appends (ParquetStore.append_rows/_small)
+# ---------------------------------------------------------------------------
+
+
+def test_append_rows_mixes_with_spark_appends(spark, tmp_path):
+    """Files written by the Arrow fast path and by the Spark append path
+    into the same store table must read back as ONE table with identical
+    schema and values — the store contract the checkpoint runner relies
+    on (control-plane rows go through append_rows, violations through
+    append)."""
+    from datetime import datetime
+
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.schema import LINEAGE_SCHEMA
+
+    store = ParquetStore(str(tmp_path / "store"))
+    ts = datetime(2026, 1, 2, 3, 4, 5, 123456)
+    row_a = ("r1", "bucket=0", None, "doc_count", 10.0, ts)
+    row_b = ("r1", "bucket=1", None, "doc_count", 11.0, ts)
+    store.append("lineage", spark.createDataFrame([row_a], schema=LINEAGE_SCHEMA))
+    store.append_rows("lineage", [row_b], LINEAGE_SCHEMA)
+    out = store.read(spark, "lineage")
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        f.dataType.simpleString() for f in LINEAGE_SCHEMA.fields
+    ]
+    rows = {r["partition_id"]: r for r in out.collect()}
+    assert set(rows) == {"bucket=0", "bucket=1"}
+    # timestamps round-trip bit-identically across both write paths
+    assert rows["bucket=0"]["ts"] == rows["bucket=1"]["ts"] == ts
+    assert rows["bucket=1"]["value"] == 11.0
+
+
+def test_append_rows_empty_still_creates_readable_table(spark, tmp_path):
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.schema import RESULT_SCHEMA
+
+    store = ParquetStore(str(tmp_path / "store"))
+    store.append_rows("results", [], RESULT_SCHEMA)
+    out = store.read(spark, "results")
+    assert out.count() == 0
+    assert "unexpected_count" in out.columns
+
+
+def test_append_small_roundtrips_states_frame(spark, tmp_path):
+    """append_small (toArrow + driver write) must round-trip a states
+    frame exactly — merge over a store written this way equals merge
+    over the in-memory frame."""
+    from sparkcheck.runner import ParquetStore
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(1000)], "a double, b double"
+    )
+    frame = st.column_states(df, ["a", "b"], state_key="pmod(cast(a as int), 4)")
+    store = ParquetStore(str(tmp_path / "store"))
+    store.append_small("column_states", frame)
+    merged_store = st.merge_states(store.read(spark, "column_states")).collect()
+    merged_mem = st.merge_states(frame).collect()
+    key = lambda rows: {r["column"]: r.asDict() for r in rows}
+    assert key(merged_store) == key(merged_mem)
