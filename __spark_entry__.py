@@ -2469,6 +2469,40 @@ def q_runner_profile_documents(spark, sf):
     )
 
 
+def q_streaming_profile_documents(spark, sf):
+    """Continuously-updated corpus profile from per-micro-batch mergeable
+    states (streaming.StreamingProfileMonitor — the streaming half of the
+    metric-resume story): three deterministic micro-batches of documents
+    flow through the foreachBatch callable, batch 1 is then REDELIVERED
+    (foreachBatch's at-least-once contract) and must be a manifest-keyed
+    no-op, and the profile is merge_states over the 3-batch × 1-column
+    state rows — past batches are never rescanned. The oracle IS the full
+    rescan: the claim is exact equality including across the redelivery.
+    Live-stream behavior (rate source, crash-orphan supersede) is
+    pytest-covered (test_streaming_profile_monitor_*)."""
+    import tempfile
+
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.streaming import StreamingProfileMonitor
+
+    d = _t(spark, sf, "documents")
+    store = ParquetStore(tempfile.mkdtemp(prefix="sparkcheck_sprof_"))
+    mon = StreamingProfileMonitor(store, ["n_chars"], run_id="entry")
+    for i in range(3):
+        mon(d.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i), i)
+    mon(d.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 1), 1)
+    return mon.profile(spark, round_to=5).select(
+        "column",
+        "n",
+        "n_null",
+        "mean",
+        "stddev_samp",
+        F.round("variance_samp", 2).alias("variance_samp"),
+        "mn",
+        "mx",
+    )
+
+
 def q_information_gain_lineitem(spark, sf):
     """Per-feature information gain vs the l_returnflag label
     (infotheory.information_gain): every feature rides ONE stack-melt +
@@ -2693,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_extendedprice": q_benford_extendedprice,
         "merged_states_lineitem": q_merged_states_lineitem,
         "runner_profile_documents": q_runner_profile_documents,
+        "streaming_profile_documents": q_streaming_profile_documents,
         "information_gain_lineitem": q_information_gain_lineitem,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "scrub_dup_spans_documents": q_scrub_dup_spans_documents,
@@ -3534,6 +3569,18 @@ def oracle_sql() -> dict[str, str]:
 
         "runner_profile_documents": (
             # the runner-served state fold must equal a plain full rescan
+            "SELECT 'n_chars' AS \"column\", count(n_chars)::BIGINT AS n, "
+            "(count(*) - count(n_chars))::BIGINT AS n_null, "
+            "round(avg(n_chars), 5) AS mean, "
+            "round(stddev_samp(n_chars), 5) AS stddev_samp, "
+            "round(round(var_samp(n_chars), 5), 2) AS variance_samp, "
+            "min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx "
+            "FROM documents"
+        ),
+
+        "streaming_profile_documents": (
+            # the micro-batch state fold (incl. one redelivered batch)
+            # must equal the same plain full rescan
             "SELECT 'n_chars' AS \"column\", count(n_chars)::BIGINT AS n, "
             "(count(*) - count(n_chars))::BIGINT AS n_null, "
             "round(avg(n_chars), 5) AS mean, "

@@ -649,25 +649,16 @@ class CheckpointRunner:
                 "corpus_profile needs the runner constructed with "
                 "profile_columns"
             )
-        from .states import merge_states
+        from .states import committed_profile
 
         df = self.store.read(self.spark, "column_states").where(
             F.col("run_id") == run_id
         )
         committed = sorted(self.store.committed_partitions(run_id))
-        df = df.where(F.col("state_key").isin(committed))
         # last-write-wins per (state_key, column): a crash between the
         # state append and the manifest commit leaves an orphan row that
         # the re-run supersedes (all frames here are dimension-sized)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("state_key", "column").orderBy(F.desc("ts"))
-        latest = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "run_id", "ts")
-        )
-        return merge_states(latest, round_to=round_to)
+        return committed_profile(df, committed, round_to=round_to)
 
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
         rows = []

@@ -203,6 +203,34 @@ def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
     return out
 
 
+def committed_profile(
+    states: DataFrame, committed: Sequence[str], round_to: int = 6
+) -> DataFrame:
+    """Merge the stored states covering exactly the ``committed`` commit
+    units, last-write-wins per (state_key, column) on ``ts``.
+
+    The shared read-side of the commit protocol (batch
+    ``CheckpointRunner.corpus_profile`` and the streaming
+    ``StreamingProfileMonitor``): a crash between a state append and the
+    manifest commit leaves an orphan state row that the re-run
+    supersedes — the newest row per key wins, and uncommitted keys are
+    excluded entirely. ``states`` must carry ``state_key`` and ``ts``
+    columns alongside the state fields; all frames here are
+    dimension-sized (#commit-units × #columns rows), so the window is
+    free at any corpus size."""
+    from pyspark.sql import Window
+
+    df = states.where(F.col("state_key").isin(list(committed)))
+    w = Window.partitionBy("state_key", "column").orderBy(F.desc("ts"))
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "ts")
+    )
+    drop = [c for c in ("run_id",) if c in latest.columns]
+    return merge_states(latest.drop(*drop), round_to=round_to)
+
+
 def update_states(
     existing: DataFrame, new_data: DataFrame, columns: Sequence[str], state_key: str
 ) -> DataFrame:

@@ -491,6 +491,76 @@ class FreshnessMonitor:
             self.on_lag(int(batch_id), float(lag))
 
 
+class StreamingProfileMonitor:
+    """``foreachBatch`` callable maintaining a continuously-updated corpus
+    column profile from mergeable aggregation states (states.py) — the
+    streaming half of the per-partition metric-resume story. Each
+    micro-batch contributes ONE state row per profiled column
+    (state_key = ``batch={id}``, one narrow aggregate over the batch);
+    the corpus-level profile at any moment is ``merge_states`` over the
+    dimension-sized states table, so past batches are never rescanned.
+    (The reference has no analog — GX profiling is batch-rescan only.)
+
+    Exactly-once: foreachBatch delivers at-least-once on restart; the
+    manifest keyed by batch id skips batches already committed, and a
+    crash between the state append and the manifest commit leaves an
+    orphan row that the re-delivery supersedes — ``profile()`` keeps only
+    the newest row per (state_key, column) over committed keys, the same
+    last-write-wins fold the batch runner's ``corpus_profile`` uses
+    (states.committed_profile).
+    """
+
+    def __init__(
+        self,
+        store: ParquetStore,
+        columns: list[str],
+        run_id: str = "stream_profile",
+        include_hll: bool = False,
+    ):
+        self.store = store
+        self.columns = list(columns)
+        self.run_id = run_id
+        self.include_hll = include_hll
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .runner import _utcnow
+        from .states import column_states
+
+        pid = f"batch={batch_id}"
+        if pid in self.store.committed_partitions(self.run_id):
+            return
+        st = column_states(
+            batch_df.select(*self.columns),
+            self.columns,
+            state_key=f"'{pid}'",
+            include_hll=self.include_hll,
+        )
+        stamped = st.select(
+            F.lit(self.run_id).alias("run_id"),
+            "*",
+            F.lit(_utcnow()).alias("ts"),
+        )
+        if hasattr(self.store, "append_small"):
+            # dimension-sized (#columns rows): agg runs as one Spark job,
+            # the write is a driver-side Arrow file — off the micro-batch
+            # latency path
+            self.store.append_small("column_states", stamped)
+        else:
+            self.store.append("column_states", stamped)
+        self.store.commit_partition(self.run_id, pid, {})
+
+    def profile(self, spark, round_to: int = 6) -> DataFrame:
+        """Corpus-level profile over every batch committed so far —
+        folds the states, never rescans batch data."""
+        from .states import committed_profile
+
+        df = self.store.read(spark, "column_states").where(
+            F.col("run_id") == self.run_id
+        )
+        committed = sorted(self.store.committed_partitions(self.run_id))
+        return committed_profile(df, committed, round_to=round_to)
+
+
 def streaming_group_cap(
     stream_df: DataFrame, group_col: str, cap: int, id_col: str
 ) -> DataFrame:
