@@ -520,21 +520,16 @@ class StoreMetricsAction(ValidationAction):
             )
         rows = self._rows(result, context)
         if rows:
-            schema_s = (
+            from pyspark.sql.types import StructType
+
+            from .runner import append_control_rows
+
+            schema = StructType.fromDDL(
                 "run_id string, suite string, metric string, "
                 "column string, value double, value_json string, "
                 "ts timestamp"
             )
-            if hasattr(store, "append_rows"):
-                from pyspark.sql.types import StructType
-
-                store.append_rows(
-                    "metrics", rows, StructType.fromDDL(schema_s)
-                )
-            else:
-                store.append(
-                    "metrics", spark.createDataFrame(rows, schema_s)
-                )
+            append_control_rows(store, spark, "metrics", rows, schema)
         return {"metrics_written": len(rows)}
 
 

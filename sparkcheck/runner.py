@@ -56,6 +56,20 @@ _PA_SCALAR_TYPES = {
 }
 
 
+def _ts_micros(dt: datetime) -> int:
+    """Epoch microseconds with the exact semantics of Spark's
+    ``TimestampType.toInternal``: tz-aware datetimes use their own zone,
+    naive datetimes are interpreted in the Python process's local tz —
+    so Arrow-written and Spark-written files agree on instants."""
+    import calendar
+    import time as _time
+
+    seconds = (
+        calendar.timegm(dt.utctimetuple()) if dt.tzinfo else _time.mktime(dt.timetuple())
+    )
+    return int(seconds) * 1_000_000 + dt.microsecond
+
+
 def _pa_schema_for(schema) -> "Any":
     import pyarrow as pa
 
@@ -103,12 +117,22 @@ class ParquetStore:
             json.dump({"run_id": run_id, "partition_id": partition_id, **stats}, f)
         os.replace(tmp, path)  # atomic on POSIX — the commit point
 
+    def has_partition(self, run_id: str, partition_id: str) -> bool:
+        """O(1) committed-check for one partition — the per-micro-batch
+        idempotency probe of a long-running stream must not re-parse
+        every manifest file ever committed (committed_partitions is
+        O(total commits) and stays for the resume path, which genuinely
+        needs the full set once per run)."""
+        return os.path.exists(
+            os.path.join(self.root, "_manifest", f"{run_id}_{partition_id}.json")
+        )
+
     # -- appends -----------------------------------------------------------
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(os.path.join(self.root, table))
 
-    def append_rows(self, table: str, rows: list, schema) -> None:
+    def append_rows(self, table: str, rows: list, schema, spark=None) -> None:
         """Driver-side append of dimension-sized control-plane records
         (per-partition EVRs, lineage/metric rows — data that is already
         a Python list on the driver): one small parquet file written
@@ -119,22 +143,45 @@ class ParquetStore:
         costs a full 32-task job plus the Hadoop committer's temp-dir
         rename dance (~0.3-0.5 s), which multiplied by 3 control writes
         × n_buckets dominated the checkpoint runner's wall at small
-        scale."""
+        scale.
+
+        Timestamp semantics mirror ``TimestampType.toInternal`` exactly
+        (tz-aware → its own tz; naive → the Python process's local tz),
+        so files written here and by the Spark append path carry the
+        same instants in one table even on a non-UTC driver."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        n_fields = len(schema.fields)
+        for i, r in enumerate(rows):
+            # zip(*rows) would otherwise silently truncate EVERY column
+            # to the shortest row (and drop trailing fields of long rows)
+            if len(r) != n_fields:
+                raise ValueError(
+                    f"append_rows({table!r}): row {i} has {len(r)} fields, "
+                    f"schema has {n_fields}"
+                )
         try:
             pa_schema = _pa_schema_for(schema)
         except KeyError:
             # exotic column type — keep the Spark write path
-            spark = SparkSession.getActiveSession()
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    f"append_rows({table!r}): schema needs the Spark write "
+                    "path but no SparkSession is active on this thread; "
+                    "pass spark= explicitly"
+                )
             self.append(table, spark.createDataFrame(rows, schema=schema))
             return
-        cols = list(zip(*rows)) if rows else [[] for _ in pa_schema]
-        tbl = pa.Table.from_arrays(
-            [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
-            schema=pa_schema,
-        )
+        cols = list(zip(*rows)) if rows else [() for _ in pa_schema]
+        arrays = []
+        for c, f in zip(cols, pa_schema):
+            if pa.types.is_timestamp(f.type):
+                # epoch micros exactly as Spark's TimestampType.toInternal
+                c = [None if v is None else _ts_micros(v) for v in c]
+            arrays.append(pa.array(list(c), type=f.type))
+        tbl = pa.Table.from_arrays(arrays, schema=pa_schema)
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(tbl, os.path.join(tdir, f"part-{uuid.uuid4().hex}-arrow.parquet"))
@@ -211,7 +258,7 @@ class IcebergStore:
         else:
             df.writeTo(full).create()
 
-    def append_rows(self, table: str, rows: list, schema) -> None:
+    def append_rows(self, table: str, rows: list, schema, spark=None) -> None:
         # Iceberg appends ARE the atomic commit protocol — always go
         # through a table commit, never a bare file write
         self.append(table, self.spark.createDataFrame(rows, schema=schema))
@@ -219,8 +266,43 @@ class IcebergStore:
     def append_small(self, table: str, df: DataFrame) -> None:
         self.append(table, df)
 
+    def has_partition(self, run_id: str, partition_id: str) -> bool:
+        return (
+            self.spark.table(f"{self.namespace}.run_manifest")
+            .where(
+                (F.col("run_id") == run_id)
+                & (F.col("partition_id") == partition_id)
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(f"{self.namespace}.{table}")
+
+
+def append_control_rows(
+    store: Any, spark: SparkSession, table: str, rows: list, schema
+) -> None:
+    """Route dimension-sized, driver-resident control-plane rows to a
+    store: the Arrow fast path when the store provides it (ParquetStore —
+    no Spark job; IcebergStore — a table commit), else a plain Spark
+    append for third-party stores. The single dispatch point for every
+    control-table writer (results/lineage/eval-params/metrics/freshness)."""
+    if hasattr(store, "append_rows"):
+        store.append_rows(table, rows, schema, spark=spark)
+    else:
+        store.append(table, spark.createDataFrame(rows, schema=schema))
+
+
+def store_has_partition(store: Any, run_id: str, partition_id: str) -> bool:
+    """O(1) committed-probe when the store supports it, else the full
+    manifest read — the per-micro-batch idempotency check of a
+    long-running stream must not re-parse every manifest ever written."""
+    if hasattr(store, "has_partition"):
+        return store.has_partition(run_id, partition_id)
+    return partition_id in store.committed_partitions(run_id)
 
 
 def store_validation_result(
@@ -247,13 +329,9 @@ def store_validation_result(
         for r in report.get("results", [])
     ]
     if rows:
-        if hasattr(store, "append_rows"):
-            store.append_rows("evaluation_parameters", rows, EVAL_PARAM_SCHEMA)
-        else:  # third-party store: Spark append path
-            store.append(
-                "evaluation_parameters",
-                spark.createDataFrame(rows, schema=EVAL_PARAM_SCHEMA),
-            )
+        append_control_rows(
+            store, spark, "evaluation_parameters", rows, EVAL_PARAM_SCHEMA
+        )
 
 
 def _iter_evr_rows_desc(matches: DataFrame, page_size: int, stats: dict | None = None):
@@ -539,8 +617,13 @@ class CheckpointRunner:
                 for v in violations:
                     self.store.append("violations", v)
                 self._write_lineage(run_id, pid, result, n_docs)
-                # states ride the same cached partition pass — no rescan
-                self._write_states(part, run_id, pid)
+            # states ride the same cached partition pass — no rescan.
+            # OUTSIDE the lock: the states aggregation is a real Spark job
+            # (the lock exists for the violations appends' shared Hadoop
+            # committer dir) and must run concurrently across partitions
+            # when max_concurrency > 1; its own write is a uniquely-named
+            # driver-side Arrow file needing no serialization.
+            self._write_states(part, run_id, pid)
         finally:
             part.unpersist()
         self.store.commit_partition(
@@ -599,10 +682,12 @@ class CheckpointRunner:
             self._write_results(run_id, pid, result)
             store_validation_result(self.store, self.spark, result, run_id=run_id)
             self._write_lineage(run_id, pid, result, n_docs)
-            # the fused leg never persists the partition, so the states
-            # are one extra NARROW scan (only the profiled columns reach
-            # the reader — column pruning keeps it cheap at full width)
-            self._write_states(part, run_id, pid)
+        # the fused leg never persists the partition, so the states are
+        # one extra NARROW scan (only the profiled columns reach the
+        # reader — column pruning keeps it cheap at full width). Outside
+        # the lock: it is a real Spark job and must overlap across
+        # concurrent partitions; its write is lock-free (Arrow file)
+        self._write_states(part, run_id, pid)
         self.store.commit_partition(
             run_id, pid, {"success": result["success"], "n_docs": int(n_docs)}
         )
@@ -610,10 +695,12 @@ class CheckpointRunner:
 
     def _write_states(self, part: DataFrame, run_id: str, pid: str) -> None:
         """Persist the partition's mergeable aggregation states (one row
-        per profiled column) alongside its EVRs. Caller holds _write_lock.
-        The states table is run- and ts-stamped so corpus_profile can
-        apply last-write-wins to orphan rows left by a crash between this
-        append and the manifest commit."""
+        per profiled column) alongside its EVRs. Called OUTSIDE
+        _write_lock (the aggregation is a real Spark job that must overlap
+        across concurrent partitions); the Spark-append fallback takes the
+        lock itself. The states table is run- and ts-stamped so
+        corpus_profile can apply last-write-wins to orphan rows left by a
+        crash between this append and the manifest commit."""
         if not self.profile_columns:
             return
         from .states import column_states
@@ -632,10 +719,15 @@ class CheckpointRunner:
         )
         if hasattr(self.store, "append_small"):
             # dimension-sized (#profiled columns rows): the aggregation
-            # runs as one Spark job, the write is driver-side Arrow
+            # runs as one Spark job, the write is driver-side Arrow —
+            # lock-free (uniquely-named file), so concurrent partitions'
+            # state aggregations overlap
             self.store.append_small("column_states", stamped)
         else:
-            self.store.append("column_states", stamped)
+            # third-party store: a Spark append shares the Hadoop
+            # committer's _temporary dir — serialize like the other writes
+            with self._write_lock:
+                self.store.append("column_states", stamped)
 
     def corpus_profile(self, run_id: str, round_to: int = 6) -> DataFrame:
         """Corpus-level column profile for a run, folded from the
@@ -681,12 +773,7 @@ class CheckpointRunner:
                     now,
                 )
             )
-        if hasattr(self.store, "append_rows"):
-            self.store.append_rows("results", rows, RESULT_SCHEMA)
-        else:
-            self.store.append(
-                "results", self.spark.createDataFrame(rows, schema=RESULT_SCHEMA)
-            )
+        append_control_rows(self.store, self.spark, "results", rows, RESULT_SCHEMA)
 
     def _write_lineage(
         self, run_id: str, pid: str, result: dict[str, Any], n_docs: int
@@ -706,12 +793,7 @@ class CheckpointRunner:
                         now,
                     )
                 )
-        if hasattr(self.store, "append_rows"):
-            self.store.append_rows("lineage", rows, LINEAGE_SCHEMA)
-        else:
-            self.store.append(
-                "lineage", self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
-            )
+        append_control_rows(self.store, self.spark, "lineage", rows, LINEAGE_SCHEMA)
 
 
 class PartitionedCorpusRunner(CheckpointRunner):

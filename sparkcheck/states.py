@@ -220,7 +220,16 @@ def committed_profile(
     free at any corpus size."""
     from pyspark.sql import Window
 
-    df = states.where(F.col("state_key").isin(list(committed)))
+    keys = list(committed)
+    if len(keys) <= 1000:
+        df = states.where(F.col("state_key").isin(keys))
+    else:
+        # a long-running stream commits unboundedly many batches — a
+        # 100k-entry IN-list in the plan is a parse/codegen hazard, so
+        # filter by broadcast semi-join instead (both sides dimension-sized)
+        spark = states.sparkSession
+        kdf = spark.createDataFrame([(k,) for k in keys], "state_key string")
+        df = states.join(F.broadcast(kdf), "state_key", "left_semi")
     w = Window.partitionBy("state_key", "column").orderBy(F.desc("ts"))
     latest = (
         df.withColumn("__rn", F.row_number().over(w))

@@ -78,8 +78,12 @@ class StreamingValidationSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pid = f"batch={batch_id}"
-        # idempotent replay: foreachBatch re-delivers on failure/restart
-        if pid in self.store.committed_partitions(self.run_id):
+        # idempotent replay: foreachBatch re-delivers on failure/restart.
+        # O(1) probe — a long-running stream must not re-parse every
+        # manifest ever committed on every micro-batch
+        from .runner import store_has_partition
+
+        if store_has_partition(self.store, self.run_id, pid):
             return
         if self.fused and self.violations_fn is not None:
             from .fused import validate_and_extract
@@ -450,7 +454,9 @@ class FreshnessMonitor:
         from datetime import datetime, timezone
 
         pid = f"batch={batch_id}"
-        if pid in self.store.committed_partitions(self.run_id):
+        from .runner import store_has_partition
+
+        if store_has_partition(self.store, self.run_id, pid):
             return
         row = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -462,22 +468,19 @@ class FreshnessMonitor:
         spark = batch_df.sparkSession
         fresh_row = (int(batch_id), now, int(row.n), row.mn, row.mx,
                      float(lag) if lag is not None else None)
-        fresh_schema_s = (
-            "batch_id long, processed_at timestamp, n_rows long, "
-            "min_ts timestamp, max_ts timestamp, lag_seconds double"
-        )
-        if hasattr(self.store, "append_rows"):
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            # 1-row control record per micro-batch: the driver-side Arrow
-            # write keeps the store append off the micro-batch latency path
-            self.store.append_rows(
-                "freshness", [fresh_row], StructType.fromDDL(fresh_schema_s)
-            )
-        else:
-            self.store.append(
-                "freshness", spark.createDataFrame([fresh_row], fresh_schema_s)
-            )
+        from .runner import append_control_rows
+
+        # 1-row control record per micro-batch: the driver-side Arrow
+        # write keeps the store append off the micro-batch latency path
+        append_control_rows(
+            self.store, spark, "freshness", [fresh_row],
+            StructType.fromDDL(
+                "batch_id long, processed_at timestamp, n_rows long, "
+                "min_ts timestamp, max_ts timestamp, lag_seconds double"
+            ),
+        )
         self.store.commit_partition(
             self.run_id, pid,
             {"n_docs": int(row.n), "lag_seconds": lag},
@@ -527,7 +530,9 @@ class StreamingProfileMonitor:
         from .states import column_states
 
         pid = f"batch={batch_id}"
-        if pid in self.store.committed_partitions(self.run_id):
+        from .runner import store_has_partition
+
+        if store_has_partition(self.store, self.run_id, pid):
             return
         st = column_states(
             batch_df.select(*self.columns),

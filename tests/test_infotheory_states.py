@@ -514,3 +514,67 @@ def test_append_small_roundtrips_states_frame(spark, tmp_path):
     merged_mem = st.merge_states(frame).collect()
     key = lambda rows: {r["column"]: r.asDict() for r in rows}
     assert key(merged_store) == key(merged_mem)
+
+
+def test_append_rows_rejects_wrong_width_rows(spark, tmp_path):
+    """zip(*rows) would silently truncate on width mismatch — the store
+    must raise instead (parity with the Spark path's schema error)."""
+    import pytest as _pytest
+
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.schema import LINEAGE_SCHEMA
+
+    store = ParquetStore(str(tmp_path / "store"))
+    with _pytest.raises(ValueError, match="fields"):
+        store.append_rows("lineage", [("r1", "p0", None, "m", 1.0)], LINEAGE_SCHEMA)
+    with _pytest.raises(ValueError, match="fields"):
+        store.append_rows(
+            "lineage",
+            [("r1", "p0", None, "m", 1.0, None, "extra")],
+            LINEAGE_SCHEMA,
+        )
+
+
+def test_append_rows_tz_aware_matches_spark_path(spark, tmp_path):
+    """A tz-aware datetime must land on the same instant through both
+    write paths (the timegm branch of the toInternal mirror)."""
+    from datetime import datetime, timedelta, timezone
+
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.schema import LINEAGE_SCHEMA
+
+    store = ParquetStore(str(tmp_path / "store"))
+    tz9 = timezone(timedelta(hours=9))
+    ts = datetime(2026, 3, 4, 9, 0, 0, 250000, tzinfo=tz9)  # == 00:00:00.25Z
+    store.append("lineage", spark.createDataFrame(
+        [("spark", "p", None, "m", 1.0, ts)], schema=LINEAGE_SCHEMA))
+    store.append_rows("lineage", [("arrow", "p", None, "m", 1.0, ts)], LINEAGE_SCHEMA)
+    rows = {r["run_id"]: r["ts"] for r in store.read(spark, "lineage").collect()}
+    assert rows["spark"] == rows["arrow"]
+
+
+def test_has_partition_matches_committed_partitions(spark, tmp_path):
+    from sparkcheck.runner import ParquetStore, store_has_partition
+
+    store = ParquetStore(str(tmp_path / "store"))
+    store.commit_partition("r1", "bucket=3", {"ok": True})
+    assert store.has_partition("r1", "bucket=3")
+    assert not store.has_partition("r1", "bucket=4")
+    assert not store.has_partition("r2", "bucket=3")
+    assert store_has_partition(store, "r1", "bucket=3")
+    assert "bucket=3" in store.committed_partitions("r1")
+
+
+def test_committed_profile_semi_join_branch(spark):
+    """>1000 committed keys takes the broadcast-semi-join filter branch;
+    results must equal merging the same keys directly."""
+    df = spark.createDataFrame([(float(i),) for i in range(4000)], "a double")
+    frame = st.column_states(
+        df, ["a"], state_key="concat('k', cast(cast(a as int) % 1200 as string))"
+    ).withColumn("ts", F.current_timestamp())
+    keys = [f"k{i}" for i in range(1200)]
+    via_join = {r["column"]: r.asDict()
+                for r in st.committed_profile(frame, keys).collect()}
+    direct = {r["column"]: r.asDict()
+              for r in st.merge_states(frame.drop("ts")).collect()}
+    assert via_join == direct
