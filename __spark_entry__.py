@@ -2613,6 +2613,34 @@ def q_scrub_contamination_documents(spark, sf):
     )
 
 
+def q_bloom_referential_violations(spark, sf):
+    """Exact referential violations through the Bloom tier
+    (sketches.bloom_referential_violations): bloom-miss rows are certain
+    violations after one Arrow pass (no join); only the bloom-hit
+    remainder goes through the exact anti-join. Output is row-identical
+    to the plain anti-join, which is exactly what the oracle computes."""
+    from sparkcheck.sketches import bloom_referential_violations
+
+    li = _t(spark, sf, "lineitem")
+    dim = _t(spark, sf, "part").where(F.col("p_partkey") % 131 != 0)
+    bad = bloom_referential_violations(li, "l_partkey", dim, "p_partkey")
+    return bad.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_heavy_hitters_users(spark, sf):
+    """EXACT heavy hitters via mergeable Misra-Gries summaries + a
+    broadcast-candidate verification pass (sketches.heavy_hitters):
+    two narrow scans and dimension-sized shuffles replace the
+    full-cardinality value_counts shuffle; every value holding >=0.8%
+    of events comes back with its exact count."""
+    from sparkcheck.sketches import heavy_hitters
+
+    ev = _t(spark, sf, "events")
+    return heavy_hitters(ev, "user_id", min_fraction=0.008, k=200).select(
+        F.col("value").alias("user_id"), "cnt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2734,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats_documents": q_dup_span_stats_documents,
         "contaminated_spans_documents": q_contaminated_spans_documents,
         "scrub_contamination_documents": q_scrub_contamination_documents,
+        "bloom_referential_violations": q_bloom_referential_violations,
+        "heavy_hitters_users": q_heavy_hitters_users,
     }
 
 
@@ -4137,6 +4167,18 @@ def oracle_sql() -> dict[str, str]:
         "END AS text_clean "
         "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) d "
         "LEFT JOIN r USING (doc_id)",
+
+        "bloom_referential_violations":
+        "SELECT l_partkey, count(*) AS n_rows FROM lineitem l "
+        "WHERE l.l_partkey IS NOT NULL AND NOT EXISTS ("
+        "SELECT 1 FROM part p WHERE p.p_partkey % 131 <> 0 "
+        "AND p.p_partkey = l.l_partkey) "
+        "GROUP BY l_partkey",
+
+        "heavy_hitters_users":
+        "SELECT user_id, count(*) AS cnt FROM events "
+        "WHERE user_id IS NOT NULL GROUP BY user_id "
+        "HAVING count(*) >= 0.008 * (SELECT count(*) FROM events)",
     }
 
 

@@ -461,6 +461,38 @@ def main():
         "salted sort-merge form, and the decode stage itself is "
         "mapInPandas over the joined frame either way.")
 
+    from sparkcheck.sketches import bloom_build, bloom_flag, heavy_hitters
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part_dim = spark.read.parquet(f"{SF}/part.parquet").where(
+        F.col("p_partkey") % 131 != 0
+    )
+    bf = bloom_build(part_dim, "p_partkey", fpp=0.01)
+    add("Bloom membership probe (bloom_referential_violations tier 1)",
+        bloom_flag(li.select("l_partkey", "l_orderkey"), "l_partkey", bf)
+        .where(~F.col("__bloom_hit")),
+        "The certain-violation tier is scan -> Project -> ArrowEvalPython/"
+        "MapInArrow -> Filter: ONE narrow pass over the fact side with NO "
+        "Exchange and NO join anywhere in the plan — the dim side is a "
+        "driver-collected m/8-byte bitset broadcast to executors. Only the "
+        "bloom-HIT remainder (true members + ~fpp false positives) ever "
+        "reaches the exact anti-join; in blocklist-style checks where most "
+        "keys are dead, the join's probe side shrinks by the full certain "
+        "fraction, and the mostly short-circuit can skip it entirely.")
+    add("Misra-Gries heavy hitters (heavy_hitters_users)",
+        heavy_hitters(spark.read.parquet(f"{SF}/events.parquet"),
+                      "user_id", min_fraction=0.008, k=200),
+        "Pass 2 of the exact heavy-hitter pipeline: the candidate set — "
+        "collected while the MG summaries were persisted, and bounded at "
+        "<= 1/(min_fraction - 1/(k+1)) values regardless of data size — "
+        "is a local relation broadcast (`BroadcastHashJoin ... BuildRight`) "
+        "against the narrow (user_id) scan, then ONE HashAggregate pair "
+        "(partial -> final) whose shuffle carries at most |candidates| "
+        "grouped rows. The summaries subtree does NOT reappear here (it "
+        "would if candidates stayed lazy past the unpersist): the plan has "
+        "exactly one parquet scan. Pass 1 (the MG summaries) is scan -> "
+        "MapInArrow emitting <= k rows per task.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]

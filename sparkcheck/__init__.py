@@ -35,6 +35,7 @@ from . import temporal as _temporal  # noqa: F401
 from . import text as _text  # noqa: F401
 from . import infotheory as _infotheory  # noqa: F401
 from . import dedup as _dedup  # noqa: F401
+from . import sketches as _sketches  # noqa: F401
 
 __all__ = [
     "ExpectationConfiguration",

@@ -1,0 +1,605 @@
+"""Probabilistic-sketch validation tiers: Bloom membership + heavy hitters.
+
+Two sketch families the 10^12-doc regime needs that neither the reference
+nor the rest of this engine had:
+
+**Bloom-tiered referential checks.** ``referential.py``'s anti-join is
+exact but always shuffles (or broadcasts) the dim side against the full
+fact scan. A Bloom filter built from the dim keys gives a *certain-miss /
+probable-hit* split with zero joins: a key the filter rejects is
+guaranteed absent from the dim (no false negatives), so every bloom-miss
+fact row is a violation with certainty after one narrow Arrow pass.
+Only the bloom-HIT rows — the probable members — still need the exact
+anti-join, and in the violation-heavy regimes where this tier pays
+(decontamination blocklists, tombstoned-id scrubs, migration audits where
+most keys are dead) that remainder is a small fraction of the fact side.
+The ``mostly`` short-circuit goes further: when the certain violations
+alone already break the expectation's budget, the verdict is final and
+the exact join never runs at all.
+
+Scale shape: the filter is built SHARDED — dim keys shuffle once (narrow:
+key string + shard id) and each shard's bitset is built exactly within
+its group, so the driver collects ``m_total/8`` bytes once, NOT one
+partial bitset per input partition (the naive partial-OR moves
+``#partitions x m/8`` bytes; for a 10^9-key dim at 1% fpp that is the
+difference between 1.2 GB and 200 x 1.2 GB through the driver). The
+probe side is a single ``mapInArrow`` pass appending one boolean — no
+shuffle, no join, vectorized numpy bit tests on the flat Arrow buffer.
+
+Hashing is deterministic and dtype-canonical: both sides cast the key to
+its Spark ``string`` form first (an int32 fact key vs int64 dim key must
+hash identically), shard with the JVM's ``xxhash64``, and position bits
+with pandas' fixed-key vectorized hash + a splitmix64 second hash
+(Kirsch-Mitzenmacher double hashing: ``idx_j = h1 + j*h2 mod m``), so a
+filter built in one session probes identically in another.
+
+**Misra-Gries heavy hitters.** ``column.value_counts`` shuffles one row
+per DISTINCT value — at 10^12 rows with 10^9 distinct join keys that is a
+10^9-row shuffle just to ask "is any key hot?". The Misra-Gries /
+space-saving summary bounds state at ``k`` counters per task and is
+MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS'12): per-partition
+summaries of <= k (value, weight) rows shuffle ``#tasks x k`` rows
+regardless of cardinality, and any value with true frequency
+> N/(k+1) is guaranteed to survive into the merged candidate set
+(per partition: freq_p - w_p <= n_p/(k+1); summing over partitions,
+a value absent from EVERY summary has freq <= N/(k+1)). A second
+narrow pass counts ONLY the broadcast candidates exactly (map-side
+combined, <= |candidates| grouped rows), so the final output is EXACT:
+precisely the values with count >= min_fraction * N, with their true
+counts. Two narrow scans + dimension-sized shuffles replace one
+full-cardinality shuffle — and the result powers the skew check you
+want BEFORE launching the big join (see ``keys.py`` salting).
+
+The reference GX has no sketch tier — ``expect_column_values_to_be_in_set``
+takes literal lists only (reference
+great_expectations/expectations/core/expect_column_values_to_be_in_set.py)
+and value counts always materialize exactly
+(reference great_expectations/expectations/metrics/column_aggregate_metrics/
+column_value_counts.py:32). These are north-rule scale additions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .expectations import Expectation, build_domain, register_expectation
+from .metrics import Domain, MetricConfiguration, eager_metric, freeze_kwargs
+
+__all__ = [
+    "BloomFilter",
+    "bloom_build",
+    "bloom_flag",
+    "bloom_referential_violations",
+    "bloom_referential_check",
+    "heavy_hitters",
+    "heavy_hitter_report",
+]
+
+# ---------------------------------------------------------------------------
+# deterministic vectorized hashing
+# ---------------------------------------------------------------------------
+
+def _make_hash_pair():
+    """Build the vectorized (h1, h2) key hasher as a NESTED closure.
+
+    Executor-side closures (mapInArrow/applyInPandas below) must not
+    reference ``sparkcheck``-module globals: cloudpickle serializes those
+    by name, so a consumer running without ``--py-files sparkcheck`` gets
+    ``ModuleNotFoundError`` on the workers. A nested function has a
+    non-importable qualname, so cloudpickle ships its CODE by value —
+    self-contained, spark-submit-safe.
+
+    ``pd.util.hash_pandas_object`` is C-vectorized and keyed with pandas'
+    fixed default hash key, so it is stable across processes and sessions
+    (no PYTHONHASHSEED dependence). h2 is a splitmix64 re-mix of h1, made
+    odd so the double-hash probe sequence cycles through all of [0, m).
+    """
+
+    def hash_pair(values) -> tuple:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        h1 = pd.util.hash_pandas_object(values, index=False).to_numpy(
+            dtype=np.uint64
+        )
+        z = (h1 + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+        return h1, h2
+
+    return hash_pair
+
+
+_hash_pair = _make_hash_pair()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: sharded build, broadcast, Arrow probe
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BloomFilter:
+    """Sharded Bloom filter over the *string form* of a key column.
+
+    ``shards[i]`` is a packed uint8 bitset of ``m_bits`` bits holding the
+    keys whose ``pmod(xxhash64(key_str), n_shards) == i``. All shards share
+    ``m_bits`` and ``k_hashes`` so the probe kernel is uniform.
+    """
+
+    shards: dict
+    m_bits: int
+    k_hashes: int
+    n_keys: int
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+    def total_bytes(self) -> int:
+        return sum(len(b) for b in self.shards.values())
+
+    def might_contain(self, key: Any) -> bool:
+        """Driver-side point probe for tests/debugging; the data path is
+        :func:`bloom_flag`. Probes EVERY shard (the JVM-side xxhash64 shard
+        routing is not replicated here), so it keeps the no-false-negative
+        guarantee but its false-positive rate is ~n_shards x fpp."""
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        s = pd.Series([str(key)], dtype=object)
+        h1a, h2a = _hash_pair(s)
+        h1, h2 = int(h1a[0]), int(h2a[0])  # python ints: no scalar overflow
+        idxs = [
+            ((h1 + j * h2) % (1 << 64)) % self.m_bits
+            for j in range(self.k_hashes)
+        ]
+        for bits_bytes in self.shards.values():
+            bits = np.frombuffer(bits_bytes, dtype=np.uint8)
+            if all(bits[i >> 3] & (1 << (i & 7)) for i in idxs):
+                return True
+        return False
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m_bits_total, k_hashes) for n keys at target false-positive rate."""
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def bloom_build(
+    dim: DataFrame,
+    dim_col: str,
+    fpp: float = 0.01,
+    expected: int | None = None,
+    max_shard_keys: int = 4_000_000,
+) -> BloomFilter:
+    """Build a sharded Bloom filter from the distinct non-null dim keys.
+
+    One narrow shuffle (key string + shard id) groups each shard's keys
+    into a single ``applyInPandas`` task that sets its bitset exactly; the
+    driver then collects ``m_total/8`` bytes ONCE — never per-partition
+    partial bitsets. ``max_shard_keys`` bounds the per-task pandas frame;
+    at a 10^9-key dim the default yields ~250 shards of ~4.8 MB each.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    keys = (
+        dim.select(F.col(dim_col).cast("string").alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+    )
+    n = int(expected) if expected is not None else keys.count()
+    m_total, k_hashes = _bloom_params(n, fpp)
+    n_shards = max(1, math.ceil(n / max_shard_keys))
+    # per-shard bitset, padded to whole bytes; keys spread ~uniformly so a
+    # ceil split keeps the per-shard load factor at or below the target
+    m_bits = ((m_total // n_shards + 7) // 8 + 1) * 8
+    m_u64 = m_bits  # closed over below
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_u64 // 8, dtype=np.uint8)
+        h1, h2 = _hash_pair(pdf["__k"])
+        m = np.uint64(m_u64)
+        for j in range(k_hashes):
+            idx = (h1 + np.uint64(j) * h2) % m
+            np.bitwise_or.at(
+                bits, (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+            )
+        return pd.DataFrame(
+            {"shard": [int(pdf["__shard"].iloc[0])], "bits": [bits.tobytes()]}
+        )
+
+    sharded = keys.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("__k")), F.lit(n_shards)).cast("int")
+    )
+    rows = (
+        sharded.groupBy("__shard")
+        .applyInPandas(build_shard, schema="shard int, bits binary")
+        .collect()
+    )
+    shards = {int(r["shard"]): bytes(r["bits"]) for r in rows}
+    empty = bytes(m_bits // 8)
+    for i in range(n_shards):  # shards with no keys (tiny dims) stay all-zero
+        shards.setdefault(i, empty)
+    return BloomFilter(shards=shards, m_bits=m_bits, k_hashes=k_hashes, n_keys=n)
+
+
+def bloom_flag(
+    fact: DataFrame,
+    fact_col: str,
+    bloom: BloomFilter,
+    flag_col: str = "__bloom_hit",
+) -> DataFrame:
+    """Append ``flag_col``: False ⇒ key CERTAINLY absent from the dim.
+
+    Single ``mapInArrow`` pass — the batch's key strings are hashed as one
+    vectorized block and tested against the broadcast bitsets; no shuffle,
+    no join. NULL keys flag True (they are not membership violations,
+    matching the anti-join's non-null semantics). Apply AFTER projecting
+    the columns you need: Catalyst cannot prune through mapInArrow.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    spark = fact.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {s: np.frombuffer(b, dtype=np.uint8) for s, b in bloom.shards.items()}
+    )
+    m_bits = bloom.m_bits
+    k_hashes = bloom.k_hashes
+    src = fact.withColumn("__k", F.col(fact_col).cast("string")).withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col("__k")), F.lit(bloom.n_shards)).cast("int"),
+    )
+    out_fields = fact.schema.fields
+    n_keep = len(out_fields)
+
+    def probe(batches: Iterator) -> Iterator:
+        shards = bc.value
+        m = np.uint64(m_bits)
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ks = batch.column(n_keep).to_pandas()
+            shard_ids = np.asarray(batch.column(n_keep + 1), dtype=np.int64)
+            null_mask = ks.isna().to_numpy()
+            h1, h2 = _hash_pair(ks.fillna(""))
+            hit = np.ones(nrows, dtype=bool)
+            for j in range(k_hashes):
+                idx = (h1 + np.uint64(j) * h2) % m
+                byte_i = (idx >> np.uint64(3)).astype(np.int64)
+                bit_m = np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+                # gather per-shard: group rows by shard id to index each bitset
+                for s in np.unique(shard_ids):
+                    rows_s = shard_ids == s
+                    hit[rows_s] &= (
+                        shards[int(s)][byte_i[rows_s]] & bit_m[rows_s]
+                    ) != 0
+                if not hit.any():
+                    break
+            hit |= null_mask
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_keep)] + [pa.array(hit)],
+                names=[f.name for f in out_fields] + [flag_col],
+            )
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`{flag_col}` boolean"]
+    )
+    return src.mapInArrow(probe, schema=out_schema)
+
+
+def bloom_referential_violations(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+    fpp: float = 0.01,
+    exact: bool = True,
+    bloom: BloomFilter | None = None,
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
+    """Exact referential violations through the Bloom tier.
+
+    Tier 1 (one Arrow pass, no join): bloom-miss rows are violations with
+    certainty. Tier 2 (only when ``exact``): the bloom-HIT remainder —
+    true members plus ~fpp false positives — goes through the exact
+    anti-join of :func:`referential.anti_join_violations`. The union is
+    row-identical to the plain anti-join; the join's probe side shrank by
+    every certain violation. With ``exact=False`` the result is the
+    certain-violation SUBSET (no join at all) — a lower bound, the right
+    tier for alerting/short-circuit paths.
+    """
+    from .referential import DEFAULT_BROADCAST_THRESHOLD, anti_join_violations
+
+    if bloom is None:
+        bloom = bloom_build(dim, dim_col, fpp=fpp)
+    fact_nn = fact.where(F.col(fact_col).isNotNull())
+    flagged = bloom_flag(fact_nn, fact_col, bloom)
+    certain = flagged.where(~F.col("__bloom_hit")).drop("__bloom_hit")
+    if not exact:
+        return certain
+    suspects = flagged.where(F.col("__bloom_hit")).drop("__bloom_hit")
+    verified = anti_join_violations(
+        suspects,
+        fact_col,
+        dim,
+        dim_col,
+        broadcast_threshold=(
+            DEFAULT_BROADCAST_THRESHOLD
+            if broadcast_threshold is None
+            else broadcast_threshold
+        ),
+        dim_count=bloom.n_keys,
+    )
+    return certain.unionByName(verified)
+
+
+def bloom_referential_check(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+    mostly: float = 1.0,
+    fpp: float = 0.01,
+    bloom: BloomFilter | None = None,
+) -> dict:
+    """Tiered pass/fail with the ``mostly`` short-circuit.
+
+    Counts certain (bloom-miss) violations first — one Arrow pass, no
+    join. If those alone already exceed the ``mostly`` budget the verdict
+    is final (``tiers_run=1``) and the exact anti-join NEVER runs; at
+    10^12 rows that is the difference between a scan and a scan+shuffle
+    for every blocklist-style check that is clearly failing. Otherwise the
+    bloom-hit remainder is verified exactly (``tiers_run=2``).
+    """
+    if bloom is None:
+        bloom = bloom_build(dim, dim_col, fpp=fpp)
+    fact_nn = fact.where(F.col(fact_col).isNotNull())
+    flagged = bloom_flag(fact_nn, fact_col, bloom)
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("__bloom_hit")).cast("long")).alias("certain"),
+    ).collect()[0]
+    nonnull_count = int(counts["n"] or 0)
+    certain = int(counts["certain"] or 0)
+    budget = math.floor((1.0 - mostly) * nonnull_count + 1e-9)
+    if certain > budget:
+        return {
+            "success": False,
+            "nonnull_count": nonnull_count,
+            "unexpected_count_lower_bound": certain,
+            "certain_violations": certain,
+            "tiers_run": 1,
+            "short_circuit": True,
+        }
+    exact_violations = bloom_referential_violations(
+        fact, fact_col, dim, dim_col, bloom=bloom, exact=True
+    )
+    unexpected = exact_violations.count()
+    return {
+        "success": unexpected <= budget,
+        "nonnull_count": nonnull_count,
+        "unexpected_count": unexpected,
+        "certain_violations": certain,
+        "tiers_run": 2,
+        "short_circuit": False,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable summaries + exact verification
+# ---------------------------------------------------------------------------
+
+
+def _mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: <= k (v, w) rows per task plus
+    the partition row-count ``pn`` stamped on one row (so N = sum(pn)
+    without a second full scan). All per-batch work is vectorized pandas
+    ``value_counts`` + aligned adds — state never exceeds k counters."""
+    import pandas as pd  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    src = df.select(F.col(col).alias("v"))
+    v_field = src.schema.fields[0]
+
+    def summarize(batches: Iterator) -> Iterator:
+        mg = None
+        n_part = 0
+        v_type = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            v_type = batch.column(0).type
+            n_part += batch.num_rows  # N counts every row, like count(*)
+            vals = batch.column(0).drop_null().to_pandas()
+            if len(vals) == 0:
+                continue
+            vc = vals.value_counts()  # vectorized; nulls already dropped
+            mg = vc if mg is None else mg.add(vc, fill_value=0)
+            if len(mg) > k:
+                cut = mg.nlargest(k + 1).iloc[-1]
+                mg = mg - cut
+                mg = mg[mg > 0]
+        if v_type is None:
+            return
+        if mg is None or len(mg) == 0:
+            # all-null partition: still report its row count toward N
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([None], type=v_type),
+                    pa.array([0], type=pa.int64()),
+                    pa.array([n_part], type=pa.int64()),
+                ],
+                names=["v", "w", "pn"],
+            )
+            return
+        w = mg.astype("int64")
+        pn = pd.array([n_part] + [None] * (len(w) - 1), dtype="Int64")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(w.index.to_numpy(), type=v_type),
+                pa.array(w.to_numpy()),
+                pa.array(pn),
+            ],
+            names=["v", "w", "pn"],
+        )
+
+    schema = f"`v` {v_field.dataType.simpleString()}, `w` long, `pn` long"
+    return src.mapInArrow(summarize, schema=schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_fraction: float,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT set of values with ``count >= min_fraction * N`` and their
+    exact counts — without ever shuffling the column's full cardinality.
+
+    Pass 1: per-partition MG summaries (<= tasks x k rows) are persisted;
+    N and the merged candidate weights come from that dimension-sized
+    frame. Completeness: a value with true freq > N/(k+1) survives into
+    some summary, so requiring ``min_fraction > 1/(k+1)`` makes the
+    candidate set a guaranteed superset of the answer; candidates are
+    pruned to ``w >= threshold - N/(k+1)`` (true freq <= w + N/(k+1)).
+    Pass 2: a broadcast semi-join counts ONLY the candidates exactly
+    (map-side combine → <= |candidates| grouped rows), then the exact
+    threshold filter lands. Output columns: (value, cnt), value keeping
+    the source dtype.
+    """
+    if k is None:
+        k = max(64, int(2.0 / max(min_fraction, 1e-9)))
+    if min_fraction <= 1.0 / (k + 1):
+        raise ValueError(
+            f"min_fraction={min_fraction} <= 1/(k+1)={1.0/(k+1):.6g}: the "
+            f"MG summary cannot guarantee completeness; raise k above "
+            f"{int(1.0/min_fraction)}"
+        )
+    summaries = _mg_summaries(df, col, k).persist()
+    try:
+        total = summaries.agg(F.sum("pn").alias("n")).collect()[0]["n"]
+        n_rows = int(total or 0)
+        if n_rows == 0:
+            return (
+                df.sparkSession.createDataFrame([], schema=summaries.select("v").schema)
+                .withColumnRenamed("v", "value")
+                .withColumn("cnt", F.lit(0).cast("long"))
+            )
+        threshold = min_fraction * n_rows
+        slack = n_rows / (k + 1.0)
+        # The pruned candidate set is bounded independent of data size:
+        # sum(w) <= N, so |{v : w >= threshold - slack}| <=
+        # 1/(min_fraction - 1/(k+1)) values (default k ⇒ <= 2/min_fraction).
+        # Collecting it here — while the summaries are still persisted —
+        # keeps the returned plan at exactly ONE further scan; leaving the
+        # candidate subtree lazy would recompute the summaries (a second
+        # full pass) once the persist is released.
+        cand_rows = (
+            summaries.groupBy("v")
+            .agg(F.sum("w").alias("w"))
+            .where(F.col("w") >= F.lit(threshold - slack))
+            .where(F.col("v").isNotNull())
+            .select("v")
+            .collect()
+        )
+        v_schema = summaries.select("v").schema
+        candidates = df.sparkSession.createDataFrame(cand_rows, schema=v_schema)
+        exact = (
+            df.select(F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .join(F.broadcast(candidates), on="v", how="inner")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= F.lit(threshold))
+        )
+        return exact.select(F.col("v").alias("value"), "cnt")
+    finally:
+        summaries.unpersist()
+
+
+def heavy_hitter_report(
+    df: DataFrame,
+    col: str,
+    max_fraction: float,
+    k: int | None = None,
+    top: int = 20,
+) -> dict:
+    """Eager report for the expectation: offenders + their exact shares."""
+    n_rows = df.count()
+    if n_rows == 0:
+        return {"element_count": 0, "offenders": []}
+    hits = heavy_hitters(df, col, min_fraction=max_fraction, k=k)
+    rows = hits.orderBy(F.desc("cnt"), "value").limit(top).collect()
+    offenders = [
+        {"value": r["value"], "count": int(r["cnt"]), "fraction": r["cnt"] / n_rows}
+        for r in rows
+    ]
+    return {"element_count": int(n_rows), "offenders": offenders}
+
+
+@eager_metric("column.heavy_hitters")
+def _heavy_hitters_metric(resolver, ddf: DataFrame, cfg: MetricConfiguration, _):
+    return heavy_hitter_report(
+        ddf,
+        cfg.domain.column,
+        max_fraction=float(cfg.kw("max_fraction")),
+        k=(int(cfg.kw("k")) if cfg.kw("k", None) is not None else None),
+    )
+
+
+class HeavyHitterExpectation(Expectation):
+    """expect_column_value_frequencies_to_be_below(column, max_fraction, k=)
+
+    Fails when ANY single value holds >= ``max_fraction`` of the rows —
+    the shuffle-skew tripwire you run BEFORE the expensive join/groupBy
+    (a hot key found here is what ``keys.py`` salting exists for). No
+    reference analog; north-rule scale addition. Costs two narrow scans
+    with dimension-sized shuffles regardless of column cardinality."""
+
+    name = "expect_column_value_frequencies_to_be_below"
+
+    def _metric_cfg(self, cfg) -> MetricConfiguration:
+        return MetricConfiguration(
+            "column.heavy_hitters",
+            build_domain(cfg),
+            freeze_kwargs(
+                max_fraction=float(cfg.get("max_fraction")),
+                k=cfg.get("k"),
+            ),
+        )
+
+    def metric_requests(self, cfg, rf):
+        return {"metric": self._metric_cfg(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        report = resolver[self._metric_cfg(cfg)]
+        offenders = report["offenders"]
+        success = not offenders
+        ret: dict[str, Any] = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": (
+                    offenders[0]["fraction"] if offenders else 0.0
+                ),
+                "element_count": report["element_count"],
+                "details": {"heavy_hitters": offenders},
+            }
+        return ret
+
+
+register_expectation(HeavyHitterExpectation())

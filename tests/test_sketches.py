@@ -1,0 +1,230 @@
+"""Bloom membership tier + Misra-Gries heavy hitters (sparkcheck.sketches)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationConfiguration, ExpectationSuite, validate_df
+from sparkcheck.referential import anti_join_violations
+from sparkcheck.sketches import (
+    bloom_build,
+    bloom_flag,
+    bloom_referential_check,
+    bloom_referential_violations,
+    heavy_hitter_report,
+    heavy_hitters,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.range(0, 5000).select(F.concat(F.lit("k"), "id").alias("key"))
+    bf = bloom_build(dim, "key", fpp=0.01)
+    flagged = bloom_flag(dim, "key", bf)
+    misses = flagged.where(~F.col("__bloom_hit")).count()
+    assert misses == 0  # a present key can NEVER miss
+
+
+def test_bloom_fpp_within_band(spark):
+    dim = spark.range(0, 20000).select(F.concat(F.lit("in"), "id").alias("key"))
+    bf = bloom_build(dim, "key", fpp=0.01)
+    absent = spark.range(0, 20000).select(
+        F.concat(F.lit("out"), "id").alias("key")
+    )
+    hits = bloom_flag(absent, "key", bf).where(F.col("__bloom_hit")).count()
+    measured = hits / 20000
+    assert measured <= 0.03, f"measured fpp {measured} above 3x configured 0.01"
+
+
+def test_bloom_tiered_equals_anti_join_mixed_dtypes(spark):
+    # int32 fact key vs int64 dim key must hash identically (string canon)
+    fact = spark.range(0, 3000).select(
+        (F.col("id") % 700).cast("int").alias("fk")
+    )
+    dim = spark.range(0, 700).where(F.col("id") % 13 != 0).select(
+        F.col("id").alias("pk")
+    )
+    bf = bloom_build(dim, "pk", fpp=0.01)
+    tiered = bloom_referential_violations(fact, "fk", dim, "pk", bloom=bf)
+    exact = anti_join_violations(fact, "fk", dim, "pk")
+    t = sorted(r["fk"] for r in tiered.collect())
+    e = sorted(r["fk"] for r in exact.collect())
+    assert t == e and len(t) > 0
+
+
+def test_bloom_null_keys_not_violations(spark):
+    fact = spark.createDataFrame(
+        [("a",), (None,), ("zz",)], "fk string"
+    )
+    dim = spark.createDataFrame([("a",)], "pk string")
+    bf = bloom_build(dim, "pk")
+    viol = bloom_referential_violations(fact, "fk", dim, "pk", bloom=bf)
+    assert [r["fk"] for r in viol.collect()] == ["zz"]
+    # bloom_flag keeps the null row and flags it as a hit (non-violating)
+    flagged = bloom_flag(fact, "fk", bf)
+    null_row = flagged.where(F.col("fk").isNull()).collect()
+    assert len(null_row) == 1 and null_row[0]["__bloom_hit"] is True
+
+
+def test_bloom_empty_dim_everything_violates(spark):
+    fact = spark.createDataFrame([("x",), ("y",)], "fk string")
+    dim = spark.createDataFrame([], "pk string")
+    bf = bloom_build(dim, "pk")
+    viol = bloom_referential_violations(fact, "fk", dim, "pk", bloom=bf)
+    assert viol.count() == 2
+    # and certain tier alone already finds them (no join needed)
+    certain = bloom_referential_violations(
+        fact, "fk", dim, "pk", bloom=bf, exact=False
+    )
+    assert certain.count() == 2
+
+
+def test_bloom_multi_shard_roundtrip(spark):
+    dim = spark.range(0, 9000).select(F.concat(F.lit("s"), "id").alias("key"))
+    bf = bloom_build(dim, "key", fpp=0.01, max_shard_keys=2000)
+    assert bf.n_shards >= 5
+    misses = bloom_flag(dim, "key", bf).where(~F.col("__bloom_hit")).count()
+    assert misses == 0
+    assert bf.might_contain("s123") is True
+
+
+def test_bloom_check_short_circuits_on_certain_violations(spark):
+    fact = spark.range(0, 1000).select(F.concat(F.lit("v"), "id").alias("fk"))
+    dim = spark.createDataFrame([("v1",), ("v2",)], "pk string")
+    bf = bloom_build(dim, "pk")
+    res = bloom_referential_check(fact, "fk", dim, "pk", mostly=0.9, bloom=bf)
+    assert res["success"] is False and res["short_circuit"] is True
+    assert res["tiers_run"] == 1
+    assert res["unexpected_count_lower_bound"] >= 900  # fpp can only shrink it
+
+
+def test_bloom_check_exact_tier_passes(spark):
+    fact = spark.range(0, 1000).select((F.col("id") % 50).alias("fk"))
+    dim = spark.range(0, 50).select(F.col("id").alias("pk"))
+    bf = bloom_build(dim, "pk")
+    res = bloom_referential_check(fact, "fk", dim, "pk", mostly=1.0, bloom=bf)
+    assert res == {
+        "success": True,
+        "nonnull_count": 1000,
+        "unexpected_count": 0,
+        "certain_violations": 0,
+        "tiers_run": 2,
+        "short_circuit": False,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipf_rows(n=20000, seed=7):
+    rng = random.Random(seed)
+    vals = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.18:
+            vals.append("hot-A")
+        elif r < 0.28:
+            vals.append("hot-B")
+        elif r < 0.33:
+            vals.append("warm-C")
+        else:
+            vals.append(f"cold-{rng.randrange(5000)}")
+    return vals
+
+
+def test_heavy_hitters_match_exact_groupby(spark):
+    vals = _zipf_rows()
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(7)
+    got = {
+        (r["value"], r["cnt"])
+        for r in heavy_hitters(df, "v", min_fraction=0.04, k=100).collect()
+    }
+    from collections import Counter
+
+    n = len(vals)
+    want = {(v, c) for v, c in Counter(vals).items() if c >= 0.04 * n}
+    assert got == want and len(want) >= 3
+
+
+def test_heavy_hitters_knife_edge_value_survives(spark):
+    # one value at EXACTLY the threshold among high-cardinality noise
+    n_noise, hot_n = 9900, 100  # total 10000, threshold 0.01 -> 100
+    rows = [(f"n{i}",) for i in range(n_noise)] + [("edge",)] * hot_n
+    df = spark.createDataFrame(rows, "v string").repartition(11)
+    got = heavy_hitters(df, "v", min_fraction=0.01, k=400).collect()
+    assert [(r["value"], r["cnt"]) for r in got] == [("edge", 100)]
+
+
+def test_heavy_hitters_int_dtype_preserved(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 50 + [(2,)] * 10 + [(i + 100,) for i in range(40)], "v long"
+    ).repartition(5)
+    rows = heavy_hitters(df, "v", min_fraction=0.3, k=64).collect()
+    assert [(r["value"], r["cnt"]) for r in rows] == [(1, 50)]
+    assert isinstance(rows[0]["value"], int)
+
+
+def test_heavy_hitters_nulls_count_toward_n_not_candidates(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 40 + [(None,)] * 60, "v string"
+    ).repartition(3)
+    rows = heavy_hitters(df, "v", min_fraction=0.35, k=64).collect()
+    # N=100 (nulls included), a has 40 >= 35 -> hit; NULL never a value
+    assert [(r["value"], r["cnt"]) for r in rows] == [("a", 40)]
+
+
+def test_heavy_hitters_guard_rejects_uncoverable_fraction(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="raise k"):
+        heavy_hitters(df, "v", min_fraction=0.001, k=10)
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "v string")
+    assert heavy_hitters(df, "v", min_fraction=0.5, k=16).count() == 0
+
+
+def test_heavy_hitter_expectation_success_and_failure(spark):
+    skewed = spark.createDataFrame(
+        [("hot",)] * 500 + [(f"u{i}",) for i in range(500)], "k string"
+    )
+    suite = ExpectationSuite(
+        name="skew",
+        expectations=[
+            ExpectationConfiguration.from_dict(
+                {
+                    "expectation_type": "expect_column_value_frequencies_to_be_below",
+                    "kwargs": {"column": "k", "max_fraction": 0.2, "k": 200},
+                }
+            )
+        ],
+    )
+    rep = validate_df(skewed, suite, result_format="SUMMARY")
+    r = rep["results"][0]
+    assert r["success"] is False
+    hh = r["result"]["details"]["heavy_hitters"]
+    assert hh[0]["value"] == "hot" and hh[0]["count"] == 500
+    assert abs(r["result"]["observed_value"] - 0.5) < 1e-12
+
+    balanced = spark.createDataFrame(
+        [(f"u{i % 50}",) for i in range(1000)], "k string"
+    )
+    rep2 = validate_df(balanced, suite, result_format="SUMMARY")
+    assert rep2["results"][0]["success"] is True
+    assert rep2["results"][0]["result"]["observed_value"] == 0.0
+
+
+def test_heavy_hitter_report_fraction(spark):
+    df = spark.createDataFrame([("x",)] * 30 + [("y",)] * 70, "v string")
+    rep = heavy_hitter_report(df, "v", max_fraction=0.6, k=64)
+    assert rep["element_count"] == 100
+    assert rep["offenders"] == [{"value": "y", "count": 70, "fraction": 0.7}]
