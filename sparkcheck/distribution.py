@@ -26,7 +26,7 @@ PSI (our extension for baseline-snapshot drift, same machinery):
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -43,21 +43,19 @@ from .metrics import (
 )
 
 
-@agg_metric("column.histogram")
-def _histogram(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
-    """Bin counts + below/above-partition tails as ONE aggregate array.
+def histogram_terms(col: Column, bins: "Sequence[float]") -> "list[Column]":
+    """The n_bins + 2 aggregate count terms [below, bin_0.., above] for a
+    numeric column against fixed edges — the ONE definition of this
+    engine's bin semantics, shared by the column.histogram metric and the
+    mergeable histogram states (states.histogram_states), so merged
+    per-partition counts are bit-identical to a full-scan histogram.
 
-    Result: array<long> of length n_bins + 2:
-      [below_count, bin_0, ..., bin_{n-1}, above_count]
     Bin i counts values in [b_i, b_{i+1}) except the last bin which is
     [b_{n-1}, b_n] (reference adds the upper-bound-equal count separately,
     column_histogram.py:279; same semantics here). ±inf endpoints become
     one-sided predicates (expect_column_kl_divergence...py:558-698 cases).
     """
-    from .metrics import domain_col
-
-    bins = [float(b) for b in cfg.kw("bins")]
-    col = domain_col(domain, ctx)  # NaN≡NULL on float columns
+    bins = [float(b) for b in bins]
 
     def cnt(cond: Column) -> Column:
         return F.coalesce(F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
@@ -84,7 +82,18 @@ def _histogram(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
     terms.append(
         cnt(col > F.lit(bins[-1])) if math.isfinite(bins[-1]) else cnt(F.lit(False))
     )
-    return F.array(*terms)
+    return terms
+
+
+@agg_metric("column.histogram")
+def _histogram(domain: Domain, cfg: MetricConfiguration, ctx=None) -> Column:
+    """Bin counts + below/above-partition tails as ONE aggregate array
+    (see histogram_terms for the bin semantics)."""
+    from .metrics import domain_col
+
+    bins = [float(b) for b in cfg.kw("bins")]
+    col = domain_col(domain, ctx)  # NaN≡NULL on float columns
+    return F.array(*histogram_terms(col, bins))
 
 
 def _quantile_cfg(domain: Domain, n_bins: int, exact: bool) -> MetricConfiguration:

@@ -481,6 +481,7 @@ class CheckpointRunner:
         fused: bool = False,
         profile_columns: Sequence[str] | None = None,
         profile_hll: bool = False,
+        profile_bins: "dict[str, Sequence[float]] | None" = None,
     ):
         self.spark = spark
         self.store = store
@@ -494,6 +495,11 @@ class CheckpointRunner:
         # the partitions it actually ran
         self.profile_columns = list(profile_columns) if profile_columns else None
         self.profile_hll = profile_hll
+        # when set, fixed-bin histogram states (states.histogram_states)
+        # ride the same per-partition pass into the histogram_states
+        # table; corpus_histogram/corpus_drift fold them for incremental
+        # KL/PSI drift against a baseline snapshot — never a rescan
+        self.profile_bins = dict(profile_bins) if profile_bins else None
         # fused=True: per-partition suite aggregates ride a CollectMetrics
         # node on the violation-row write (fused.validate_and_extract), so
         # the partition is scanned ONCE with no persist() — the 10^12-doc
@@ -701,33 +707,49 @@ class CheckpointRunner:
         lock itself. The states table is run- and ts-stamped so
         corpus_profile can apply last-write-wins to orphan rows left by a
         crash between this append and the manifest commit."""
-        if not self.profile_columns:
+        if not self.profile_columns and not self.profile_bins:
             return
-        from .states import column_states
+        from .states import column_states, histogram_states
 
-        st = column_states(
-            part.select(*self.profile_columns),
-            self.profile_columns,
-            # one state per commit unit: the partition id itself
-            state_key=f"'{pid}'",
-            include_hll=self.profile_hll,
-        )
-        stamped = st.select(
-            F.lit(run_id).alias("run_id"),
-            "*",
-            F.lit(_utcnow()).alias("ts"),
-        )
-        if hasattr(self.store, "append_small"):
-            # dimension-sized (#profiled columns rows): the aggregation
-            # runs as one Spark job, the write is driver-side Arrow —
-            # lock-free (uniquely-named file), so concurrent partitions'
-            # state aggregations overlap
-            self.store.append_small("column_states", stamped)
-        else:
-            # third-party store: a Spark append shares the Hadoop
-            # committer's _temporary dir — serialize like the other writes
-            with self._write_lock:
-                self.store.append("column_states", stamped)
+        pending: list[tuple[str, DataFrame]] = []
+        if self.profile_columns:
+            pending.append((
+                "column_states",
+                column_states(
+                    part.select(*self.profile_columns),
+                    self.profile_columns,
+                    # one state per commit unit: the partition id itself
+                    state_key=f"'{pid}'",
+                    include_hll=self.profile_hll,
+                ),
+            ))
+        if self.profile_bins:
+            pending.append((
+                "histogram_states",
+                histogram_states(
+                    part.select(*self.profile_bins),
+                    self.profile_bins,
+                    state_key=f"'{pid}'",
+                ),
+            ))
+        for table, st in pending:
+            stamped = st.select(
+                F.lit(run_id).alias("run_id"),
+                "*",
+                F.lit(_utcnow()).alias("ts"),
+            )
+            if hasattr(self.store, "append_small"):
+                # dimension-sized (#profiled columns rows): the aggregation
+                # runs as one Spark job, the write is driver-side Arrow —
+                # lock-free (uniquely-named file), so concurrent partitions'
+                # state aggregations overlap
+                self.store.append_small(table, stamped)
+            else:
+                # third-party store: a Spark append shares the Hadoop
+                # committer's _temporary dir — serialize like the other
+                # writes
+                with self._write_lock:
+                    self.store.append(table, stamped)
 
     def corpus_profile(self, run_id: str, round_to: int = 6) -> DataFrame:
         """Corpus-level column profile for a run, folded from the
@@ -751,6 +773,44 @@ class CheckpointRunner:
         # state append and the manifest commit leaves an orphan row that
         # the re-run supersedes (all frames here are dimension-sized)
         return committed_profile(df, committed, round_to=round_to)
+
+    def corpus_histogram(self, run_id: str) -> DataFrame:
+        """Merged corpus histogram (column, bin, cnt) folded from the
+        per-partition histogram states of the committed partitions —
+        never rescans the corpus, orphan rows superseded like
+        corpus_profile. Requires profile_bins."""
+        if not self.profile_bins:
+            raise ValueError(
+                "corpus_histogram needs the runner constructed with "
+                "profile_bins"
+            )
+        from .states import committed_histogram
+
+        df = self.store.read(self.spark, "histogram_states").where(
+            F.col("run_id") == run_id
+        )
+        committed = sorted(self.store.committed_partitions(run_id))
+        return committed_histogram(df, committed)
+
+    def corpus_drift(
+        self,
+        run_id: str,
+        baseline: "dict[str, dict]",
+        tail_weight_holdout: float = 0.0,
+    ) -> "list[dict]":
+        """Per-column KL/PSI drift of the run's merged histogram states
+        against a baseline partition snapshot ({column: {bins, weights}})
+        — the incremental form of the KL expectation: only newly
+        committed partitions were ever scanned, and the fold itself is
+        driver math over a #columns x (bins+2)-row frame. Baseline edges
+        must match profile_bins (validated by bin count)."""
+        from .states import drift_from_states
+
+        return drift_from_states(
+            self.corpus_histogram(run_id),
+            baseline,
+            tail_weight_holdout=tail_weight_holdout,
+        )
 
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
         rows = []

@@ -203,21 +203,16 @@ def merge_states(states: DataFrame, round_to: int = 6) -> DataFrame:
     return out
 
 
-def committed_profile(
-    states: DataFrame, committed: Sequence[str], round_to: int = 6
+def _latest_committed(
+    states: DataFrame, committed: Sequence[str], extra_key: Sequence[str] = ()
 ) -> DataFrame:
-    """Merge the stored states covering exactly the ``committed`` commit
-    units, last-write-wins per (state_key, column) on ``ts``.
+    """Restrict a stored states frame to the ``committed`` commit units,
+    last-write-wins per (state_key, column[, *extra_key]) on ``ts``.
 
-    The shared read-side of the commit protocol (batch
-    ``CheckpointRunner.corpus_profile`` and the streaming
-    ``StreamingProfileMonitor``): a crash between a state append and the
-    manifest commit leaves an orphan state row that the re-run
-    supersedes — the newest row per key wins, and uncommitted keys are
-    excluded entirely. ``states`` must carry ``state_key`` and ``ts``
-    columns alongside the state fields; all frames here are
-    dimension-sized (#commit-units × #columns rows), so the window is
-    free at any corpus size."""
+    The shared read-side of the commit protocol: a crash between a state
+    append and the manifest commit leaves an orphan state row that the
+    re-run supersedes — the newest row per key wins, and uncommitted keys
+    are excluded entirely. All frames here are dimension-sized."""
     from pyspark.sql import Window
 
     keys = list(committed)
@@ -230,14 +225,193 @@ def committed_profile(
         spark = states.sparkSession
         kdf = spark.createDataFrame([(k,) for k in keys], "state_key string")
         df = states.join(F.broadcast(kdf), "state_key", "left_semi")
-    w = Window.partitionBy("state_key", "column").orderBy(F.desc("ts"))
+    w = Window.partitionBy("state_key", "column", *extra_key).orderBy(
+        F.desc("ts")
+    )
     latest = (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "ts")
     )
     drop = [c for c in ("run_id",) if c in latest.columns]
-    return merge_states(latest.drop(*drop), round_to=round_to)
+    return latest.drop(*drop)
+
+
+def committed_profile(
+    states: DataFrame, committed: Sequence[str], round_to: int = 6
+) -> DataFrame:
+    """Merge the stored states covering exactly the ``committed`` commit
+    units (see _latest_committed for the orphan-supersede contract) —
+    the read side of ``CheckpointRunner.corpus_profile`` and the
+    streaming ``StreamingProfileMonitor``. ``states`` must carry
+    ``state_key`` and ``ts`` columns alongside the state fields."""
+    return merge_states(_latest_committed(states, committed), round_to=round_to)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram states — incremental distribution drift
+# ---------------------------------------------------------------------------
+
+
+def histogram_states(
+    df: DataFrame,
+    bins_by_column: "dict[str, Sequence[float]]",
+    state_key: str | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram counts per (state_key, column, bin), long format.
+
+    The distribution-drift counterpart of :func:`column_states`: bin
+    counts over FIXED edges are pure sums, so per-commit-unit histograms
+    merge exactly — corpus-level KL/PSI drift against a baseline snapshot
+    never rescans partitions that already committed
+    (:func:`drift_from_states`). Bin semantics are shared with the
+    column.histogram metric via distribution.histogram_terms (bin 0 =
+    below the first edge, 1..B the partition's bins with the last bin
+    closed on the right, B+1 = above), so merged == rescan holds
+    bit-for-bit. NaN is normalized to NULL like the metric path; nulls
+    are not counted in any bin (KL/PSI are nonnull-conditioned).
+
+    One wide groupBy(state_key) computes every (column, bin) count in a
+    single shuffle of dimension-sized rows; the melt to long format runs
+    on the result (#commit-units × Σ(bins+2) rows).
+    """
+    from .distribution import histogram_terms
+
+    if not bins_by_column:
+        raise ValueError("histogram_states needs at least one column")
+    key = F.expr(state_key) if state_key else F.spark_partition_id()
+    aggs = []
+    layout: list[tuple[str, int]] = []  # (column, n_terms)
+    for c, edges in bins_by_column.items():
+        edges = [float(b) for b in edges]
+        if len(edges) < 2:
+            raise ValueError(f"column {c}: need >= 2 bin edges, got {edges}")
+        if sorted(edges) != edges or len(set(edges)) != len(edges):
+            raise ValueError(f"column {c}: bin edges must be strictly increasing")
+        xc = F.col(c).cast("double")
+        x = F.when(F.isnan(xc), F.lit(None)).otherwise(xc)
+        terms = histogram_terms(x, edges)
+        for i, t in enumerate(terms):
+            aggs.append(t.alias(f"__h_{c}_{i}"))
+        layout.append((c, len(terms)))
+    wide = df.groupBy(key.alias("state_key")).agg(*aggs)
+    stack_args = []
+    for c, n_terms in layout:
+        for i in range(n_terms):
+            stack_args += [F.lit(c), F.lit(i), F.col(f"__h_{c}_{i}")]
+    n_rows = sum(n for _, n in layout)
+    return wide.select(
+        "state_key",
+        F.stack(F.lit(n_rows), *stack_args).alias("column", "bin", "cnt"),
+    )
+
+
+def merge_histogram_states(states: DataFrame) -> DataFrame:
+    """Fold histogram states into corpus-level (column, bin, cnt) — pure
+    sums over the dimension-sized states frame, exactly equal to a full
+    rescan with the same edges."""
+    return (
+        states.groupBy("column", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("column", "bin")
+    )
+
+
+def update_histogram_states(
+    existing: DataFrame,
+    new_data: DataFrame,
+    bins_by_column: "dict[str, Sequence[float]]",
+    state_key: str,
+) -> DataFrame:
+    """Incremental refresh of histogram states: recommitted state_keys are
+    dropped null-safely (last-write-wins per commit unit, like
+    :func:`update_states`) and only the new partitions are scanned.
+    The persisted states must cover exactly the requested columns with
+    the same bin count — changed edges are NOT mergeable and require a
+    recompute from scratch."""
+    existing_shape = {
+        (r["column"], r["nb"])
+        for r in existing.groupBy("column")
+        .agg((F.max("bin") + 1).alias("nb"))
+        .collect()
+    }
+    wanted = {(c, len(list(e)) + 1) for c, e in bins_by_column.items()}
+    if existing_shape != wanted:
+        raise ValueError(
+            f"update_histogram_states: persisted states cover "
+            f"{sorted(existing_shape)} (column, n_bins+2) but "
+            f"{sorted(wanted)} was requested; changed edges are not "
+            "mergeable — recompute states from scratch"
+        )
+    fresh = histogram_states(new_data, bins_by_column, state_key)
+    keys = fresh.select(F.col("state_key").alias("__new_key")).distinct()
+    kept = existing.join(
+        keys, existing["state_key"].eqNullSafe(keys["__new_key"]), "left_anti"
+    )
+    return kept.unionByName(fresh)
+
+
+def committed_histogram(states: DataFrame, committed: Sequence[str]) -> DataFrame:
+    """Merged corpus histogram over exactly the committed commit units,
+    orphan rows superseded (see _latest_committed). ``states`` must carry
+    ``state_key``/``ts`` alongside (column, bin, cnt); the extra ``bin``
+    key keeps last-write-wins per bin row."""
+    return merge_histogram_states(
+        _latest_committed(states, committed, extra_key=("bin",))
+    )
+
+
+def drift_from_states(
+    merged: DataFrame,
+    baseline: "dict[str, dict]",
+    tail_weight_holdout: float = 0.0,
+) -> "list[dict]":
+    """Per-column KL and PSI drift of the merged histogram states against
+    a baseline partition snapshot — the incremental form of the KL/PSI
+    expectations: day N+1 re-profiles only the new commit units
+    (update_histogram_states) and this fold stays driver-side math over
+    a #columns × (bins+2)-row frame.
+
+    ``merged`` is merge_histogram_states output; ``baseline`` maps column
+    -> GE-style partition object {"bins": [...], "weights": [...]} whose
+    edges MUST be the ones the states were built with (validated by bin
+    count). ``tail_weight_holdout`` is split across the two tails like
+    the KL expectation (reference expect_column_kl_divergence...py:
+    tail_weight_holdout docs); with holdout 0 any observed tail mass
+    makes KL infinite, exactly like the full-scan expectation.
+    """
+    from .distribution import kl_divergence, psi
+
+    rows = merged.collect()
+    by_col: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], {})[int(r["bin"])] = int(r["cnt"])
+    out = []
+    for c in sorted(baseline):
+        po = baseline[c]
+        weights = [float(w) for w in po["weights"]]
+        n_terms = len(weights) + 2
+        if c not in by_col:
+            raise ValueError(f"drift_from_states: no states for column {c}")
+        bins_seen = by_col[c]
+        if set(bins_seen) != set(range(n_terms)):
+            raise ValueError(
+                f"drift_from_states: column {c} states carry bins "
+                f"{sorted(bins_seen)} but the baseline has {len(weights)} "
+                "weights (+2 tails); edges mismatch — recompute states"
+            )
+        pk = [bins_seen[i] for i in range(n_terms)]
+        th = float(tail_weight_holdout)
+        qk = [th / 2.0] + [w * (1.0 - th) for w in weights] + [th / 2.0]
+        out.append(
+            {
+                "column": c,
+                "n": int(sum(pk)),
+                "kl": kl_divergence(pk, qk),
+                "psi": psi(pk, qk),
+            }
+        )
+    return out
 
 
 def update_states(
