@@ -2641,6 +2641,56 @@ def q_heavy_hitters_users(spark, sf):
     )
 
 
+def q_hist_states_lineitem(spark, sf):
+    """Mergeable fixed-bin histogram states (states.histogram_states +
+    merge_histogram_states): per-commit-unit bin counts over 8 synthetic
+    hash partitions of lineitem, folded back to the corpus histogram.
+    Bin counts over fixed edges are pure sums, so the fold is exact and
+    partition-invariant — the oracle IS a plain full-scan CASE-sum
+    histogram with the same edges (bin 0 = below, inner bins [lo, hi)
+    with the last closed on the right, bin B+1 = above; NULL counted
+    nowhere). This is the distribution half of incremental resume:
+    runner.corpus_drift folds exactly these states into corpus KL/PSI
+    against a baseline snapshot without rescanning committed partitions
+    (pytest test_runner_histogram_resume_and_drift covers the crash/
+    resume leg)."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.states import histogram_states, merge_histogram_states
+
+    st = histogram_states(
+        li,
+        {
+            "l_quantity": [1.0, 13.0, 25.0, 37.0, 50.0],
+            "l_discount": [0.0, 0.02, 0.04, 0.06, 0.08, 0.11],
+        },
+        state_key="pmod(hash(l_orderkey), 8)",
+    )
+    return merge_histogram_states(st)
+
+
+def _hist_oracle_arm(table: str, col: str, edges: "list[float]") -> str:
+    """UNION ALL arms replaying histogram_terms' bin semantics in SQL:
+    one aggregate SELECT per bin so zero-count bins still appear."""
+    arms = [
+        f"SELECT '{col}' AS \"column\", 0 AS bin, "
+        f"sum(CASE WHEN {col} < {edges[0]!r} THEN 1 ELSE 0 END)::BIGINT "
+        f"AS cnt FROM {table}"
+    ]
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        hi_op = "<=" if i == len(edges) - 2 else "<"
+        arms.append(
+            f"SELECT '{col}', {i + 1}, sum(CASE WHEN {col} >= {lo!r} "
+            f"AND {col} {hi_op} {hi!r} THEN 1 ELSE 0 END)::BIGINT "
+            f"FROM {table}"
+        )
+    arms.append(
+        f"SELECT '{col}', {len(edges)}, sum(CASE WHEN {col} > "
+        f"{edges[-1]!r} THEN 1 ELSE 0 END)::BIGINT FROM {table}"
+    )
+    return " UNION ALL ".join(arms)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2764,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_contamination_documents": q_scrub_contamination_documents,
         "bloom_referential_violations": q_bloom_referential_violations,
         "heavy_hitters_users": q_heavy_hitters_users,
+        "hist_states_lineitem": q_hist_states_lineitem,
     }
 
 
@@ -4179,6 +4230,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, count(*) AS cnt FROM events "
         "WHERE user_id IS NOT NULL GROUP BY user_id "
         "HAVING count(*) >= 0.008 * (SELECT count(*) FROM events)",
+
+        "hist_states_lineitem": (
+            # merged per-partition histogram states must equal a plain
+            # full-scan histogram with the same edges (pure-sum fold)
+            _hist_oracle_arm(
+                "lineitem", "l_quantity", [1.0, 13.0, 25.0, 37.0, 50.0]
+            )
+            + " UNION ALL "
+            + _hist_oracle_arm(
+                "lineitem",
+                "l_discount",
+                [0.0, 0.02, 0.04, 0.06, 0.08, 0.11],
+            )
+        ),
     }
 
 
