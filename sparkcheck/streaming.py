@@ -566,6 +566,90 @@ class StreamingProfileMonitor:
         return committed_profile(df, committed, round_to=round_to)
 
 
+class StreamingDriftMonitor:
+    """``foreachBatch`` callable maintaining continuously-updated corpus
+    KL/PSI drift against a baseline snapshot from mergeable fixed-bin
+    histogram states (states.histogram_states) — the distribution twin
+    of :class:`StreamingProfileMonitor`. Each micro-batch contributes
+    bin-count rows over FIXED edges (pure sums, so merged == a full
+    rescan with the same edges); ``drift()`` at any moment folds the
+    dimension-sized states table into per-column KL/PSI via
+    states.drift_from_states — past batches are never rescanned, and the
+    drift uses the KL expectation's exact tail-holdout semantics.
+    (The reference has no analog — GX drift is batch-rescan only.)
+
+    Exactly-once is inherited from the same batch-id manifest +
+    newest-row-wins orphan supersede as the profile monitor: redelivered
+    batches are skipped, a crash between the state append and the
+    manifest commit leaves an orphan row that states.committed_histogram
+    supersedes per (state_key, column, bin).
+    """
+
+    def __init__(
+        self,
+        store: ParquetStore,
+        bins_by_column: "dict[str, list[float]]",
+        run_id: str = "stream_drift",
+    ):
+        self.store = store
+        self.bins_by_column = {c: [float(b) for b in e] for c, e in bins_by_column.items()}
+        self.run_id = run_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .runner import _utcnow, store_has_partition
+        from .states import histogram_states
+
+        pid = f"batch={batch_id}"
+        if store_has_partition(self.store, self.run_id, pid):
+            return
+        st = histogram_states(
+            batch_df.select(*self.bins_by_column),
+            self.bins_by_column,
+            state_key=f"'{pid}'",
+        )
+        stamped = st.select(
+            F.lit(self.run_id).alias("run_id"),
+            "*",
+            F.lit(_utcnow()).alias("ts"),
+        )
+        if hasattr(self.store, "append_small"):
+            # dimension-sized (#columns × (bins+2) rows): agg runs as one
+            # Spark job, the write is a driver-side Arrow file — off the
+            # micro-batch latency path
+            self.store.append_small("histogram_states", stamped)
+        else:
+            self.store.append("histogram_states", stamped)
+        self.store.commit_partition(self.run_id, pid, {})
+
+    def histogram(self, spark) -> DataFrame:
+        """Merged corpus histogram (column, bin, cnt) over every batch
+        committed so far — folds the states, never rescans batch data."""
+        from .states import committed_histogram
+
+        df = self.store.read(spark, "histogram_states").where(
+            F.col("run_id") == self.run_id
+        )
+        committed = sorted(self.store.committed_partitions(self.run_id))
+        return committed_histogram(df, committed)
+
+    def drift(
+        self,
+        spark,
+        baseline: "dict[str, dict]",
+        tail_weight_holdout: float = 0.0,
+    ) -> "list[dict]":
+        """Per-column KL/PSI of the stream-so-far against the baseline
+        partition snapshot ({column: {bins, weights}}); edges must match
+        the monitor's bins (validated by bin count)."""
+        from .states import drift_from_states
+
+        return drift_from_states(
+            self.histogram(spark),
+            baseline,
+            tail_weight_holdout=tail_weight_holdout,
+        )
+
+
 def streaming_group_cap(
     stream_df: DataFrame, group_col: str, cap: int, id_col: str
 ) -> DataFrame:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparkcheck import ExpectationConfiguration, ExpectationSuite
@@ -522,3 +524,70 @@ def test_streaming_profile_monitor_live(spark, tmp_path):
     assert row["mn"] == 0.0
     assert row["mx"] == row["n"] - 1  # contiguous values, no gaps/dups
     assert abs(row["mean"] - row["mx"] / 2.0) < 1e-6
+
+
+def test_streaming_drift_monitor_merged_equals_rescan(spark, tmp_path):
+    """Three micro-batches through the drift monitor: the folded corpus
+    histogram must equal a full rescan with the same edges, the KL must
+    equal the batch KL expectation's observed_value on the union, and a
+    redelivered batch id must be a no-op."""
+    from sparkcheck import ExpectationConfiguration, ExpectationSuite, validate_df
+    from sparkcheck.streaming import StreamingDriftMonitor
+
+    edges = [0.0, 10.0, 20.0, 30.0]
+    df = spark.createDataFrame(
+        [(float((i * 13) % 30),) for i in range(3000)], "x double"
+    )
+    store = ParquetStore(str(tmp_path / "store_drift"))
+    mon = StreamingDriftMonitor(store, {"x": edges}, run_id="sd")
+    batches = [
+        df.where(F.pmod(F.col("x").cast("long"), F.lit(3)) == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        mon(b, i)
+    mon(batches[2], 2)  # redelivery must not double-count
+    hist = {r["bin"]: r["cnt"] for r in mon.histogram(spark).collect()}
+    assert sum(hist.values()) == 3000
+    po = {"bins": edges, "weights": [0.3, 0.4, 0.3]}
+    suite = ExpectationSuite(
+        "kl",
+        expectations=[
+            ExpectationConfiguration.from_dict(
+                {
+                    "expectation_type": "expect_column_kl_divergence_to_be_less_than",
+                    "kwargs": {"column": "x", "partition_object": po, "threshold": 10.0},
+                }
+            )
+        ],
+    )
+    evr = validate_df(df, suite, result_format="SUMMARY")["results"][0]
+    drift = mon.drift(spark, {"x": po})
+    assert drift[0]["kl"] == pytest.approx(evr["result"]["observed_value"], rel=1e-12)
+    assert drift[0]["n"] == 3000
+    # states table holds one committed row per (batch, bin) — no replay dups
+    assert store.read(spark, "histogram_states").count() == 3 * (len(edges) + 1)
+
+
+def test_streaming_drift_monitor_orphan_superseded(spark, tmp_path):
+    """An orphan state row (append without manifest commit) must not
+    contribute; after redelivery commits the batch, the newest row wins
+    per (state_key, column, bin)."""
+    from sparkcheck.runner import _utcnow
+    from sparkcheck.states import histogram_states
+    from sparkcheck.streaming import StreamingDriftMonitor
+
+    edges = [0.0, 10.0, 20.0, 30.0]
+    store = ParquetStore(str(tmp_path / "store_drift2"))
+    mon = StreamingDriftMonitor(store, {"x": edges}, run_id="sd2")
+    mon(spark.createDataFrame([(5.0,)] * 10, "x double"), 0)
+    orphan = histogram_states(
+        spark.createDataFrame([(25.0,)] * 999, "x double"),
+        {"x": edges},
+        state_key="'batch=1'",
+    ).select(F.lit("sd2").alias("run_id"), "*", F.lit(_utcnow()).alias("ts"))
+    store.append_small("histogram_states", orphan)
+    hist = {r["bin"]: r["cnt"] for r in mon.histogram(spark).collect()}
+    assert sum(hist.values()) == 10 and hist[1] == 10  # orphan excluded
+    mon(spark.createDataFrame([(15.0,)] * 7, "x double"), 1)  # real batch 1
+    hist = {r["bin"]: r["cnt"] for r in mon.histogram(spark).collect()}
+    assert sum(hist.values()) == 17 and hist[2] == 7 and hist[3] == 0
