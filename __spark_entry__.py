@@ -2691,6 +2691,68 @@ def _hist_oracle_arm(table: str, col: str, edges: "list[float]") -> str:
     return " UNION ALL ".join(arms)
 
 
+_QB_BINS = {
+    "l_quantity": [1.0, 13.0, 25.0, 37.0, 50.0],
+    "l_extendedprice": [1000.0, 20000.0, 40000.0, 60000.0, 80000.0, 100000.0],
+}
+
+
+def q_hist_quantile_bounds_lineitem(spark, sf):
+    """EXACT quantile brackets from merged histogram states
+    (states.quantile_bounds): rank ceil(p·n) with the same all-integer
+    arithmetic as stats.exact_quantiles, located in the cumulative bin
+    counts of the per-hash-partition states fold — the quantile provably
+    lies in [lo, hi) with width one bin, and the whole computation is
+    windows over a dimension-sized frame. The oracle replays the
+    full-scan histogram, the cumulative rank pick, and the edge lookup
+    in SQL. This makes quantile expectations answerable incrementally
+    from committed states (quantile_bracket_verdicts' three-valued
+    pass/fail/indeterminate is pytest-covered)."""
+    li = _t(spark, sf, "lineitem")
+    from sparkcheck.states import (
+        histogram_states,
+        merge_histogram_states,
+        quantile_bounds,
+    )
+
+    st = histogram_states(li, _QB_BINS, state_key="pmod(hash(l_orderkey), 8)")
+    return quantile_bounds(
+        merge_histogram_states(st), _QB_BINS, [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+def _qb_oracle(table: str, bins: "dict[str, list[float]]") -> str:
+    """SQL replay of quantile_bounds: full-scan CASE-sum histogram ->
+    cumulative counts -> integer-rank bin pick -> edge lookup."""
+    h = " UNION ALL ".join(_hist_oracle_arm(table, c, e) for c, e in bins.items())
+    edges_rows = []
+    for c, e in bins.items():
+        edges_rows.append(f"('{c}', 0, '-infinity'::DOUBLE, {e[0]!r})")
+        for i in range(len(e) - 1):
+            edges_rows.append(f"('{c}', {i + 1}, {e[i]!r}, {e[i + 1]!r})")
+        edges_rows.append(f"('{c}', {len(e)}, {e[-1]!r}, 'infinity'::DOUBLE)")
+    pr = ", ".join(
+        f"({p!r}, {num}, {den})"
+        for p, num, den in [(0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.95, 19, 20)]
+    )
+    return (
+        f"WITH h AS ({h}), "
+        'c AS (SELECT "column", bin, cnt, '
+        'sum(cnt) OVER (PARTITION BY "column" ORDER BY bin) AS cum, '
+        'sum(cnt) OVER (PARTITION BY "column") AS n FROM h), '
+        f"pr(p, num, den) AS (VALUES {pr}), "
+        'k AS (SELECT "column", p, max(n)::BIGINT AS n, '
+        "min(CASE WHEN cum >= (num * n + den - 1) // den THEN bin END) AS bin "
+        'FROM c CROSS JOIN pr GROUP BY "column", p), '
+        f'e("column", bin, lo, hi) AS (VALUES {", ".join(edges_rows)}) '
+        'SELECT k."column", CAST(k.p AS DOUBLE) AS p, k.n, '
+        "CASE WHEN k.n > 0 THEN k.bin END AS bin, "
+        "CASE WHEN k.n > 0 THEN e.lo END AS lo, "
+        "CASE WHEN k.n > 0 THEN e.hi END AS hi "
+        'FROM k LEFT JOIN e ON k."column" = e."column" AND k.bin = e.bin'
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2815,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_referential_violations": q_bloom_referential_violations,
         "heavy_hitters_users": q_heavy_hitters_users,
         "hist_states_lineitem": q_hist_states_lineitem,
+        "hist_quantile_bounds_lineitem": q_hist_quantile_bounds_lineitem,
     }
 
 
@@ -4244,6 +4307,8 @@ def oracle_sql() -> dict[str, str]:
                 [0.0, 0.02, 0.04, 0.06, 0.08, 0.11],
             )
         ),
+
+        "hist_quantile_bounds_lineitem": _qb_oracle("lineitem", _QB_BINS),
     }
 
 

@@ -361,6 +361,122 @@ def committed_histogram(states: DataFrame, committed: Sequence[str]) -> DataFram
     )
 
 
+def quantile_bounds(
+    merged: DataFrame,
+    bins_by_column: "dict[str, Sequence[float]]",
+    ps: "Sequence[float]",
+) -> DataFrame:
+    """EXACT quantile brackets from merged histogram states: for each
+    column and probability p, the bin that provably contains the type-1
+    quantile (rank ceil(p·n) over the nonnull count, the same all-integer
+    rank arithmetic as stats.exact_quantiles), returned as (column, p, n,
+    bin, lo, hi). The bracket is deterministic and exact — the true
+    quantile lies in [lo, hi) (last finite bin closed on the right) by
+    construction, with guaranteed width = one bin — so quantile
+    expectations are answerable INCREMENTALLY from committed states:
+    bracket inside the allowed range ⇒ definite pass, bracket disjoint ⇒
+    definite fail, straddling ⇒ indeterminate (rescan or tighten bins).
+    Day N+1 never rescans committed partitions for any definite verdict.
+
+    ``bins_by_column`` must be the edges the states were built with
+    (tails: bin 0 = (-inf, first edge), top bin = (last edge, +inf));
+    ``merged`` is merge_histogram_states output. Everything here is a
+    window + aggregate over the dimension-sized states frame — free at
+    any corpus size. n = 0 (all-null column) yields NULL bin/lo/hi.
+    """
+    from pyspark.sql import Window
+
+    from .stats import _p_fraction
+
+    ps = list(ps)
+    if not ps:
+        raise ValueError("quantile_bounds needs at least one probability")
+    rows = []
+    for c, edges in bins_by_column.items():
+        edges = [float(b) for b in edges]
+        rows.append((c, 0, float("-inf"), edges[0]))
+        for i in range(len(edges) - 1):
+            rows.append((c, i + 1, edges[i], edges[i + 1]))
+        rows.append((c, len(edges), edges[-1], float("inf")))
+    spark = merged.sparkSession
+    edges_df = spark.createDataFrame(
+        rows, "column string, bin int, lo double, hi double"
+    )
+    wc = Window.partitionBy("column")
+    cum = merged.withColumn(
+        "__cum", F.sum("cnt").over(wc.orderBy("bin"))
+    ).withColumn("__n", F.sum("cnt").over(wc))
+    aggs = [F.max("__n").alias("n")]
+    for i, p in enumerate(ps):
+        num, den = _p_fraction(p)
+        k = F.expr(f"({num} * __n + {den - 1}) DIV {den}")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k, F.col("bin"))).alias(f"__b_{i}")
+        )
+    picked = cum.groupBy("column").agg(*aggs)
+    stack_args = []
+    for i, p in enumerate(ps):
+        stack_args += [F.lit(float(p)), F.col(f"__b_{i}")]
+    long = picked.select(
+        "column",
+        "n",
+        F.stack(F.lit(len(ps)), *stack_args).alias("p", "bin"),
+    ).withColumn("bin", F.when(F.col("n") > 0, F.col("bin")))
+    return long.join(F.broadcast(edges_df), ["column", "bin"], "left").select(
+        "column", "p", "n", "bin", "lo", "hi"
+    )
+
+
+def quantile_bracket_verdicts(
+    bounds: DataFrame,
+    allowed: "dict[str, dict[float, tuple[float, float]]]",
+) -> DataFrame:
+    """Three-valued incremental quantile expectation over
+    :func:`quantile_bounds` output: per (column, p) with an allowed
+    [min_value, max_value], the verdict is
+
+      - ``pass``          — the bracket lies inside the allowed range, so
+                            the exact quantile certainly passes;
+      - ``fail``          — the bracket is disjoint from the allowed
+                            range, so it certainly fails;
+      - ``indeterminate`` — the bracket straddles an allowed endpoint
+                            (tighten the bins or rescan for an exact
+                            value);
+      - ``no_data``       — n = 0.
+
+    The bracket is treated as CLOSED [lo, hi] (conservative: definite
+    verdicts are never wrong, at the price of some straddles). Everything
+    is a broadcast join over two dimension-sized frames."""
+    rows = [
+        (c, float(p), float(lo), float(hi))
+        for c, by_p in allowed.items()
+        for p, (lo, hi) in by_p.items()
+    ]
+    if not rows:
+        raise ValueError("quantile_bracket_verdicts needs at least one range")
+    spark = bounds.sparkSession
+    adf = spark.createDataFrame(
+        rows, "column string, p double, amin double, amax double"
+    )
+    j = bounds.join(F.broadcast(adf), ["column", "p"], "inner")
+    verdict = (
+        F.when(F.col("n") == 0, F.lit("no_data"))
+        .when(
+            (F.col("amin") <= F.col("lo")) & (F.col("hi") <= F.col("amax")),
+            F.lit("pass"),
+        )
+        .when(
+            (F.col("hi") < F.col("amin")) | (F.col("lo") > F.col("amax")),
+            F.lit("fail"),
+        )
+        .otherwise(F.lit("indeterminate"))
+    )
+    return j.select(
+        "column", "p", "n", "lo", "hi", "amin", "amax",
+        verdict.alias("verdict"),
+    )
+
+
 def drift_from_states(
     merged: DataFrame,
     baseline: "dict[str, dict]",

@@ -195,3 +195,67 @@ def test_runner_histogram_resume_and_drift(spark, tmp_path):
     assert drift[0]["psi"] == pytest.approx(psi(direct, [0, *po["weights"], 0]), rel=1e-12)
     # one state row per (partition, column, bin) — no duplicates after resume
     assert store.read(spark, "histogram_states").count() == 4 * 5
+
+
+def test_quantile_bounds_bracket_exact_quantiles(spark):
+    """The bracket from merged states must contain the exact type-1
+    quantile for every p — same ceil(p*n) integer rank arithmetic as
+    stats.exact_quantiles, bracket width = one bin."""
+    from sparkcheck.states import quantile_bounds
+    from sparkcheck.stats import exact_quantiles
+
+    rng = random.Random(7)
+    rows = [rng.uniform(-5, 45) for _ in range(5000)] + [None] * 30
+    df = _mk(spark, rows, parts=6)
+    edges = [0.0, 10.0, 20.0, 30.0, 40.0]
+    merged = merge_histogram_states(histogram_states(df, {"x": edges}))
+    ps = [0.25, 0.5, 0.75, 0.95]
+    qb = {r["p"]: r for r in quantile_bounds(merged, {"x": edges}, ps).collect()}
+    ex = exact_quantiles(df, "x", ps).collect()[0].asDict()
+    exact = {0.25: ex["p25"], 0.5: ex["p50"], 0.75: ex["p75"], 0.95: ex["p95"]}
+    for p, r in qb.items():
+        v = exact[p]
+        closed_hi = r["bin"] == len(edges) - 1  # last finite bin is closed
+        assert r["lo"] <= v and (v <= r["hi"] if closed_hi else v < r["hi"])
+        assert r["n"] == 5000
+
+
+def test_quantile_bounds_tails_and_empty(spark):
+    from sparkcheck.states import quantile_bounds
+
+    edges = [0.0, 10.0]
+    # all mass above the top edge -> p50 bracket is the +inf tail
+    df = _mk(spark, [99.0, 98.0, 97.0], parts=1)
+    merged = merge_histogram_states(histogram_states(df, {"x": edges}))
+    r = quantile_bounds(merged, {"x": edges}, [0.5]).collect()[0]
+    assert (r["bin"], r["lo"], r["hi"]) == (2, 10.0, float("inf"))
+    # all-null column -> no_data row with NULL bracket
+    dn = _mk(spark, [None, None], parts=1)
+    mn = merge_histogram_states(histogram_states(dn, {"x": edges}))
+    rn = quantile_bounds(mn, {"x": edges}, [0.5]).collect()[0]
+    assert rn["n"] == 0 and rn["bin"] is None and rn["lo"] is None
+
+
+def test_quantile_bracket_verdicts(spark):
+    from sparkcheck.states import quantile_bounds, quantile_bracket_verdicts
+
+    edges = [0.0, 10.0, 20.0, 30.0]
+    df = _mk(spark, [float(v) for v in range(30)], parts=3)  # p50 -> bin 2
+    merged = merge_histogram_states(histogram_states(df, {"x": edges}))
+    qb = quantile_bounds(merged, {"x": edges}, [0.5])
+    v = {
+        r["verdict"]
+        for r in quantile_bracket_verdicts(
+            qb, {"x": {0.5: (5.0, 25.0)}}
+        ).collect()
+    }
+    assert v == {"pass"}  # bracket [10,20] inside [5,25]
+    v = quantile_bracket_verdicts(qb, {"x": {0.5: (21.0, 99.0)}}).collect()[0]
+    assert v["verdict"] == "fail"  # bracket [10,20] below allowed
+    v = quantile_bracket_verdicts(qb, {"x": {0.5: (15.0, 99.0)}}).collect()[0]
+    assert v["verdict"] == "indeterminate"  # straddles amin=15
+    dn = _mk(spark, [None], parts=1)
+    mn = merge_histogram_states(histogram_states(dn, {"x": edges}))
+    qn = quantile_bounds(mn, {"x": edges}, [0.5])
+    v = quantile_bracket_verdicts(qn, {"x": {0.5: (0.0, 1.0)}}).collect()[0]
+    assert v["verdict"] == "no_data"
