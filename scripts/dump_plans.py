@@ -419,6 +419,25 @@ def main():
         "no second scan. The states frame is #partitions-sized, so the "
         "merge is free at any corpus size: this is the resume path that "
         "lets corpus stats skip already-committed partitions.")
+    add("Mergeable histogram states fold (hist_states_lineitem)",
+        qs["hist_states_lineitem"](spark, SF),
+        "histogram_states is ONE groupBy(state_key) HashAggregate over a "
+        "pruned 3-column scan computing every (column, bin) count as a "
+        "sum(when) term; the stack-melt to long format and the "
+        "merge_histogram_states sum both run over the #partitions x "
+        "#bins-sized states frame — no window on data, no second scan. "
+        "Counts over fixed edges are pure sums, so the fold is "
+        "bit-identical to a full-scan histogram: corpus KL/PSI drift and "
+        "quantile brackets are served from committed states without "
+        "rescanning finished partitions.")
+    add("Quantile brackets from states (hist_quantile_bounds_lineitem)",
+        qs["hist_quantile_bounds_lineitem"](spark, SF),
+        "Everything above the single histogram-states scan is "
+        "dimension-sized: the cumulative-count window, the per-p integer "
+        "rank pick, the stack to (p, bin) rows, and the broadcast edge "
+        "lookup all run over the #bins-row merged frame. One scan of the "
+        "data yields exact one-bin-wide brackets for every requested "
+        "quantile of every column.")
 
     from pyspark.sql import functions as F
 

@@ -812,6 +812,20 @@ class CheckpointRunner:
             tail_weight_holdout=tail_weight_holdout,
         )
 
+    def corpus_quantile_bounds(
+        self, run_id: str, ps: "Sequence[float]"
+    ) -> DataFrame:
+        """One-bin-wide quantile brackets (column, p, n, bin, lo, hi) from
+        the run's merged histogram states — states.quantile_bounds over
+        corpus_histogram, edges taken from profile_bins. Definite quantile
+        expectations (states.quantile_bracket_verdicts) follow without
+        ever rescanning committed partitions."""
+        from .states import quantile_bounds
+
+        return quantile_bounds(
+            self.corpus_histogram(run_id), self.profile_bins, ps
+        )
+
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:
         rows = []
         now = _utcnow()

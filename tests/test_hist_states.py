@@ -195,6 +195,16 @@ def test_runner_histogram_resume_and_drift(spark, tmp_path):
     assert drift[0]["psi"] == pytest.approx(psi(direct, [0, *po["weights"], 0]), rel=1e-12)
     # one state row per (partition, column, bin) — no duplicates after resume
     assert store.read(spark, "histogram_states").count() == 4 * 5
+    # quantile brackets served straight from the runner's states
+    qb = {r["p"]: r for r in runner.corpus_quantile_bounds("h1", [0.5, 0.95]).collect()}
+    from sparkcheck.stats import exact_quantiles
+
+    ex = exact_quantiles(docs, "val", [0.5, 0.95]).collect()[0].asDict()
+    for p, key in ((0.5, "p50"), (0.95, "p95")):
+        r = qb[p]
+        closed_hi = r["bin"] == len(EDGES) - 1
+        v = ex[key]
+        assert r["lo"] <= v and (v <= r["hi"] if closed_hi else v < r["hi"])
 
 
 def test_quantile_bounds_bracket_exact_quantiles(spark):
