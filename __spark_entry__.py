@@ -2691,6 +2691,37 @@ def _hist_oracle_arm(table: str, col: str, edges: "list[float]") -> str:
     return " UNION ALL ".join(arms)
 
 
+_SD_EDGES = [0.0, 500.0, 1000.0, 2000.0, 4000.0]
+
+
+def q_streaming_drift_documents(spark, sf):
+    """Continuously-updated corpus histogram from per-micro-batch
+    mergeable histogram states (streaming.StreamingDriftMonitor — the
+    distribution half of the streaming resume story): three
+    deterministic micro-batches of documents flow through the
+    foreachBatch callable, batch 1 is then REDELIVERED and must be a
+    manifest-keyed no-op, and the corpus histogram is a pure-sum fold of
+    the 3-batch × #bins state rows — past batches are never rescanned.
+    The oracle IS the full-scan histogram with the same edges: the claim
+    is exact equality including across the redelivery (KL/PSI follow
+    driver-side from these counts via states.drift_from_states; the
+    drift math is oracled separately in kl_drift_quantity). Live-stream
+    behavior and crash-orphan supersede are pytest-covered
+    (test_streaming_drift_monitor_*)."""
+    import tempfile
+
+    from sparkcheck.runner import ParquetStore
+    from sparkcheck.streaming import StreamingDriftMonitor
+
+    d = _t(spark, sf, "documents")
+    store = ParquetStore(tempfile.mkdtemp(prefix="sparkcheck_sdrift_"))
+    mon = StreamingDriftMonitor(store, {"n_chars": _SD_EDGES}, run_id="entry")
+    for i in range(3):
+        mon(d.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i), i)
+    mon(d.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 1), 1)
+    return mon.histogram(spark)
+
+
 _QB_BINS = {
     "l_quantity": [1.0, 13.0, 25.0, 37.0, 50.0],
     "l_extendedprice": [1000.0, 20000.0, 40000.0, 60000.0, 80000.0, 100000.0],
@@ -2878,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_users": q_heavy_hitters_users,
         "hist_states_lineitem": q_hist_states_lineitem,
         "hist_quantile_bounds_lineitem": q_hist_quantile_bounds_lineitem,
+        "streaming_drift_documents": q_streaming_drift_documents,
     }
 
 
@@ -4309,6 +4341,10 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "hist_quantile_bounds_lineitem": _qb_oracle("lineitem", _QB_BINS),
+
+        "streaming_drift_documents": _hist_oracle_arm(
+            "documents", "n_chars", _SD_EDGES
+        ),
     }
 
 
