@@ -482,6 +482,7 @@ class CheckpointRunner:
         profile_columns: Sequence[str] | None = None,
         profile_hll: bool = False,
         profile_bins: "dict[str, Sequence[float]] | None" = None,
+        profile_mg: "tuple[str, int] | None" = None,
     ):
         self.spark = spark
         self.store = store
@@ -500,6 +501,11 @@ class CheckpointRunner:
         # table; corpus_histogram/corpus_drift fold them for incremental
         # KL/PSI drift against a baseline snapshot — never a rescan
         self.profile_bins = dict(profile_bins) if profile_bins else None
+        # (column, k): per-partition Misra-Gries summaries
+        # (sketches.mg_states) ride into the mg_states table;
+        # corpus_heavy_hitters folds them into three-valued certified
+        # hot-key verdicts with no rescan of committed partitions
+        self.profile_mg = tuple(profile_mg) if profile_mg else None
         # fused=True: per-partition suite aggregates ride a CollectMetrics
         # node on the violation-row write (fused.validate_and_extract), so
         # the partition is scanned ONCE with no persist() — the 10^12-doc
@@ -707,7 +713,7 @@ class CheckpointRunner:
         lock itself. The states table is run- and ts-stamped so
         corpus_profile can apply last-write-wins to orphan rows left by a
         crash between this append and the manifest commit."""
-        if not self.profile_columns and not self.profile_bins:
+        if not (self.profile_columns or self.profile_bins or self.profile_mg):
             return
         from .states import column_states, histogram_states
 
@@ -731,6 +737,14 @@ class CheckpointRunner:
                     self.profile_bins,
                     state_key=f"'{pid}'",
                 ),
+            ))
+        if self.profile_mg:
+            from .sketches import mg_states
+
+            col, k = self.profile_mg
+            pending.append((
+                "mg_states",
+                mg_states(part.select(col), col, k=k, state_key=f"'{pid}'"),
             ))
         for table, st in pending:
             stamped = st.select(
@@ -811,6 +825,32 @@ class CheckpointRunner:
             baseline,
             tail_weight_holdout=tail_weight_holdout,
         )
+
+    def corpus_heavy_hitters(self, run_id: str, min_fraction: float) -> DataFrame:
+        """Three-valued corpus hot-key verdicts (value, lower, upper, n,
+        threshold, verdict ∈ certified/indeterminate) folded from the
+        committed partitions' Misra-Gries states — never rescans the
+        corpus; set-level last-write-wins supersedes redelivered units.
+        Requires profile_mg=(column, k)."""
+        if not self.profile_mg:
+            raise ValueError(
+                "corpus_heavy_hitters needs the runner constructed with "
+                "profile_mg=(column, k)"
+            )
+        from .sketches import (
+            certified_heavy_hitters,
+            committed_mg_states,
+            merge_mg_states,
+        )
+
+        df = self.store.read(self.spark, "mg_states").where(
+            F.col("run_id") == run_id
+        )
+        committed = sorted(self.store.committed_partitions(run_id))
+        merged = merge_mg_states(
+            committed_mg_states(df, committed), k=self.profile_mg[1]
+        )
+        return certified_heavy_hitters(merged, min_fraction)
 
     def corpus_quantile_bounds(
         self, run_id: str, ps: "Sequence[float]"

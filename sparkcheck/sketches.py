@@ -532,6 +532,259 @@ def heavy_hitters(
         summaries.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# Mergeable Misra-Gries states — incremental heavy hitters from commit units
+# ---------------------------------------------------------------------------
+
+
+def mg_states(
+    df: DataFrame, col: str, k: int, state_key: str
+) -> DataFrame:
+    """Per-commit-unit Misra-Gries summaries with an EXPLICIT error bound
+    — the frequency member of the mergeable-states family
+    (states.column_states / histogram_states): long rows
+    (state_key, v, w, pn, err) where each unit contributes <= k value
+    rows, ``pn`` (the unit's total row count incl. nulls) and ``err``
+    ride the unit's first row.
+
+    The MG invariant carried per unit: every value's true count f in the
+    unit satisfies w_v <= f_v <= w_v + err (values absent from the
+    summary have f <= err), with err = (nonnull - W)/(k+1) <= n/(k+1)
+    computed from the ACTUAL residual (nonnull items minus surviving
+    weight), which is far tighter than the worst case on skewed data.
+    Summaries are mergeable (Agarwal et al., "Mergeable Summaries",
+    PODS'12): add weights, decrement by the (k+1)-th largest c to keep k
+    counters, and the bounds stay valid with err' = err_1 + err_2 + c —
+    :func:`merge_mg_states` does exactly that, so
+    :func:`certified_heavy_hitters` answers corpus-level hot-key
+    questions from committed states with three-valued certainty and NO
+    rescan of finished partitions.
+
+    Scale shape: one mapInArrow pass bounded at k counters per
+    (task, unit) pair, then ONE groupBy(state_key) fold of the
+    dimension-sized partial-summary rows (#tasks x k per unit) down to
+    <= k rows per unit — the data is scanned once and never shuffled.
+    """
+    import pandas as pd  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    src = df.select(F.expr(state_key).cast("string").alias("sk"), F.col(col).alias("v"))
+    v_field = src.schema.fields[1]
+    v_simple = v_field.dataType.simpleString()
+
+    def summarize(batches: Iterator) -> Iterator:
+        # per-(task, state_key): MG counters + rows seen + nonnull seen
+        mg: dict = {}
+        seen: dict = {}
+        nonnull: dict = {}
+        v_type = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            v_type = batch.column(1).type
+            pdf = batch.to_pandas()
+            for sk, grp in pdf.groupby("sk", dropna=False):
+                key = None if (sk is None or sk != sk) else sk
+                seen[key] = seen.get(key, 0) + len(grp)
+                vals = grp["v"].dropna()
+                if len(vals) == 0:
+                    mg.setdefault(key, None)
+                    continue
+                nonnull[key] = nonnull.get(key, 0) + len(vals)
+                vc = vals.value_counts()
+                cur = mg.get(key)
+                cur = vc if cur is None else cur.add(vc, fill_value=0)
+                if len(cur) > k:
+                    cut = cur.nlargest(k + 1).iloc[-1]
+                    cur = cur - cut
+                    cur = cur[cur > 0]
+                mg[key] = cur
+        if v_type is None:
+            return
+        for key in seen:
+            cur = mg.get(key)
+            nn = nonnull.get(key, 0)
+            if cur is None or len(cur) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([key], type=pa.string()),
+                        pa.array([None], type=v_type),
+                        pa.array([0], type=pa.int64()),
+                        pa.array([seen[key]], type=pa.int64()),
+                        pa.array([float(nn) / (k + 1)], type=pa.float64()),
+                    ],
+                    names=["sk", "v", "w", "pn", "err"],
+                )
+                continue
+            w = cur.astype("int64")
+            err = (nn - int(w.sum())) / (k + 1.0)
+            n_out = len(w)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([key] * n_out, type=pa.string()),
+                    pa.array(w.index.to_numpy(), type=v_type),
+                    pa.array(w.to_numpy()),
+                    pa.array(
+                        pd.array([seen[key]] + [None] * (n_out - 1), dtype="Int64")
+                    ),
+                    pa.array(
+                        pd.array([err] + [None] * (n_out - 1), dtype="Float64")
+                    ),
+                ],
+                names=["sk", "v", "w", "pn", "err"],
+            )
+
+    partials = src.mapInArrow(
+        summarize,
+        schema=f"`sk` string, `v` {v_simple}, `w` long, `pn` long, `err` double",
+    )
+    # fold the per-task partials to ONE summary per commit unit
+    folded = _fold_mg(partials, k, key_cols=["sk"])
+    return folded.withColumnRenamed("sk", "state_key")
+
+
+def _fold_mg(partials: DataFrame, k: int, key_cols: "list[str]") -> DataFrame:
+    """Merge MG partial summaries per key group (pure DataFrame ops over
+    the dimension-sized summary rows): sum weights per value, find the
+    (k+1)-th largest weight c (0 when <= k values survive), decrement
+    every weight by c and drop the non-positive — the mergeable-summaries
+    fold, with err' = sum(err_i) + c. pn/err metadata rows are summed
+    per group and re-stamped onto the group's first value row."""
+    from pyspark.sql import Window
+
+    meta = partials.groupBy(*key_cols).agg(
+        F.sum("pn").alias("pn"), F.sum("err").alias("err")
+    )
+    sums = (
+        partials.where(F.col("v").isNotNull())
+        .groupBy(*key_cols, "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    wrank = Window.partitionBy(*key_cols).orderBy(F.desc("w"), F.asc("v"))
+    ranked = sums.withColumn("__r", F.row_number().over(wrank))
+    cuts = (
+        ranked.where(F.col("__r") == k + 1)
+        .select(*key_cols, F.col("w").alias("__cut"))
+    )
+    dec = (
+        ranked.join(cuts, key_cols, "left")
+        .withColumn("w", F.col("w") - F.coalesce("__cut", F.lit(0)))
+        .where(F.col("w") > 0)
+        .select(*key_cols, "v", "w")
+    )
+    worder = Window.partitionBy(*key_cols).orderBy(F.desc("w"), F.asc("v"))
+    first = dec.withColumn("__rn", F.row_number().over(worder))
+    # err grows by the decrement c applied in this fold
+    meta2 = meta.join(
+        cuts.select(*key_cols, F.col("__cut").alias("__c")), key_cols, "left"
+    ).select(
+        *key_cols,
+        "pn",
+        (F.col("err") + F.coalesce("__c", F.lit(0)).cast("double")).alias("err"),
+    )
+    out = first.join(meta2, key_cols, "right").select(
+        *key_cols,
+        "v",
+        F.coalesce("w", F.lit(0)).alias("w"),
+        F.when(F.coalesce("__rn", F.lit(1)) == 1, F.col("pn")).alias("pn"),
+        F.when(F.coalesce("__rn", F.lit(1)) == 1, F.col("err")).alias("err"),
+    )
+    return out
+
+
+def merge_mg_states(states: DataFrame, k: int) -> DataFrame:
+    """Fold per-commit-unit MG states into ONE corpus summary (v, w) plus
+    its metadata row — pure DataFrame ops over the dimension-sized states
+    frame. Returns rows (v, w, pn, err) with pn/err stamped on the first
+    row: every value's true corpus count f satisfies w <= f <= w + err,
+    and any value absent from the summary has f <= err."""
+    tagged = states.withColumn("__g", F.lit(1))
+    return _fold_mg(tagged, k, key_cols=["__g"]).drop("__g")
+
+
+def update_mg_states(
+    existing: DataFrame,
+    new_data: DataFrame,
+    col: str,
+    k: int,
+    state_key: str,
+) -> DataFrame:
+    """Incremental refresh of MG states: recommitted state_keys are
+    dropped null-safely (last-write-wins per commit unit, same contract
+    as states.update_states) and only the new partitions are scanned."""
+    fresh = mg_states(new_data, col, k, state_key)
+    keys = fresh.select(F.col("state_key").alias("__new_key")).distinct()
+    kept = existing.join(
+        keys, existing["state_key"].eqNullSafe(keys["__new_key"]), "left_anti"
+    )
+    return kept.unionByName(fresh)
+
+
+def committed_mg_states(states: DataFrame, committed: "list[str]") -> DataFrame:
+    """Restrict stored MG states to the committed commit units with
+    SET-level last-write-wins: an MG summary is a multi-row unit whose
+    value set can change between deliveries, so supersede keeps every
+    row of the NEWEST append per state_key (all rows of one append share
+    one ts) rather than newest-per-row — a redelivered unit's old rows
+    vanish as a set. Orphan rows from a crash between append and manifest
+    commit are excluded by the committed-keys semi-join, exactly like
+    states._latest_committed."""
+    from pyspark.sql import Window
+
+    keys = list(committed)
+    if not keys:
+        return states.limit(0).drop("ts", "run_id")
+    spark = states.sparkSession
+    kdf = spark.createDataFrame([(s,) for s in keys], "state_key string")
+    df = states.join(F.broadcast(kdf), "state_key", "left_semi")
+    w = Window.partitionBy("state_key")
+    latest = df.withColumn("__mx", F.max("ts").over(w)).where(
+        F.col("ts") == F.col("__mx")
+    )
+    drop = [c for c in ("run_id", "ts", "__mx") if c in latest.columns]
+    return latest.drop(*drop)
+
+
+def certified_heavy_hitters(
+    merged: DataFrame, min_fraction: float
+) -> DataFrame:
+    """Three-valued corpus heavy hitters from a merged MG summary, with
+    NO rescan: (value, lower, upper, n, threshold, verdict) where
+
+      - ``certified``     — lower bound w >= threshold: the value is a
+                            heavy hitter with certainty;
+      - ``indeterminate`` — w < threshold <= w + err: only an exact count
+                            (one candidate-semi-join scan) can decide;
+      - values absent from the output have true count <= max(err,
+        threshold) < threshold + err — when ``err < threshold`` the rows
+        returned are a guaranteed SUPERSET of the true heavy-hitter set
+        (completeness), which callers can check via upper-vs-threshold.
+
+    Everything is driver-free arithmetic over the <= k+1-row summary."""
+    meta = merged.agg(
+        F.sum("pn").alias("n"), F.sum("err").alias("err")
+    )
+    vals = merged.where(F.col("v").isNotNull()).select("v", "w")
+    j = vals.crossJoin(F.broadcast(meta))
+    thr = F.lit(float(min_fraction)) * F.col("n")
+    return (
+        j.withColumn("upper", F.col("w") + F.col("err"))
+        .where(F.col("upper") >= thr)
+        .select(
+            F.col("v").alias("value"),
+            F.col("w").alias("lower"),
+            "upper",
+            "n",
+            thr.alias("threshold"),
+            F.when(F.col("w") >= thr, F.lit("certified"))
+            .otherwise(F.lit("indeterminate"))
+            .alias("verdict"),
+        )
+    )
+
+
 def heavy_hitter_report(
     df: DataFrame,
     col: str,

@@ -228,3 +228,176 @@ def test_heavy_hitter_report_fraction(spark):
     rep = heavy_hitter_report(df, "v", max_fraction=0.6, k=64)
     assert rep["element_count"] == 100
     assert rep["offenders"] == [{"value": "y", "count": 70, "fraction": 0.7}]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Misra-Gries states
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n=10000, hot=0.3, warm=0.12, tail=3000, seed=3, buckets=8):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < hot:
+            v = "hot"
+        elif r < hot + warm:
+            v = "warm"
+        elif r < hot + warm + 0.02:
+            v = None
+        else:
+            v = f"tail{rng.randrange(tail)}"
+        rows.append((i % buckets, v))
+    return spark.createDataFrame(rows, "b int, v string").repartition(6)
+
+
+def test_mg_states_bounds_sound_and_complete(spark):
+    from sparkcheck.sketches import (
+        certified_heavy_hitters,
+        merge_mg_states,
+        mg_states,
+    )
+
+    df = _skewed(spark)
+    merged = merge_mg_states(mg_states(df, "v", k=50, state_key="b"), k=50)
+    hh = certified_heavy_hitters(merged, 0.10).collect()
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    true_hh = {v for v, c in exact.items() if v is not None and c >= 0.10 * 10000}
+    cert = {r["value"] for r in hh if r["verdict"] == "certified"}
+    indet = {r["value"] for r in hh if r["verdict"] == "indeterminate"}
+    assert cert <= true_hh  # soundness: certified values really are HHs
+    assert true_hh <= cert | indet  # completeness: no HH silently missing
+    for r in hh:  # bounds always bracket the exact count
+        c = exact.get(r["value"], 0)
+        assert r["lower"] <= c <= r["upper"]
+    # metadata: n counts every row (incl. nulls), stamped once
+    meta = merged.agg(F.sum("pn").alias("n")).collect()[0]
+    assert meta["n"] == 10000
+
+
+def test_mg_states_indeterminate_near_threshold(spark):
+    """With a tiny k the error band is wide: a value sitting just above
+    the threshold must come back indeterminate, never silently dropped
+    or falsely certified above its exact count."""
+    from sparkcheck.sketches import (
+        certified_heavy_hitters,
+        merge_mg_states,
+        mg_states,
+    )
+
+    # 300/2000 = 15% "edge", threshold 14%, huge tail with k=8 -> big err
+    rows = [(i % 4, "edge") for i in range(300)]
+    rows += [(i % 4, f"t{i}") for i in range(1700)]
+    df = spark.createDataFrame(rows, "b int, v string").repartition(5)
+    merged = merge_mg_states(mg_states(df, "v", k=8, state_key="b"), k=8)
+    hh = {r["value"]: r for r in certified_heavy_hitters(merged, 0.14).collect()}
+    assert "edge" in hh  # completeness
+    r = hh["edge"]
+    assert r["lower"] <= 300 <= r["upper"]
+    if r["verdict"] == "certified":
+        assert r["lower"] >= 0.14 * 2000  # certification is never a lie
+
+
+def test_mg_states_update_last_write_wins(spark):
+    from sparkcheck.sketches import (
+        certified_heavy_hitters,
+        merge_mg_states,
+        mg_states,
+        update_mg_states,
+    )
+
+    base = spark.createDataFrame(
+        [(i % 4, "a" if i % 5 else "b") for i in range(2000)], "b int, v string"
+    )
+    st = mg_states(base, "v", k=16, state_key="b")
+    # recommit bucket 3: only "z" now — old bucket-3 rows must vanish
+    newd = spark.createDataFrame([(3, "z")] * 500, "b int, v string")
+    updated = update_mg_states(st, newd, "v", k=16, state_key="b")
+    merged = merge_mg_states(updated, k=16)
+    hh = {r["value"]: r for r in certified_heavy_hitters(merged, 0.2).collect()}
+    direct = spark.createDataFrame(
+        [(i % 4, "a" if i % 5 else "b") for i in range(2000) if i % 4 != 3]
+        + [(3, "z")] * 500,
+        "b int, v string",
+    )
+    exact = {
+        r["v"]: r["c"]
+        for r in direct.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    assert merged.agg(F.sum("pn")).collect()[0][0] == n
+    for v, r in hh.items():
+        assert r["lower"] <= exact.get(v, 0) <= r["upper"]
+    true_hh = {v for v, c in exact.items() if c >= 0.2 * n}
+    assert true_hh <= set(hh)
+
+
+def test_mg_states_all_null_unit_and_null_values(spark):
+    from sparkcheck.sketches import merge_mg_states, mg_states
+
+    df = spark.createDataFrame(
+        [(0, "x"), (0, None), (1, None), (1, None)], "b int, v string"
+    )
+    st = mg_states(df, "v", k=4, state_key="b")
+    rows = st.collect()
+    # bucket 1 is all-null: one metadata row, zero err (no nonnull items)
+    b1 = [r for r in rows if r["state_key"] == "1"]
+    assert len(b1) == 1 and b1[0]["v"] is None and b1[0]["pn"] == 2
+    assert b1[0]["err"] == 0.0
+    merged = merge_mg_states(st, k=4)
+    assert merged.agg(F.sum("pn")).collect()[0][0] == 4
+    vals = {r["v"]: r["w"] for r in merged.collect() if r["v"] is not None}
+    assert vals == {"x": 1}  # nulls never counted as values
+
+
+def test_runner_mg_states_resume_and_heavy_hitters(spark, tmp_path):
+    """Crash after 2 buckets -> resume -> corpus heavy hitters from the
+    committed MG states bracket the exact counts; the redelivery-safe
+    set-level supersede keeps exactly one summary per partition."""
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+
+    n = 4000
+    docs = spark.createDataFrame(
+        [
+            (i, "hot" if i % 3 == 0 else f"t{i % 500}")
+            for i in range(n)
+        ],
+        "doc_id long, src string",
+    )
+    suite = ExpectationSuite(
+        "s",
+        expectations=[
+            ExpectationConfiguration.from_dict(
+                {
+                    "expectation_type": "expect_column_values_to_not_be_null",
+                    "kwargs": {"column": "doc_id"},
+                }
+            )
+        ],
+    )
+    store = ParquetStore(str(tmp_path / "store_mg"))
+    runner = CheckpointRunner(
+        spark, store, n_buckets=4, profile_mg=("src", 64)
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(docs, suite, run_id="m1", fail_after=2)
+    partial = runner.corpus_heavy_hitters("m1", 0.2).collect()
+    assert {r["value"] for r in partial} >= {"hot"}
+    runner.run(docs, suite, run_id="m1")  # resume
+    hh = {r["value"]: r for r in runner.corpus_heavy_hitters("m1", 0.2).collect()}
+    exact = n - (n - (n + 2) // 3)  # count of i % 3 == 0 in range(n)
+    exact = len([i for i in range(n) if i % 3 == 0])
+    assert "hot" in hh
+    r = hh["hot"]
+    assert r["lower"] <= exact <= r["upper"]
+    assert r["n"] == n
+    if r["verdict"] == "certified":
+        assert r["lower"] >= 0.2 * n
+    # tail values must never be certified (each is ~0.2% of rows)
+    for v, row in hh.items():
+        if v != "hot":
+            assert row["verdict"] == "indeterminate"
