@@ -200,7 +200,11 @@ class ParquetStore:
         pq.write_table(tbl, os.path.join(tdir, f"part-{uuid.uuid4().hex}-arrow.parquet"))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.root, table))
+        # mergeSchema: state tables gained an append_id column mid-life —
+        # a store written by mixed engine versions must still read whole
+        return spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.root, table)
+        )
 
 
 class IcebergStore:
@@ -717,12 +721,32 @@ class CheckpointRunner:
             return
         from .states import column_states, histogram_states
 
+        n_families = sum(
+            1
+            for x in (self.profile_columns, self.profile_bins, self.profile_mg)
+            if x
+        )
+        # each family's aggregation is its own Spark job; with >1 family
+        # and no partition cache (the fused leg never persists the
+        # full-width bucket), share ONE narrow projection of just the
+        # profiled columns across the jobs so the data is re-read at most
+        # once per family from a cached dimension-thin frame, not from the
+        # full-width source
+        needed = sorted(
+            set(self.profile_columns or [])
+            | set(self.profile_bins or {})
+            | ({self.profile_mg[0]} if self.profile_mg else set())
+        )
+        src = part.select(*needed)
+        cache_src = n_families > 1 and self.fused
+        if cache_src:
+            src = src.persist()
         pending: list[tuple[str, DataFrame]] = []
         if self.profile_columns:
             pending.append((
                 "column_states",
                 column_states(
-                    part.select(*self.profile_columns),
+                    src.select(*self.profile_columns),
                     self.profile_columns,
                     # one state per commit unit: the partition id itself
                     state_key=f"'{pid}'",
@@ -733,7 +757,7 @@ class CheckpointRunner:
             pending.append((
                 "histogram_states",
                 histogram_states(
-                    part.select(*self.profile_bins),
+                    src.select(*self.profile_bins),
                     self.profile_bins,
                     state_key=f"'{pid}'",
                 ),
@@ -744,13 +768,17 @@ class CheckpointRunner:
             col, k = self.profile_mg
             pending.append((
                 "mg_states",
-                mg_states(part.select(col), col, k=k, state_key=f"'{pid}'"),
+                mg_states(src.select(col), col, k=k, state_key=f"'{pid}'"),
             ))
         for table, st in pending:
             stamped = st.select(
                 F.lit(run_id).alias("run_id"),
                 "*",
                 F.lit(_utcnow()).alias("ts"),
+                # per-append unique id: multi-row states (MG summaries)
+                # supersede as a SET, and ts alone can tie when two appends
+                # land in the same clock tick — the id breaks the tie
+                F.lit(uuid.uuid4().hex).alias("append_id"),
             )
             if hasattr(self.store, "append_small"):
                 # dimension-sized (#profiled columns rows): the aggregation
@@ -764,6 +792,8 @@ class CheckpointRunner:
                 # writes
                 with self._write_lock:
                     self.store.append(table, stamped)
+        if cache_src:
+            src.unpersist()
 
     def corpus_profile(self, run_id: str, round_to: int = 6) -> DataFrame:
         """Corpus-level column profile for a run, folded from the

@@ -640,9 +640,19 @@ def mg_states(
         summarize,
         schema=f"`sk` string, `v` {v_simple}, `w` long, `pn` long, `err` double",
     )
-    # fold the per-task partials to ONE summary per commit unit
+    # fold the per-task partials to ONE summary per commit unit; stamp the
+    # source column and k so merges of mismatched states are detectable
+    # (update_mg_states validates both — the rows alone look alike)
     folded = _fold_mg(partials, k, key_cols=["sk"])
-    return folded.withColumnRenamed("sk", "state_key")
+    return folded.withColumnRenamed("sk", "state_key").select(
+        "state_key",
+        F.lit(col).alias("column"),
+        F.lit(int(k)).alias("k"),
+        "v",
+        "w",
+        "pn",
+        "err",
+    )
 
 
 def _fold_mg(partials: DataFrame, k: int, key_cols: "list[str]") -> DataFrame:
@@ -651,40 +661,57 @@ def _fold_mg(partials: DataFrame, k: int, key_cols: "list[str]") -> DataFrame:
     (k+1)-th largest weight c (0 when <= k values survive), decrement
     every weight by c and drop the non-positive — the mergeable-summaries
     fold, with err' = sum(err_i) + c. pn/err metadata rows are summed
-    per group and re-stamped onto the group's first value row."""
+    per group and re-stamped onto the group's first value row.
+
+    NULL keys are first-class (a NULL state_key from a nullable partition
+    column must keep its value rows): every group/join runs over a
+    two-column NULL-safe surrogate (is-null flag + coalesced string), and
+    the original key values are restored from the metadata side — a plain
+    equi-join on the raw key would silently drop the NULL unit's value
+    rows while keeping its err, breaking the f <= w + err invariant."""
     from pyspark.sql import Window
 
-    meta = partials.groupBy(*key_cols).agg(
-        F.sum("pn").alias("pn"), F.sum("err").alias("err")
+    pre = partials
+    gk: list[str] = []
+    for i, c in enumerate(key_cols):
+        pre = pre.withColumn(f"__kn{i}", F.col(c).isNull()).withColumn(
+            f"__kv{i}", F.coalesce(F.col(c).cast("string"), F.lit(""))
+        )
+        gk += [f"__kn{i}", f"__kv{i}"]
+    meta = pre.groupBy(*gk).agg(
+        F.sum("pn").alias("pn"),
+        F.sum("err").alias("err"),
+        *[F.max(c).alias(c) for c in key_cols],
     )
     sums = (
-        partials.where(F.col("v").isNotNull())
-        .groupBy(*key_cols, "v")
+        pre.where(F.col("v").isNotNull())
+        .groupBy(*gk, "v")
         .agg(F.sum("w").alias("w"))
     )
-    wrank = Window.partitionBy(*key_cols).orderBy(F.desc("w"), F.asc("v"))
+    wrank = Window.partitionBy(*gk).orderBy(F.desc("w"), F.asc("v"))
     ranked = sums.withColumn("__r", F.row_number().over(wrank))
     cuts = (
         ranked.where(F.col("__r") == k + 1)
-        .select(*key_cols, F.col("w").alias("__cut"))
+        .select(*gk, F.col("w").alias("__cut"))
     )
     dec = (
-        ranked.join(cuts, key_cols, "left")
+        ranked.join(cuts, gk, "left")
         .withColumn("w", F.col("w") - F.coalesce("__cut", F.lit(0)))
         .where(F.col("w") > 0)
-        .select(*key_cols, "v", "w")
+        .select(*gk, "v", "w")
     )
-    worder = Window.partitionBy(*key_cols).orderBy(F.desc("w"), F.asc("v"))
+    worder = Window.partitionBy(*gk).orderBy(F.desc("w"), F.asc("v"))
     first = dec.withColumn("__rn", F.row_number().over(worder))
     # err grows by the decrement c applied in this fold
     meta2 = meta.join(
-        cuts.select(*key_cols, F.col("__cut").alias("__c")), key_cols, "left"
+        cuts.select(*gk, F.col("__cut").alias("__c")), gk, "left"
     ).select(
+        *gk,
         *key_cols,
         "pn",
         (F.col("err") + F.coalesce("__c", F.lit(0)).cast("double")).alias("err"),
     )
-    out = first.join(meta2, key_cols, "right").select(
+    out = first.join(meta2, gk, "right").select(
         *key_cols,
         "v",
         F.coalesce("w", F.lit(0)).alias("w"),
@@ -713,7 +740,22 @@ def update_mg_states(
 ) -> DataFrame:
     """Incremental refresh of MG states: recommitted state_keys are
     dropped null-safely (last-write-wins per commit unit, same contract
-    as states.update_states) and only the new partitions are scanned."""
+    as states.update_states) and only the new partitions are scanned.
+    The persisted states must cover the SAME column with the SAME k —
+    summaries of a different column (or built at a different k, whose
+    error bounds aren't comparable) are rejected, mirroring
+    update_states/update_histogram_states shape validation."""
+    existing_shape = {
+        (r["column"], r["k"])
+        for r in existing.select("column", "k").distinct().collect()
+    }
+    if existing_shape != {(col, int(k))}:
+        raise ValueError(
+            f"update_mg_states: persisted states cover "
+            f"{sorted(existing_shape)} (column, k) but {(col, int(k))} was "
+            "requested; recompute states from scratch when the profiled "
+            "column or k changes"
+        )
     fresh = mg_states(new_data, col, k, state_key)
     keys = fresh.select(F.col("state_key").alias("__new_key")).distinct()
     kept = existing.join(
@@ -730,20 +772,33 @@ def committed_mg_states(states: DataFrame, committed: "list[str]") -> DataFrame:
     one ts) rather than newest-per-row — a redelivered unit's old rows
     vanish as a set. Orphan rows from a crash between append and manifest
     commit are excluded by the committed-keys semi-join, exactly like
-    states._latest_committed."""
+    states._latest_committed. Two appends landing in the same clock tick
+    are disambiguated by the runner's per-append unique id (append_id) —
+    without it, a ts tie would keep BOTH row sets and double-count the
+    unit."""
     from pyspark.sql import Window
 
     keys = list(committed)
     if not keys:
-        return states.limit(0).drop("ts", "run_id")
+        return states.limit(0).drop("ts", "run_id", "append_id")
     spark = states.sparkSession
     kdf = spark.createDataFrame([(s,) for s in keys], "state_key string")
     df = states.join(F.broadcast(kdf), "state_key", "left_semi")
-    w = Window.partitionBy("state_key")
-    latest = df.withColumn("__mx", F.max("ts").over(w)).where(
-        F.col("ts") == F.col("__mx")
+    has_aid = "append_id" in df.columns
+    tag = (
+        F.struct(F.col("ts"), F.coalesce(F.col("append_id"), F.lit("")))
+        if has_aid
+        else F.struct(F.col("ts"))
     )
-    drop = [c for c in ("run_id", "ts", "__mx") if c in latest.columns]
+    w = Window.partitionBy("state_key")
+    latest = df.withColumn("__tag", tag).withColumn(
+        "__mx", F.max("__tag").over(w)
+    ).where(F.col("__tag") == F.col("__mx"))
+    drop = [
+        c
+        for c in ("run_id", "ts", "append_id", "__tag", "__mx")
+        if c in latest.columns
+    ]
     return latest.drop(*drop)
 
 

@@ -233,7 +233,7 @@ def _latest_committed(
         .where(F.col("__rn") == 1)
         .drop("__rn", "ts")
     )
-    drop = [c for c in ("run_id",) if c in latest.columns]
+    drop = [c for c in ("run_id", "append_id") if c in latest.columns]
     return latest.drop(*drop)
 
 
@@ -494,7 +494,10 @@ def drift_from_states(
     count). ``tail_weight_holdout`` is split across the two tails like
     the KL expectation (reference expect_column_kl_divergence...py:
     tail_weight_holdout docs); with holdout 0 any observed tail mass
-    makes KL infinite, exactly like the full-scan expectation.
+    makes KL infinite, exactly like the full-scan expectation. PSI
+    matches expect_column_psi_to_be_less_than exactly: inner bins only
+    (the expectation drops tail mass before calling psi), so incremental
+    and full-scan PSI agree on identical data.
     """
     from .distribution import kl_divergence, psi
 
@@ -524,7 +527,10 @@ def drift_from_states(
                 "column": c,
                 "n": int(sum(pk)),
                 "kl": kl_divergence(pk, qk),
-                "psi": psi(pk, qk),
+                # PSIExpectation feeds psi() the INNER bin counts only
+                # (tail mass is dropped, not eps-clipped) — mirror it so
+                # merged-state PSI == the expectation's observed_value
+                "psi": psi(pk[1:-1], weights),
             }
         )
     return out

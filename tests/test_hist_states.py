@@ -192,7 +192,7 @@ def test_runner_histogram_resume_and_drift(spark, tmp_path):
     po = {"bins": EDGES, "weights": [0.4, 0.35, 0.25]}
     drift = runner.corpus_drift("h1", {"val": po})
     assert drift[0]["kl"] == pytest.approx(kl_divergence(direct, [0, *po["weights"], 0]), rel=1e-12)
-    assert drift[0]["psi"] == pytest.approx(psi(direct, [0, *po["weights"], 0]), rel=1e-12)
+    assert drift[0]["psi"] == pytest.approx(psi(direct[1:-1], po["weights"]), rel=1e-12)
     # one state row per (partition, column, bin) — no duplicates after resume
     assert store.read(spark, "histogram_states").count() == 4 * 5
     # quantile brackets served straight from the runner's states
@@ -269,3 +269,29 @@ def test_quantile_bracket_verdicts(spark):
     qn = quantile_bounds(mn, {"x": edges}, [0.5])
     v = quantile_bracket_verdicts(qn, {"x": {0.5: (0.0, 1.0)}}).collect()[0]
     assert v["verdict"] == "no_data"
+
+
+def test_drift_psi_matches_psi_expectation(spark):
+    """Incremental PSI from states must equal the PSI expectation's
+    observed_value even when the data has tail mass outside the edges —
+    both drop tails before psi()."""
+    rows = [5.0, 15.0, 25.0] * 200 + [99.0] * 50 + [-7.0] * 30  # tail mass
+    df = _mk(spark, rows)
+    po = {"bins": EDGES, "weights": [0.4, 0.3, 0.3]}
+    suite = ExpectationSuite(
+        "psi",
+        expectations=[
+            ExpectationConfiguration.from_dict(
+                {
+                    "expectation_type": "expect_column_psi_to_be_less_than",
+                    "kwargs": {"column": "x", "partition_object": po, "threshold": 10.0},
+                }
+            )
+        ],
+    )
+    evr = validate_df(df, suite, result_format="SUMMARY")["results"][0]
+    merged = merge_histogram_states(histogram_states(df, {"x": EDGES}))
+    drift = drift_from_states(merged, {"x": po})
+    assert drift[0]["psi"] == pytest.approx(
+        evr["result"]["observed_value"], rel=1e-12
+    )

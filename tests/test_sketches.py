@@ -401,3 +401,58 @@ def test_runner_mg_states_resume_and_heavy_hitters(spark, tmp_path):
     for v, row in hh.items():
         if v != "hot":
             assert row["verdict"] == "indeterminate"
+
+
+def test_mg_states_null_state_key_keeps_value_rows(spark):
+    """A NULL state_key unit (nullable partition column) must keep its
+    value rows through the fold — a null-unsafe join would drop them
+    while keeping err, breaking the f <= w + err completeness invariant."""
+    from sparkcheck.sketches import (
+        certified_heavy_hitters,
+        merge_mg_states,
+        mg_states,
+    )
+
+    rows = [(None, "hot")] * 1000 + [(None, f"t{i}") for i in range(50)]
+    rows += [("k1", "cold")] * 10
+    df = spark.createDataFrame(rows, "b string, v string").repartition(4)
+    st = mg_states(df, "v", k=32, state_key="b")
+    null_unit = [r for r in st.collect() if r["state_key"] is None]
+    assert any(r["v"] == "hot" and r["w"] > 0 for r in null_unit)
+    assert sum(r["pn"] or 0 for r in null_unit) == 1050
+    merged = merge_mg_states(st, k=32)
+    hh = {r["value"]: r for r in certified_heavy_hitters(merged, 0.5).collect()}
+    assert "hot" in hh and hh["hot"]["lower"] <= 1000 <= hh["hot"]["upper"]
+    assert hh["hot"]["verdict"] == "certified"
+
+
+def test_update_mg_states_rejects_mismatched_shape(spark):
+    from sparkcheck.sketches import mg_states, update_mg_states
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "b int, v string")
+    st = mg_states(df, "v", k=8, state_key="b")
+    with pytest.raises(ValueError, match="recompute"):
+        update_mg_states(st, df, "v", k=16, state_key="b")  # different k
+    df2 = spark.createDataFrame([(0, "a", "x")], "b int, v string, u string")
+    with pytest.raises(ValueError, match="recompute"):
+        update_mg_states(st, df2, "u", k=8, state_key="b")  # different col
+
+
+def test_committed_mg_states_ts_tie_superseded(spark):
+    """Two appends of the same state_key with IDENTICAL timestamps must
+    not both survive — the append_id breaks the tie so exactly one
+    summary set remains."""
+    from sparkcheck.sketches import committed_mg_states
+
+    rows = [
+        # (state_key, v, w, pn, err, run_id, ts, append_id)
+        ("p0", "a", 10, 100, 0.0, "r", "2026-01-01T00:00:00", "aaaa"),
+        ("p0", "b", 90, 100, 0.0, "r", "2026-01-01T00:00:00", "bbbb"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "state_key string, v string, w long, pn long, err double, "
+        "run_id string, ts string, append_id string",
+    )
+    kept = committed_mg_states(df, ["p0"]).collect()
+    assert len(kept) == 1 and kept[0]["v"] == "b"  # newest append only
