@@ -110,6 +110,55 @@ def main() -> None:
         assert fr[c]["n"] == rr[c]["n"]
         assert abs(fr[c]["mean"] - rr[c]["mean"]) < 1e-6, (c, fr[c], rr[c])
         assert abs(fr[c]["stddev_samp"] - rr[c]["stddev_samp"]) < 1e-6
+
+    # ---- histogram-states leg: incremental KL/PSI drift vs full rescan
+    from sparkcheck.states import (
+        drift_from_states,
+        histogram_states,
+        merge_histogram_states,
+        update_histogram_states,
+    )
+
+    BINS = {
+        "v_price": [900.0, 3400.0, 5900.0, 8400.0, 10900.0],
+        "v_qty": [1.0, 13.0, 26.0, 38.0, 51.0],
+    }
+    PO = {
+        "v_price": {"bins": BINS["v_price"], "weights": [0.25, 0.25, 0.25, 0.25]},
+        "v_qty": {"bins": BINS["v_qty"], "weights": [0.24, 0.26, 0.24, 0.26]},
+    }
+    hstore = f"{path}_hstates"
+    histogram_states(
+        data.where(f"bucket < {last}"), BINS, state_key="bucket"
+    ).write.mode("overwrite").parquet(hstore)
+    merge_histogram_states(
+        histogram_states(data.limit(1000), BINS, "bucket")
+    ).collect()  # warm
+
+    t0 = time.time()
+    h_full = merge_histogram_states(
+        histogram_states(data, BINS, state_key="bucket")
+    )
+    drift_full = drift_from_states(h_full, PO)
+    t_hfull = time.time() - t0
+
+    t0 = time.time()
+    h_res = merge_histogram_states(
+        update_histogram_states(
+            spark.read.parquet(hstore),
+            data.where(f"bucket = {last}"),
+            BINS,
+            "bucket",
+        )
+    )
+    drift_res = drift_from_states(h_res, PO)
+    t_hresume = time.time() - t0
+
+    for df_, dr_ in zip(drift_full, drift_res):
+        assert df_["column"] == dr_["column"] and df_["n"] == dr_["n"]
+        assert abs(df_["kl"] - dr_["kl"]) < 1e-12, (df_, dr_)
+        assert abs(df_["psi"] - dr_["psi"]) < 1e-12
+
     print(json.dumps({
         "cores": args.cores,
         "rows": args.rows,
@@ -118,7 +167,11 @@ def main() -> None:
         "resume_s": round(t_resume, 3),
         "speedup": round(t_full / t_resume, 2),
         "rows_per_sec_full": int(args.rows / t_full),
+        "hist_full_scan_s": round(t_hfull, 3),
+        "hist_resume_s": round(t_hresume, 3),
+        "hist_speedup": round(t_hfull / t_hresume, 2),
         "identical": True,
+        "drift_identical": True,
     }))
 
 
