@@ -2784,6 +2784,50 @@ def _qb_oracle(table: str, bins: "dict[str, list[float]]") -> str:
     )
 
 
+def q_cohens_kappa_langid(spark, sf):
+    """Cohen's κ between the stored gold ``lang`` label and the stopword
+    langid heuristic (infotheory.cohens_kappa × text.langid) — the
+    chance-corrected classifier-vs-gold agreement check, κ = (p_o − p_e)
+    / (1 − p_e). One groupBy(gold, predicted) shuffle (max_groups-capped,
+    same guard as mutual_information); marginals, their same-category
+    product and the diagonal fold over the dimension-sized joint-count
+    frame. The oracle replays the langid argmax (latest code wins ties,
+    like array_max on (score, code) structs) and the κ identity in SQL."""
+    d = _t(spark, sf, "documents")
+    from sparkcheck.infotheory import cohens_kappa
+    from sparkcheck.text import langid
+
+    return cohens_kappa(d, "lang", langid("text"), name_b="langid(text)")
+
+
+def q_concentration_documents(spark, sf):
+    """Corpus-concentration scalars of the per-source mix
+    (text.concentration_profile): Gini of the group-size distribution via
+    the rank identity G = (2·Σ i·x_(i) − (n_g+1)·Σx)/(n_g·Σx), the
+    Herfindahl index Σ share², and the top source's share. One groupBy
+    shuffle; the rank + fold run over the #sources-row count frame. The
+    oracle replays the identical rank identity with a window."""
+    d = _t(spark, sf, "documents")
+    from sparkcheck.text import concentration_profile
+
+    return concentration_profile(d, "source")
+
+
+def q_weighted_sample_documents(spark, sf):
+    """Weight-proportional sample WITHOUT replacement, 200 docs biased by
+    n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
+    ln(u)/w with u the deterministic md5 uniform, take the global top-k —
+    a TakeOrderedAndProject (per-partition heaps, no payload shuffle).
+    The oracle rebuilds u nibble-by-nibble and replays the same ordering,
+    so the selected id set matches exactly."""
+    d = _t(spark, sf, "documents")
+    from sparkcheck.sampling import weighted_sample
+
+    return weighted_sample(d, "n_chars", 200, id_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "selection_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -2910,6 +2954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_states_lineitem": q_hist_states_lineitem,
         "hist_quantile_bounds_lineitem": q_hist_quantile_bounds_lineitem,
         "streaming_drift_documents": q_streaming_drift_documents,
+        "cohens_kappa_langid": q_cohens_kappa_langid,
+        "concentration_documents": q_concentration_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
     }
 
 
@@ -2922,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
     toks_cte = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
     budget_hash = _hex32("md5('budget' || doc_id::VARCHAR)")
     sv_hash = _hex32("md5('sv' || doc_id::VARCHAR)")
+    ws_hash = _hex32("md5('wsample' || doc_id::VARCHAR)")
     # Wilson 95% interval pieces, mirroring sampling.sampled_violation_estimate
     # term-for-term so the 6-dp rounds agree (z and z^2 embedded as the same
     # Python doubles Spark folds in as literals)
@@ -4344,6 +4392,58 @@ def oracle_sql() -> dict[str, str]:
 
         "streaming_drift_documents": _hist_oracle_arm(
             "documents", "n_chars", _SD_EDGES
+        ),
+
+        "cohens_kappa_langid": (
+            # replay langid (argmax, latest code wins ties) then the κ
+            # identity: p_o = Σ diag / n, p_e = Σ c_a(v)·c_b(v) / n²
+            f"WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents), "
+            f"scored AS (SELECT lang, {_LANG_SCORES} FROM t), "
+            f"p AS (SELECT lang AS a, {_PRED_LANG} AS b FROM scored "
+            "WHERE lang IS NOT NULL), "
+            "j AS (SELECT a, b, count(*)::BIGINT AS c FROM p GROUP BY 1, 2), "
+            "ma AS (SELECT a AS v, sum(c) AS ca FROM j GROUP BY 1), "
+            "mb AS (SELECT b AS v, sum(c) AS cb FROM j GROUP BY 1), "
+            "m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+            "FROM ma FULL JOIN mb USING (v)), "
+            "tot AS (SELECT sum(c)::DOUBLE AS n, "
+            "sum(CASE WHEN a = b THEN c ELSE 0 END)::DOUBLE AS diag FROM j), "
+            "pe AS (SELECT sum(ca * cb)::DOUBLE AS pepn, "
+            "count(*)::BIGINT AS n_categories FROM m) "
+            "SELECT 'lang' AS column_a, 'langid(text)' AS column_b, "
+            "n::BIGINT AS n, n_categories, "
+            "round(diag / n, 6) AS p_observed, "
+            "round(pepn / (n * n), 6) AS p_expected, "
+            "round(CASE WHEN pepn / (n * n) < 1 THEN "
+            "(diag / n - pepn / (n * n)) / (1 - pepn / (n * n)) END, 6) "
+            "AS kappa FROM tot, pe"
+        ),
+
+        "concentration_documents": (
+            # rank identity G = (2·Σ i·x_(i) − (n_g+1)·Σx) / (n_g·Σx)
+            "WITH g AS (SELECT source AS label, count(*)::BIGINT AS cnt "
+            "FROM documents GROUP BY 1), "
+            "r AS (SELECT cnt, row_number() OVER "
+            "(ORDER BY cnt ASC, label ASC NULLS FIRST) AS i FROM g) "
+            "SELECT 'source' AS \"column\", sum(cnt)::BIGINT AS n, "
+            "count(*)::BIGINT AS n_groups, "
+            "round((2.0 * sum(i::DOUBLE * cnt) - (count(*) + 1) * "
+            "sum(cnt)::DOUBLE) / (count(*)::DOUBLE * sum(cnt)), 6) AS gini, "
+            "round(sum(cnt::DOUBLE * cnt) / (sum(cnt)::DOUBLE * sum(cnt)), 6) "
+            "AS hhi, "
+            "round(max(cnt)::DOUBLE / sum(cnt), 6) AS top1_share FROM r"
+        ),
+
+        "weighted_sample_documents": (
+            # A-ES replay: u nibble-by-nibble from md5, key = ln(u)/w
+            # rounded 12 dp, global top-200 with the id tie-break
+            "WITH e AS (SELECT doc_id, lang, source, n_chars, "
+            f"round(ln(({ws_hash})::DOUBLE "
+            "/ 4294967296.0) / n_chars::DOUBLE, 12) AS selection_key "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 "
+            f"AND ({ws_hash}) > 0) "
+            "SELECT doc_id, lang, source, n_chars, selection_key FROM e "
+            "ORDER BY selection_key DESC, doc_id ASC LIMIT 200"
         ),
     }
 

@@ -333,6 +333,107 @@ def information_gain(
     return df.sparkSession.createDataFrame(rows, result.schema)
 
 
+def cohens_kappa(
+    df: DataFrame,
+    col_a: "str | Column",
+    col_b: "str | Column",
+    max_groups: int = MI_MAX_GROUPS,
+    name_a: str | None = None,
+    name_b: str | None = None,
+) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two categorical
+    labelings of the same rows: κ = (p_o − p_e) / (1 − p_e) with
+    p_o = Σ_v c_vv / n (observed agreement) and p_e = Σ_v c_a(v)·c_b(v)/n²
+    (agreement expected from the marginals alone). The labeled-data QC
+    primitive the crosstab family (chi-square/Cramér's φ, stats.py;
+    MI, above) doesn't cover: "does heuristic B actually agree with gold
+    label A beyond chance?" — κ of a classifier vs its gold column, or of
+    two annotators. No reference analog; extends the pair family the way
+    expect_column_pair_cramers_phi_value_to_be_less_than
+    (reference expectations/core/...cramers_phi_value_to_be_less_than.py:42)
+    frames dependence.
+
+    ``col_a``/``col_b`` are column names or derived Columns (e.g.
+    ``text.langid("text")``); a Column needs a ``name_a``/``name_b``
+    display name. Rows where either side is NULL are excluded (the
+    both-present domain, like mutual_information); NaN ≡ NULL on float
+    name-columns. One row out: (column_a, column_b, n, n_categories,
+    p_observed, p_expected, kappa) — n_categories the size of the union
+    of both sides' observed label sets; κ is NULL when p_e = 1 (both
+    sides constant and equal: agreement is perfect but chance-correction
+    is undefined, 0/0).
+
+    Plan: one groupBy(a, b) shuffle over the data (cardinality capped at
+    ``max_groups``, same guard + persist/unpersist discipline as
+    mutual_information); the marginals, their same-category product, and
+    the diagonal are aggregates over the dimension-sized joint-count
+    frame, joined as 1×1 scalar frames.
+    """
+
+    def _side(c, name, fallback):
+        if isinstance(c, str):
+            return _clean_str(df, c), name or c
+        if name is None:
+            raise ValueError(
+                f"cohens_kappa: a Column-valued {fallback} needs an explicit "
+                f"{fallback.replace('col', 'name')}= display name"
+            )
+        return c.cast("string"), name
+
+    a, name_a = _side(col_a, name_a, "col_a")
+    b, name_b = _side(col_b, name_b, "col_b")
+    joint = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    joint = joint.persist()
+    card = joint.limit(max_groups + 1).count()
+    if card > max_groups:
+        joint.unpersist()
+        raise ValueError(
+            f"cohens_kappa({name_a}, {name_b}) exceeds max_groups="
+            f"{max_groups} distinct pairs; pre-bin a side or raise "
+            "max_groups explicitly"
+        )
+    ma = joint.groupBy(F.col("a").alias("v")).agg(F.sum("c").alias("ca"))
+    mb = joint.groupBy(F.col("b").alias("v")).agg(F.sum("c").alias("cb"))
+    marg = ma.join(mb, "v", "full").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = joint.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0))).alias(
+            "_diag"
+        ),
+    )
+    pe_f = marg.agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("_pepn"),
+        F.count("*").alias("n_categories"),
+    )
+    # two 1x1 scalar frames — the crossJoin is dimension-free (same
+    # pattern as distribution.py's scalar-frame join)
+    both = tot.crossJoin(pe_f)
+    # empty both-present domain: sums over the empty joint are NULL —
+    # normalize to n=0 with NULL statistics (try_divide keeps 0/0 NULL)
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    po = F.try_divide(F.col("_diag"), n)
+    pe = F.try_divide(F.col("_pepn"), n * n)
+    result = both.select(
+        F.lit(name_a).alias("column_a"),
+        F.lit(name_b).alias("column_b"),
+        n.cast("bigint").alias("n"),
+        "n_categories",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6).alias("kappa"),
+    )
+    rows = result.collect()
+    joint.unpersist()
+    return df.sparkSession.createDataFrame(rows, result.schema)
+
+
 # ---------------------------------------------------------------------------
 # Metric registry + expectations (suite-usable forms)
 # ---------------------------------------------------------------------------

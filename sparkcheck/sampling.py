@@ -575,3 +575,48 @@ def cluster_balanced_sample(
         corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
     )
     return per_group_cap(assigned, "centroid_id", cap, id_col, salt=salt)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: "str | Column",
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows — the
+    Efraimidis–Spirakis A-ES scheme: each row draws a deterministic
+    uniform u from md5(salt || id) (:func:`hash_fraction`) and is ranked
+    by the exponential key ln(u)/w (descending) — the top-k rows under
+    that ordering are EXACTLY a weight-proportional sample without
+    replacement. The curation use: "give me 100k docs biased toward high
+    quality_score" with inclusion probability ∝ weight, reproducible at
+    any parallelism and on any engine (the DuckDB oracle replays the md5
+    key nibble-for-nibble, like every sampler here).
+
+    Rows with NULL or non-positive weight are excluded (they carry no
+    sampling mass); u = 0 (probability 2^-32 per row) is excluded too —
+    ln(0) would be -inf. The key is rounded to 12 dp so the cross-engine
+    ordering compares identical doubles, with ``id_col`` as the total-
+    order tie-break.
+
+    Scale shape: no shuffle of the payload at all — the ordering is a
+    TakeOrderedAndProject (per-partition top-k heaps, driver merges
+    #partitions × k ids), the distributed form of a priority sample.
+    For k beyond driver comfort (many millions), switch to a two-pass
+    threshold: estimate the k-th key on a hash-sample, filter, then
+    top-up — not implemented until someone needs it.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = hash_fraction(id_col, salt)
+    eligible = df.where(w.isNotNull() & (w > 0) & (u > 0))
+    key = F.round(F.log(u) / w, 12)
+    return (
+        eligible.withColumn("selection_key", key)
+        .orderBy(F.desc("selection_key"), F.col(id_col).asc())
+        .limit(k)
+    )

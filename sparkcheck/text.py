@@ -534,6 +534,59 @@ def class_balance(df, label_col: str):
     ).orderBy("label")
 
 
+def concentration_profile(df, group_col: str):
+    """Corpus-concentration summary of a grouping column — "how dominated
+    is the corpus by its biggest sources?": one row (column, n, n_groups,
+    gini, hhi, top1_share). ``gini`` is the Gini coefficient of the
+    group-size distribution (0 = perfectly even, →1 = one group holds
+    everything), via the rank identity
+    G = (2·Σ i·x_(i) − (n_g+1)·Σx) / (n_g·Σx) with x sorted ascending;
+    ``hhi`` the Herfindahl–Hirschman index Σ share² (1/n_g at evenness,
+    1 at full concentration); ``top1_share`` the largest group's share.
+    The scalar companions to :func:`class_balance`'s per-label frame —
+    a mixture-health expectation can threshold them directly. NULL labels
+    count as a group of their own (same rule as class_balance: surfacing
+    them IS the check).
+
+    Plan: one groupBy shuffle with map-side combine; ranking and the
+    final fold run over the dimension-sized (#groups-row) count frame.
+    The global row_number sort is a single-task window over that narrow
+    frame — fine up to millions of groups; a doc-cardinality grouping
+    wants the histogram-states approximation instead, not an exact Gini.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = df.groupBy(F.col(group_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # deterministic total order: by count, then label (ties don't change
+    # the Gini sum — coefficients over a tie range are permutation-
+    # invariant — but a total order keeps the plan reproducible)
+    wo = Window.partitionBy().orderBy(
+        F.col("cnt").asc(), F.col("label").asc_nulls_first()
+    )
+    ranked = g.select("cnt", F.row_number().over(wo).alias("i"))
+    folded = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("i").cast("double") * F.col("cnt")).alias("_ix"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("_x2"),
+        F.max("cnt").alias("_mx"),
+    )
+    n = F.col("n").cast("double")
+    ng = F.col("n_groups").cast("double")
+    gini = (F.lit(2.0) * F.col("_ix") - (ng + 1) * n) / (ng * n)
+    return folded.select(
+        F.lit(group_col).alias("column"),
+        "n",
+        "n_groups",
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("_x2") / (n * n), 6).alias("hhi"),
+        F.round(F.col("_mx") / n, 6).alias("top1_share"),
+    )
+
+
 class ClassBalanceExpectation:
     """expect_column_class_balance_to_match(column=..., target_shares={...},
     tolerance=0.05, allow_unexpected_labels=False): success iff every

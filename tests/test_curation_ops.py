@@ -1209,3 +1209,126 @@ def test_contaminated_spans_exact_and_hash_agree(spark):
         map(tuple, dedup.contaminated_spans(cdf, bdf, 14, exact=True).collect())
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa / concentration_profile / weighted_sample (round 5 tail)
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_perfect_and_independent(spark):
+    from sparkcheck.infotheory import cohens_kappa
+
+    same = spark.createDataFrame(
+        [("a", "a")] * 6 + [("b", "b")] * 4, "x string, y string"
+    )
+    r = cohens_kappa(same, "x", "y").collect()[0]
+    assert r["kappa"] == 1.0 and r["p_observed"] == 1.0
+    assert r["n"] == 10 and r["n_categories"] == 2
+    # independent: p_o == p_e by construction -> kappa 0
+    rows = [(a, b) for a in ("a", "b") for b in ("a", "b") for _ in range(5)]
+    ind = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(ind, "x", "y").collect()[0]
+    assert r["kappa"] == 0.0 and r["p_observed"] == 0.5 == r["p_expected"]
+
+
+def test_cohens_kappa_hand_value_and_nulls(spark):
+    from sparkcheck.infotheory import cohens_kappa
+
+    # classic 2x2: diag 20+15, off-diag 5+10, n=50
+    rows = (
+        [("yes", "yes")] * 20 + [("no", "no")] * 15
+        + [("yes", "no")] * 5 + [("no", "yes")] * 10
+        + [(None, "yes")] * 3 + [("yes", None)] * 2  # excluded
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    assert r["n"] == 50
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-9
+
+
+def test_cohens_kappa_degenerate_and_column_input(spark):
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+    from sparkcheck.infotheory import cohens_kappa
+
+    const = spark.createDataFrame([("a", "a")] * 3, "x string, y string")
+    r = cohens_kappa(const, "x", "y").collect()[0]
+    assert r["kappa"] is None and r["p_expected"] == 1.0  # 0/0 undefined
+    # Column-valued side works with a name, raises without
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "x string, v int")
+    derived = F.when(F.col("v") > 1, "b").otherwise("a")
+    r = cohens_kappa(df, "x", derived, name_b="bucket(v)").collect()[0]
+    assert r["kappa"] == 1.0 and r["column_b"] == "bucket(v)"
+    with _pytest.raises(ValueError, match="name_b"):
+        cohens_kappa(df, "x", derived)
+
+
+def test_concentration_even_and_skewed(spark):
+    from sparkcheck.text import concentration_profile
+
+    even = spark.createDataFrame(
+        [(s,) for s in ("a", "b", "c", "d") for _ in range(5)], "src string"
+    )
+    r = concentration_profile(even, "src").collect()[0]
+    assert r["gini"] == 0.0 and r["hhi"] == 0.25 and r["top1_share"] == 0.25
+    assert r["n"] == 20 and r["n_groups"] == 4
+    # one group holds 97 of 100 rows across 4 groups
+    skew = spark.createDataFrame(
+        [("big",)] * 97 + [("s1",), ("s2",), ("s3",)], "src string"
+    )
+    r = concentration_profile(skew, "src").collect()[0]
+    # exact rank identity: x = [1,1,1,97], G = (2*(1+2+3+4*97)-5*100)/(4*100)
+    assert abs(r["gini"] - (2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400) < 1e-9
+    assert r["top1_share"] == 0.97
+    assert abs(r["hhi"] - (97**2 + 3) / 100**2) < 1e-9
+
+
+def test_concentration_null_is_a_group(spark):
+    from sparkcheck.text import concentration_profile
+
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "src string")
+    r = concentration_profile(df, "src").collect()[0]
+    assert r["n"] == 3 and r["n_groups"] == 2
+
+
+def test_weighted_sample_deterministic_and_filters(spark):
+    import pyspark.sql.functions as F
+    from sparkcheck.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) if i % 11 else None) for i in range(1, 200)],
+        "doc_id bigint, w double",
+    )
+    # NULL and zero weights never selected; k > eligible returns all
+    all_rows = weighted_sample(df, "w", 10_000, id_col="doc_id").collect()
+    eligible = df.where(F.col("w").isNotNull() & (F.col("w") > 0)).count()
+    assert len(all_rows) == eligible
+    assert all(r["w"] and r["w"] > 0 for r in all_rows)
+    a = [r["doc_id"] for r in weighted_sample(df, "w", 25, id_col="doc_id").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, "w", 25, id_col="doc_id").collect()]
+    assert a == b and len(a) == 25
+    # a different salt draws a different sample (same size)
+    c = [
+        r["doc_id"]
+        for r in weighted_sample(df, "w", 25, id_col="doc_id", salt="other").collect()
+    ]
+    assert len(c) == 25 and set(c) != set(a)
+
+
+def test_weighted_sample_weight_bias(spark):
+    from sparkcheck.sampling import weighted_sample
+
+    # one row with overwhelming weight is (essentially) always selected:
+    # P(miss) = (1 - w_big/W)^... astronomically small under A-ES
+    rows = [(i, 1.0) for i in range(1, 401)] + [(999, 1e12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    picked = {
+        r["doc_id"] for r in weighted_sample(df, "w", 5, id_col="doc_id").collect()
+    }
+    assert 999 in picked
+    with __import__("pytest").raises(ValueError, match="positive"):
+        weighted_sample(df, "w", 0, id_col="doc_id")
