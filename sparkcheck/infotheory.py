@@ -488,6 +488,20 @@ def _mi_metric(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
     return row["nmi"] if cfg.kw("normalized", False) else row["mi"]
 
 
+@eager_metric("column_pair.cohens_kappa")
+def _kappa_metric(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
+    d = cfg.domain
+    row = cohens_kappa(
+        ddf, d.column_a, d.column_b, max_groups=int(cfg.kw("max_groups", MI_MAX_GROUPS))
+    ).collect()[0]
+    if not row["n"]:
+        return None
+    # kappa itself may be NULL (p_e == 1, both sides constant-equal);
+    # validate_value_between treats None as failure, which is right — a
+    # degenerate label pair can't certify agreement beyond chance
+    return row["kappa"]
+
+
 @eager_metric("column.benford_mad")
 def _benford_metric(resolver, ddf: DataFrame, cfg: MetricConfiguration, resolved):
     rows = benford_profile(ddf, cfg.domain.column).collect()
@@ -581,5 +595,49 @@ class BenfordExpectation(Expectation):
         return ret
 
 
+class CohensKappaExpectation(Expectation):
+    """expect_column_pair_cohens_kappa_to_be_between(column_A, column_B,
+    min_value, max_value) — chance-corrected agreement bound between two
+    categorical labelings: κ = (p_o − p_e) / (1 − p_e). Typical use:
+    "the cheap heuristic classifier must agree with the gold label
+    column beyond chance" (min_value ≥ 0.4, say) as a standing suite
+    member over each delivery. A degenerate pair (both sides constant
+    and equal) yields κ = NULL and fails — it cannot certify agreement
+    beyond chance. The agreement-scale sibling of
+    expect_column_pair_mutual_information_to_be_between."""
+
+    name = "expect_column_pair_cohens_kappa_to_be_between"
+
+    def _metric_cfg(self, cfg) -> MetricConfiguration:
+        d = build_domain(cfg)
+        vk = {}
+        if cfg.get("max_groups") is not None:
+            vk["max_groups"] = int(cfg.get("max_groups"))
+        return MetricConfiguration(
+            "column_pair.cohens_kappa",
+            Domain(row_condition=d.row_condition, filter_conditions=d.filter_conditions,
+                   column_a=d.column_a, column_b=d.column_b),
+            freeze_kwargs(**vk),
+        )
+
+    def metric_requests(self, cfg, rf):
+        return {"metric": self._metric_cfg(cfg)}
+
+    def validate(self, cfg, rf, resolver):
+        observed = resolver[self._metric_cfg(cfg)]
+        success = validate_value_between(
+            observed,
+            min_value=cfg.get("min_value"),
+            max_value=cfg.get("max_value"),
+            strict_min=bool(cfg.get("strict_min", False)),
+            strict_max=bool(cfg.get("strict_max", False)),
+        )
+        ret = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {"observed_value": observed}
+        return ret
+
+
 register_expectation(MutualInformationExpectation())
 register_expectation(BenfordExpectation())
+register_expectation(CohensKappaExpectation())

@@ -578,3 +578,32 @@ def test_committed_profile_semi_join_branch(spark):
     direct = {r["column"]: r.asDict()
               for r in st.merge_states(frame.drop("ts")).collect()}
     assert via_join == direct
+
+
+def test_kappa_expectation_pass_fail_and_degenerate(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    # identical labelings: kappa 1 passes min 0.9; shuffled-independent
+    # labelings: kappa ~0 fails min 0.5
+    df = spark.createDataFrame(
+        [(str(i % 3), str(i % 3), str((i * 7) % 2)) for i in range(300)],
+        "a string, b string, g string",
+    )
+    s = ExpectationSuite("kappa")
+    s.add("expect_column_pair_cohens_kappa_to_be_between",
+          column_A="a", column_B="b", min_value=0.9)
+    s.add("expect_column_pair_cohens_kappa_to_be_between",
+          column_A="a", column_B="g", min_value=0.5)
+    r = validate_df(df, s, result_format="SUMMARY")
+    assert r["results"][0]["success"] is True, r
+    assert r["results"][1]["success"] is False
+    assert r["results"][0]["result"]["observed_value"] == 1.0
+
+    # degenerate (both sides one constant equal value): kappa NULL -> fail
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    s2 = ExpectationSuite("kappa2")
+    s2.add("expect_column_pair_cohens_kappa_to_be_between",
+           column_A="a", column_B="b", min_value=0.0)
+    r2 = validate_df(const, s2, result_format="SUMMARY")
+    assert r2["results"][0]["success"] is False
+    assert r2["results"][0]["result"]["observed_value"] is None
