@@ -2813,6 +2813,20 @@ def q_concentration_documents(spark, sf):
     return concentration_profile(d, "source")
 
 
+def q_quantized_ann_topk(spark, sf):
+    """Int8-quantized brute-force top-k (similarity.quantized_topk):
+    both sides quantized per-vector to q_i = round(127·x_i/max|x|)
+    tinyint codes (4× less vector payload at corpus scale), scored by
+    the ALL-INTEGER dot q_a·q_b over √ norms. The integer codes and dots
+    are bit-exact on every engine, so the Arrow int-gemm path and the
+    oracle's list-fold replay produce identical rows — only the final
+    divide/√/round touch floats (IEEE-correctly-rounded both sides)."""
+    emb = _t(spark, sf, "embeddings")
+    from sparkcheck.similarity import quantized_topk
+
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -2957,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa_langid": q_cohens_kappa_langid,
         "concentration_documents": q_concentration_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "quantized_ann_topk": q_quantized_ann_topk,
     }
 
 
@@ -4444,6 +4459,33 @@ def oracle_sql() -> dict[str, str]:
             f"AND ({ws_hash}) > 0) "
             "SELECT doc_id, lang, source, n_chars, selection_key FROM e "
             "ORDER BY selection_key DESC, doc_id ASC LIMIT 200"
+        ),
+
+        "quantized_ann_topk": (
+            # int8 codes q_i = round(127·x_i/max|x|) and the ALL-INTEGER
+            # dot fold — bit-exact vs Spark's tinyint HOFs / int gemm
+            "WITH base AS (SELECT vec_id, embedding AS v, "
+            "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx "
+            "FROM embeddings), "
+            "qz AS (SELECT vec_id, CASE WHEN mx > 0 THEN "
+            "list_transform(v, x -> CAST(round(x::DOUBLE * 127.0 / mx) AS BIGINT)) "
+            "ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv FROM base), "
+            "n AS (SELECT vec_id, qv, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, 65), i -> qv[i] * qv[i])), "
+            "(x, y) -> x + y) AS n2 FROM qz), "
+            "q AS (SELECT vec_id AS query_id, qv AS qa, n2 AS na FROM n "
+            "WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, qv AS qb, n2 AS nb FROM n), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, 65), i -> qa[i] * qb[i])), "
+            "(x, y) -> x + y)::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), "
+            "6) AS qcos FROM c CROSS JOIN q WHERE query_id <> neighbor_id), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qcos DESC, neighbor_id ASC) AS rnk FROM scored) "
+            "SELECT query_id, neighbor_id, qcos, rnk::INT AS rank "
+            "FROM ranked WHERE rnk <= 5"
         ),
     }
 

@@ -493,3 +493,48 @@ def test_select_canonical_min_id_default(spark):
     # no-quality path adds no aggregation: plan is join + project only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round 5 tail)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_codes_and_scale(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (2, [2.0, 2.0, 2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in similarity.quantize_embeddings(df).collect()
+    }
+    # max|x|=1 -> codes round(127*x); round-half-up: -63.5 -> -64
+    assert got[0][0] == [127, -64, 32, 0]
+    assert got[0][1] == pytest.approx(1.0 / 127.0)
+    assert got[1] == ([0, 0, 0, 0], 0.0)  # zero vector: zero codes, scale 0
+    assert got[2][0] == [127, 127, 127, 127]
+    # reconstruction error bounded by scale/2 per component
+    for vid, (codes, scale) in got.items():
+        orig = dict(rows)[vid]
+        for c, x in zip(codes, orig):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_differential_and_recall(spark, vectors):
+    q = vectors.where("vec_id = 0")
+    a = similarity.quantized_topk(vectors, q, k=2, scorer="numpy").collect()
+    b = similarity.quantized_topk(vectors, q, k=2, scorer="hof").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[3])
+    )
+    # quantized ranking agrees with the exact float ranking on this corpus
+    exact = similarity.brute_force_topk(vectors, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(a, key=key)] == [
+        r["neighbor_id"] for r in sorted(exact, key=lambda r: (r["query_id"], r["rank"]))
+    ]
+    # identical vectors still score qcos == 1 after quantization
+    assert max(r["qcos"] for r in a) <= 1.0 + 1e-9
