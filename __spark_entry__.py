@@ -2827,6 +2827,23 @@ def q_quantized_ann_topk(spark, sf):
     return quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q_pq_ann_topk(spark, sf):
+    """Product-quantization ADC top-k (similarity.pq_codebooks/pq_topk,
+    m=8 subspaces × k=16 centroids → 8 codes of 4 bits per vector, the
+    32× compression tier under int8's 4×): seed codebooks are subspace
+    slices of the 16 lowest-id vectors (deterministic, the ivf_topk
+    oracle strategy), encoding is per-subspace argmin with lowest-id
+    tie-break, scoring is the LUT sum Σ_m ||q_m − C_m[code]||². Every
+    distance accumulates in the SAME sequential fold order on both
+    engines (dims within a subspace, then subspaces), so codes, ADC
+    sums, and ranks replay bit-for-bit in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    from sparkcheck.similarity import pq_codebooks, pq_topk
+
+    books = pq_codebooks(emb, m=8, k=16)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), books, k=5)
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -2972,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_documents": q_concentration_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
         "quantized_ann_topk": q_quantized_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
     }
 
 
@@ -4487,6 +4505,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, qcos, rnk::INT AS rank "
             "FROM ranked WHERE rnk <= 5"
         ),
+
+        "pq_ann_topk": _pq_oracle(),
     }
 
 
@@ -5041,6 +5061,55 @@ def _ivf_oracle() -> str:
         "FROM scored) "
         "SELECT query_id, neighbor_id, cos, rnk::INT AS rnk FROM ranked "
         "WHERE rnk <= 5"
+    )
+
+
+def _pq_oracle() -> str:
+    """PQ ADC replay: seed codebooks = subspace slices of the 16
+    lowest-id vectors; encode = per-(vector, subspace) argmin over the
+    16 centroids (d ASC, cid ASC tie-break — identical float folds on
+    both engines make ties consistent); score = ordered fold of the
+    per-subspace LUT distances. Every distance accumulates dimension-
+    by-dimension then subspace-by-subspace in the same left-fold order
+    as similarity.pq_encode/pq_topk's sequential numpy accumulation, so
+    codes, ADC sums, and ranks match bit-for-bit. Ranking uses the
+    6-dp ROUNDED adist (mirroring the Spark window's input)."""
+
+    def dist8(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 9), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+            f"({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+        )
+
+    esub = "e.embedding[(cs.m * 8 + 1):(cs.m * 8 + 8)]"
+    return (
+        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "embedding AS cv FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)), "
+        "sub AS (SELECT unnest(range(0, 8)) AS m), "
+        "cs AS (SELECT sub.m, cent.cid, "
+        "cent.cv[(sub.m * 8 + 1):(sub.m * 8 + 8)] AS csub "
+        "FROM cent CROSS JOIN sub), "
+        "enc0 AS (SELECT e.vec_id, cs.m, cs.cid, "
+        f"{dist8(esub, 'cs.csub')} AS d "
+        "FROM embeddings e CROSS JOIN cs), "
+        "enc AS (SELECT vec_id, m, cid FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS r FROM enc0) "
+        "WHERE r = 1), "
+        "ql AS (SELECT e.vec_id AS query_id, cs.m, cs.cid, "
+        f"{dist8(esub, 'cs.csub')} AS qd "
+        "FROM embeddings e CROSS JOIN cs WHERE e.vec_id < 5), "
+        "sc AS (SELECT query_id, enc.vec_id AS neighbor_id, "
+        "list_reduce(list_prepend(0.0, list(qd ORDER BY ql.m)), "
+        "(x, y) -> x + y) AS adist "
+        "FROM enc JOIN ql ON enc.m = ql.m AND enc.cid = ql.cid "
+        "WHERE query_id <> enc.vec_id GROUP BY 1, 2), "
+        "sc2 AS (SELECT query_id, neighbor_id, round(adist, 6) AS adist "
+        "FROM sc), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM sc2) "
+        "SELECT query_id, neighbor_id, adist, rnk::INT AS rank "
+        "FROM ranked WHERE rnk <= 5"
     )
 
 

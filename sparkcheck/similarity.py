@@ -460,6 +460,265 @@ def quantized_topk(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) — 8-byte codes for ANN at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    sample_cap: int = 65536,
+    dim: int | None = None,
+) -> "list[list[list[float]]]":
+    """Train PQ codebooks: the vector space is split into ``m`` contiguous
+    subspaces and each gets ``k`` centroids, so a vector encodes to m
+    small codes — at m=8, k=16 that is 8 codes of 4 bits: the 32×
+    compression step under int8's 4× (a float32×64 corpus at 10^12 docs
+    is ~256 TB; PQ codes are 8 TB and fit a RAM tier no float layout
+    can). Returns ``codebooks[m][j] = centroid j of subspace m`` as plain
+    float lists.
+
+    ``refine_iters=0`` (default) returns the SEED codebooks: subspace
+    slices of the k lowest-id vectors — fully deterministic and
+    replayable in SQL (the oracle strategy shared with `ivf_topk`'s seed
+    centroids). ``refine_iters>0`` runs that many driver-side Lloyd
+    rounds per subspace over a deterministic hash-sample of at most
+    ``sample_cap`` vectors (the standard train-on-sample PQ recipe —
+    faiss does the same): empty clusters keep their seed, ties go to the
+    lowest centroid id, all arithmetic is float64, so refined codebooks
+    are still bit-reproducible at any parallelism.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    if len(seeds) < k:
+        raise ValueError(f"pq_codebooks: need >= {k} vectors, got {len(seeds)}")
+    books = [
+        [seeds[j][mi * sub : (mi + 1) * sub] for j in range(k)] for mi in range(m)
+    ]
+    if refine_iters <= 0:
+        return books
+    import numpy as np  # noqa: PLC0415
+
+    from .sampling import hash_fraction  # noqa: PLC0415
+
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    samp = corpus.where(hash_fraction(id_col, "pqtrain") < frac)
+    x = np.asarray(
+        [r[vec_col] for r in samp.select(vec_col).collect()], dtype=np.float64
+    )
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        cb = np.asarray(books[mi], dtype=np.float64)
+        for _ in range(refine_iters):
+            # ||x-c||^2 expanded; ties -> lowest centroid id via argmin
+            d = (
+                np.einsum("ij,ij->i", xs, xs)[:, None]
+                - 2.0 * xs @ cb.T
+                + np.einsum("ij,ij->i", cb, cb)[None, :]
+            )
+            assign = np.argmin(d, axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cb[j] = xs[mask].mean(axis=0)
+        books[mi] = [[float(v) for v in row] for row in cb]
+    return books
+
+
+def _pq_subspace_dists(xs, cb):
+    """(n, k) squared distances of subvectors ``xs`` to codebook ``cb``,
+    accumulated SEQUENTIALLY over dimensions — the same left-fold order
+    as the SQL oracle's per-dimension fold, so every low bit matches and
+    argmin ties resolve identically on both engines. Driver-side only;
+    the executor closures carry their own nested copy (a module-global
+    reference would make cloudpickle demand sparkcheck on every worker's
+    import path — the closures must stay self-contained for
+    spark-submit --py-files-free consumers)."""
+    import numpy as np  # noqa: PLC0415
+
+    n, sub = xs.shape
+    kk = cb.shape[0]
+    acc = np.zeros((n, kk), dtype=np.float64)
+    for i in range(sub):
+        diff = xs[:, i, None] - cb[None, :, i]
+        acc += diff * diff
+    return acc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its m-byte PQ code (array<tinyint>, one
+    nearest-centroid id per subspace, ties to the lowest id). One
+    mapInArrow pass: the float vector crosses Arrow once and leaves as m
+    bytes; at Iceberg scale the codes column is written next to the
+    vectors and every downstream ANN scan reads 8 B/row instead of
+    256 B/row."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    m = len(codebooks)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = cbs[0].shape[1]
+    dim = m * sub
+    id_dtype = dict(corpus.dtypes)[id_col]
+
+    def encode_batches(batches):
+        # nested twin of _pq_subspace_dists: sequential dim fold; kept
+        # inside the closure so workers need no sparkcheck import
+        def subspace_dists(xs, cb):
+            acc = np.zeros((xs.shape[0], cb.shape[0]), dtype=np.float64)
+            for i in range(xs.shape[1]):
+                diff = xs[:, i, None] - cb[None, :, i]
+                acc += diff * diff
+            return acc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            xv = np.asarray(batch.column(1).flatten(), dtype=np.float64).reshape(
+                n, dim
+            )
+            codes = np.empty((n, m), dtype=np.int8)
+            for mi in range(m):
+                d = subspace_dists(xv[:, mi * sub : (mi + 1) * sub], cbs[mi])
+                codes[:, mi] = np.argmin(d, axis=1)  # first (lowest) index wins
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(codes), type=pa.list_(pa.int8()))],
+                names=[id_col, out_col],
+            )
+
+    narrow = corpus.select(id_col, vec_col)
+    return narrow.mapInArrow(
+        encode_batches, f"{id_col} {id_dtype}, {out_col} array<tinyint>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC) over PQ codes:
+    (query_id, neighbor_id, adist, rank), ranked by ascending
+    reconstruction distance adist = Σ_m ||q_m − C_m[code_m(x)]||²
+    (neighbor-id tie-break). Each query precomputes an m×k lookup table
+    of subspace distances (float64, driver-side closure); scoring a
+    corpus vector is then m table gathers + (m−1) adds — no float vector
+    is read at all once codes exist. The Arrow pass moves only the
+    m-byte codes; LUT sums accumulate in subspace order, matching the
+    SQL oracle's ordered list fold bit-for-bit.
+
+    At corpus scale this composes with `ivf_assign` exactly like a
+    classic IVF-PQ index: route to probes, then ADC-scan the probe
+    partitions' code columns."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    m = len(codebooks)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = cbs[0].shape[1]
+    rows = queries.select(id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"pq_topk collects the query side to the driver and is capped "
+            f"at {MAX_CLOSURE_QUERIES} queries; partition the query set"
+        )
+    ids = [r[id_col] for r in rows]
+    qmat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    nq = len(ids)
+    # LUT[q, m, j] = ||q_m - C_m[j]||^2, sequential dim fold (see
+    # _pq_subspace_dists) so it equals the oracle's per-dim fold exactly
+    lut = np.stack(
+        [
+            _pq_subspace_dists(qmat[:, mi * sub : (mi + 1) * sub], cbs[mi])
+            for mi in range(m)
+        ],
+        axis=1,
+    )
+    codes_df = pq_encode(corpus, codebooks, id_col, vec_col)
+    id_dtype = dict(corpus.dtypes)[id_col]
+
+    def adc_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nid = batch.column(0)
+            codes = np.asarray(batch.column(1).flatten(), dtype=np.int64).reshape(
+                n, m
+            )
+            # sequential adds in subspace order — same order as the
+            # oracle's list(d ORDER BY m) left fold
+            score = np.zeros((n, nq), dtype=np.float64)
+            for mi in range(m):
+                score += lut[:, mi, :][:, codes[:, mi]].T
+            if n > k + 1:
+                kth = np.partition(score, k, axis=0)[k]
+                keep = score <= (kth + 1e-6)[None, :]
+                rows_, cols_ = np.nonzero(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        nid.take(pa.array(rows_)),
+                        pa.array(cols_.astype(np.int32)),
+                        pa.array(score[rows_, cols_]),
+                    ],
+                    names=["neighbor_id", "q_idx", "adist"],
+                )
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    nid.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), nq))),
+                    pa.array(np.tile(np.arange(nq, dtype=np.int32), n)),
+                    pa.array(score.reshape(-1)),
+                ],
+                names=["neighbor_id", "q_idx", "adist"],
+            )
+
+    from .sources import ensure_parallelism
+
+    scored = ensure_parallelism(codes_df).mapInArrow(
+        adc_batches, f"neighbor_id {id_dtype}, q_idx int, adist double"
+    )
+    qid_arr = F.array(*[F.lit(i) for i in ids])
+    scored = scored.select(
+        F.element_at(qid_arr, F.col("q_idx") + 1).alias("query_id"),
+        "neighbor_id",
+        F.round(F.col("adist"), 6).alias("adist"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sign-LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
 

@@ -538,3 +538,84 @@ def test_quantized_topk_differential_and_recall(spark, vectors):
     ]
     # identical vectors still score qcos == 1 after quantization
     assert max(r["qcos"] for r in a) <= 1.0 + 1e-9
+
+
+def test_pq_codebooks_shapes_and_validation(spark, vectors):
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    # seed books are subspace slices of the 4 lowest-id vectors
+    assert books[0][0] == [1.0, 0.0] and books[1][0] == [0.0, 0.0]
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(vectors, m=3, k=4, dim=4)
+    with pytest.raises(ValueError, match="need >= 6"):
+        similarity.pq_codebooks(vectors, m=2, k=6, dim=4)
+
+
+def test_pq_encode_codes_and_ties(spark, vectors):
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(vectors, books).collect()
+    }
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+    # a seed vector encodes to its own codebook entries (distance 0)
+    assert codes[0] == [0, 0] or codes[0][0] == 0
+    # tie-break: duplicate centroids (vec 0 dup'd as seed) -> lowest cid wins
+    dup = vectors.union(
+        vectors.where("vec_id = 0").select(F.lit(-1).alias("vec_id"), "embedding")
+    )
+    books_dup = similarity.pq_codebooks(dup, m=2, k=2, dim=4)
+    assert books_dup[0][0] == books_dup[0][1]  # ids -1 and 0 are duplicates
+    cdup = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(dup, books_dup).collect()
+    }
+    assert cdup[0][0] == 0  # argmin tie -> lowest centroid id
+
+
+def test_pq_topk_matches_local_reference_and_partitioning(spark, vectors):
+    import numpy as np
+
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    q = vectors.where("vec_id = 0")
+    got = sorted(
+        map(tuple, similarity.pq_topk(vectors, q, books, k=3).collect())
+    )
+    # local ADC reference with the same sequential fold order
+    cbs = [np.asarray(b, dtype=np.float64) for b in books]
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in vectors.collect()}
+    def enc(v):
+        out = []
+        for mi in range(2):
+            sub = v[mi * 2:(mi + 1) * 2]
+            acc = np.zeros(4)
+            for i in range(2):
+                acc += (sub[i] - cbs[mi][:, i]) ** 2
+            out.append(int(np.argmin(acc)))
+        return out
+    qv = rows[0]
+    scored = []
+    for nid, v in rows.items():
+        if nid == 0:
+            continue
+        code = enc(v)
+        s = 0.0
+        for mi in range(2):
+            sub = qv[mi * 2:(mi + 1) * 2]
+            acc = np.zeros(4)
+            for i in range(2):
+                acc += (sub[i] - cbs[mi][:, i]) ** 2
+            s += acc[code[mi]]
+        scored.append((round(s, 6), nid))
+    scored.sort()
+    want = sorted(
+        (0, nid, ad, rk + 1) for rk, (ad, nid) in enumerate(scored[:3])
+    )
+    assert got == want
+    # partitioning-invariant
+    got13 = sorted(
+        map(tuple, similarity.pq_topk(vectors.repartition(13), q, books, k=3).collect())
+    )
+    assert got13 == got
