@@ -2844,6 +2844,23 @@ def q_pq_ann_topk(spark, sf):
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), books, k=5)
 
 
+def q_pq_rerank_topk(spark, sf):
+    """Two-stage PQ search (similarity.pq_topk with rerank_k=50): ADC
+    shortlists 50 candidates per query from the 8-byte codes, then ONLY
+    those rows join back to float vectors for an exact sequential-fold
+    L2 re-rank — exact distances out, recall bounded only by shortlist
+    coverage (0.20→0.76 measured at rerank_k=50 on this corpus). The
+    oracle replays shortlist AND re-rank: same codebooks, same ordered
+    folds, same (dist ASC, neighbor_id) tie-break."""
+    emb = _t(spark, sf, "embeddings")
+    from sparkcheck.similarity import pq_codebooks, pq_topk
+
+    books = pq_codebooks(emb, m=8, k=16)
+    return pq_topk(
+        emb, emb.where(F.col("vec_id") < 5), books, k=5, rerank_k=50
+    )
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -2990,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "quantized_ann_topk": q_quantized_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "pq_rerank_topk": q_pq_rerank_topk,
     }
 
 
@@ -4507,6 +4525,8 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "pq_ann_topk": _pq_oracle(),
+
+        "pq_rerank_topk": _pq_oracle(rerank_k=50),
     }
 
 
@@ -5064,7 +5084,7 @@ def _ivf_oracle() -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(rerank_k: "int | None" = None) -> str:
     """PQ ADC replay: seed codebooks = subspace slices of the 16
     lowest-id vectors; encode = per-(vector, subspace) argmin over the
     16 centroids (d ASC, cid ASC tie-break — identical float folds on
@@ -5108,8 +5128,29 @@ def _pq_oracle() -> str:
         "FROM sc), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM sc2) "
-        "SELECT query_id, neighbor_id, adist, rnk::INT AS rank "
-        "FROM ranked WHERE rnk <= 5"
+        + (
+            "SELECT query_id, neighbor_id, adist, rnk::INT AS rank "
+            "FROM ranked WHERE rnk <= 5"
+            if rerank_k is None
+            else (
+                # exact L2 re-rank of the ADC shortlist: dim-ordered fold
+                # matching Spark's zip_with+aggregate term-for-term
+                f", cand AS (SELECT query_id, neighbor_id FROM ranked "
+                f"WHERE rnk <= {rerank_k}), "
+                "ex AS (SELECT cand.query_id, cand.neighbor_id, "
+                "round(list_reduce(list_prepend(0.0, "
+                "list_transform(range(1, 65), "
+                "i -> (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE) * "
+                "(q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE))), "
+                "(x, y) -> x + y), 6) AS dist "
+                "FROM cand JOIN embeddings v ON v.vec_id = cand.neighbor_id "
+                "JOIN embeddings q ON q.vec_id = cand.query_id), "
+                "rr AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+                "ORDER BY dist ASC, neighbor_id ASC) AS rnk2 FROM ex) "
+                "SELECT query_id, neighbor_id, dist, rnk2::INT AS rank "
+                "FROM rr WHERE rnk2 <= 5"
+            )
+        )
     )
 
 

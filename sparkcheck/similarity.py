@@ -622,6 +622,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance (ADC) over PQ codes:
     (query_id, neighbor_id, adist, rank), ranked by ascending
@@ -633,9 +634,14 @@ def pq_topk(
     m-byte codes; LUT sums accumulate in subspace order, matching the
     SQL oracle's ordered list fold bit-for-bit.
 
-    At corpus scale this composes with `ivf_assign` exactly like a
-    classic IVF-PQ index: route to probes, then ADC-scan the probe
-    partitions' code columns."""
+    ``rerank_k`` turns on the standard two-stage recipe: ADC shortlists
+    the best ``rerank_k`` candidates per query (codes only), then ONLY
+    those nq × rerank_k rows join back to their float vectors for an
+    exact sequential-fold L2 re-rank — output (query_id, neighbor_id,
+    dist, rank) with exact distances, recall bounded only by whether the
+    true top-k made the shortlist. At corpus scale this composes with
+    `ivf_assign` exactly like a classic IVF-PQ index: route to probes,
+    ADC-scan the probe partitions' code columns, re-rank the shortlist."""
     import numpy as np  # noqa: PLC0415
     import pyarrow as pa  # noqa: PLC0415
 
@@ -663,6 +669,8 @@ def pq_topk(
     codes_df = pq_encode(corpus, codebooks, id_col, vec_col)
     id_dtype = dict(corpus.dtypes)[id_col]
 
+    s_keep = rerank_k or k
+
     def adc_batches(batches):
         for batch in batches:
             n = batch.num_rows
@@ -677,8 +685,8 @@ def pq_topk(
             score = np.zeros((n, nq), dtype=np.float64)
             for mi in range(m):
                 score += lut[:, mi, :][:, codes[:, mi]].T
-            if n > k + 1:
-                kth = np.partition(score, k, axis=0)[k]
+            if n > s_keep + 1:
+                kth = np.partition(score, s_keep, axis=0)[s_keep]
                 keep = score <= (kth + 1e-6)[None, :]
                 rows_, cols_ = np.nonzero(keep)
                 yield pa.RecordBatch.from_arrays(
@@ -711,10 +719,45 @@ def pq_topk(
         F.round(F.col("adist"), 6).alias("adist"),
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (
+    shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= (rerank_k or k))
         .select("query_id", "neighbor_id", "adist", "rank")
+    )
+    if rerank_k is None:
+        return shortlist
+    # exact re-rank: only the shortlist (nq × rerank_k rows) reads float
+    # vectors again — an id-keyed join against the corpus, then a
+    # sequential-fold exact L2 (dim order, the oracle's fold) and a
+    # final candidate-sized window. Recall ≈ P(true top-k ⊆ ADC
+    # shortlist), which rerank_k buys directly.
+    cand = shortlist.select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__nv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
     )
 
 

@@ -619,3 +619,21 @@ def test_pq_topk_matches_local_reference_and_partitioning(spark, vectors):
         map(tuple, similarity.pq_topk(vectors.repartition(13), q, books, k=3).collect())
     )
     assert got13 == got
+
+
+def test_pq_topk_rerank_exact_distances_and_recall(spark, vectors):
+    import numpy as np
+
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    q = vectors.where("vec_id = 0")
+    # rerank_k covering the whole corpus -> output == exact L2 top-k
+    out = similarity.pq_topk(vectors, q, books, k=2, rerank_k=4).collect()
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in vectors.collect()}
+    exact = sorted(
+        (round(float(np.sum((rows[0] - v) ** 2)), 6), nid)
+        for nid, v in rows.items() if nid != 0
+    )[:2]
+    got = sorted((r["dist"], r["neighbor_id"]) for r in out)
+    assert got == exact
+    assert {r["rank"] for r in out} == {1, 2}
