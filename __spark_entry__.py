@@ -2861,6 +2861,29 @@ def q_pq_rerank_topk(spark, sf):
     )
 
 
+def q_ivfpq_ann_topk(spark, sf):
+    """The full IVF-PQ stack (similarity.ivfpq_topk): coarse-route each
+    query to its 4 of 16 nearest centroids, ADC-score only the probe
+    partitions' 8-byte PQ codes, rank by the LUT sum. The scan is
+    ~n_probe/n_centroids of a codes column 32× smaller than the floats —
+    the 10^12-vector ANN shape. assign_impl="fold" for oracle bit-replay
+    (the API default is the Arrow gemm); the oracle composes the proven
+    IVF route and PQ ADC replays with identical ordered folds."""
+    emb = _t(spark, sf, "embeddings")
+    from sparkcheck.similarity import ivfpq_topk, pq_codebooks
+
+    books = pq_codebooks(emb, m=8, k=16)
+    return ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        books,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        assign_impl="fold",
+    )
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -3008,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann_topk": q_quantized_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
         "pq_rerank_topk": q_pq_rerank_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
     }
 
 
@@ -4527,6 +4551,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _pq_oracle(),
 
         "pq_rerank_topk": _pq_oracle(rerank_k=50),
+
+        "ivfpq_ann_topk": _ivfpq_oracle(n_probe=4),
     }
 
 
@@ -5151,6 +5177,70 @@ def _pq_oracle(rerank_k: "int | None" = None) -> str:
                 "FROM rr WHERE rnk2 <= 5"
             )
         )
+    )
+
+
+def _ivfpq_oracle(n_probe: int = 4) -> str:
+    """IVF-PQ replay, composing the two proven pieces: the coarse route
+    (16 lowest-id centroids, cosine argmax assignment + top-n_probe
+    probes, from _ivf_oracle) restricts which (query, vector) pairs the
+    PQ ADC fold (from _pq_oracle) scores — identical ordered folds, so
+    the composed rows match similarity.ivfpq_topk bit-for-bit."""
+
+    def dist8(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 9), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+            f"({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+        )
+
+    esub = "e.embedding[(cs.m * 8 + 1):(cs.m * 8 + 8)]"
+    return (
+        # coarse route (cosine, cos DESC / centroid ASC tie-break)
+        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS "
+        "coarse_id, embedding AS c_vec "
+        "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)), "
+        "ac AS (SELECT e.vec_id, cent.coarse_id, "
+        f"{_cos_sql('e.embedding', 'cent.c_vec', None)} AS c_cos "
+        "FROM embeddings e CROSS JOIN cent), "
+        "asg AS (SELECT vec_id, coarse_id FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY c_cos DESC, coarse_id ASC) AS r "
+        "FROM ac) WHERE r = 1), "
+        "qc AS (SELECT e.vec_id AS query_id, cent.coarse_id, "
+        f"{_cos_sql('e.embedding', 'cent.c_vec', None)} AS c_cos "
+        "FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 5), "
+        "probes AS (SELECT query_id, coarse_id FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY query_id ORDER BY c_cos DESC, coarse_id ASC) AS r "
+        f"FROM qc) WHERE r <= {n_probe}), "
+        # PQ encode + per-query LUT (subspace slices of the same 16 rows)
+        "sub AS (SELECT unnest(range(0, 8)) AS m), "
+        "cs AS (SELECT sub.m, cent.coarse_id AS cid, "
+        "cent.c_vec[(sub.m * 8 + 1):(sub.m * 8 + 8)] AS csub "
+        "FROM cent CROSS JOIN sub), "
+        "enc0 AS (SELECT e.vec_id, cs.m, cs.cid, "
+        f"{dist8(esub, 'cs.csub')} AS d "
+        "FROM embeddings e CROSS JOIN cs), "
+        "enc AS (SELECT vec_id, m, cid FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS r FROM enc0) "
+        "WHERE r = 1), "
+        "ql AS (SELECT e.vec_id AS query_id, cs.m, cs.cid, "
+        f"{dist8(esub, 'cs.csub')} AS qd "
+        "FROM embeddings e CROSS JOIN cs WHERE e.vec_id < 5), "
+        # ADC over probe members only
+        "sc AS (SELECT ql.query_id, enc.vec_id AS neighbor_id, "
+        "list_reduce(list_prepend(0.0, list(qd ORDER BY ql.m)), "
+        "(x, y) -> x + y) AS adist "
+        "FROM enc JOIN ql ON enc.m = ql.m AND enc.cid = ql.cid "
+        "JOIN asg ON asg.vec_id = enc.vec_id "
+        "JOIN probes ON probes.query_id = ql.query_id "
+        "AND probes.coarse_id = asg.coarse_id "
+        "WHERE ql.query_id <> enc.vec_id GROUP BY 1, 2), "
+        "sc2 AS (SELECT query_id, neighbor_id, round(adist, 6) AS adist "
+        "FROM sc), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adist ASC, neighbor_id ASC) AS rnk FROM sc2) "
+        "SELECT query_id, neighbor_id, adist, rnk::INT AS rank "
+        "FROM ranked WHERE rnk <= 5"
     )
 
 

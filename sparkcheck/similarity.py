@@ -1312,6 +1312,140 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+) -> DataFrame:
+    """The classic IVF-PQ stack as one operator: coarse-route each query
+    to its ``n_probe`` nearest centroids (`ivf_assign` partitions the
+    corpus once — at Iceberg scale the codes table is written clustered
+    by centroid_id), ADC-score ONLY the probe partitions' PQ codes, and
+    optionally exact-re-rank the shortlist (``rerank_k``, as in
+    `pq_topk`). The scan is ~n_probe/n_centroids of a codes column that
+    is already 32× smaller than the floats — the combination that makes
+    10^12-vector ANN tractable: 8 TB of codes, 1/4 probed, floats only
+    touched for nq × rerank_k rows.
+
+    Per-pair scoring moves only the m-byte code + the query id through
+    Arrow (a pandas UDF gathering from the per-query LUT closure), with
+    the same sequential subspace-order adds as `pq_topk`, so with
+    ``n_probe == n_centroids`` the output EQUALS `pq_topk` row-for-row
+    (the differential test). Output columns match `pq_topk`:
+    (query_id, neighbor_id, adist, rank), or ``dist`` when re-ranked."""
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    m = len(codebooks)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = cbs[0].shape[1]
+    rows = queries.select(id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"ivfpq_topk collects the query side to the driver and is "
+            f"capped at {MAX_CLOSURE_QUERIES} queries; partition the query set"
+        )
+    ids = [r[id_col] for r in rows]
+    qmat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    lut = np.stack(
+        [
+            _pq_subspace_dists(qmat[:, mi * sub : (mi + 1) * sub], cbs[mi])
+            for mi in range(m)
+        ],
+        axis=1,
+    )
+    index = {i: j for j, i in enumerate(ids)}
+
+    @pandas_udf("double")
+    def adc_score(codes: "pd.Series", q_id: "pd.Series") -> "pd.Series":
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        r = q_id.map(index).to_numpy()
+        acc = np.zeros(len(r), dtype=np.float64)
+        for mi in range(m):  # sequential subspace-order adds (see pq_topk)
+            acc += lut[r, mi, c[:, mi]]
+        return pd.Series(acc)
+
+    centroids, assigned = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
+    )
+    codes_df = pq_encode(assigned.select(id_col, vec_col), codebooks, id_col, vec_col)
+    coded = assigned.select(F.col(id_col).alias("neighbor_id"), "centroid_id").join(
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "pq_code"),
+        "neighbor_id",
+    )
+    # probe list per query: per-row top-n over the literal centroid array
+    # (sort_array + slice — no join, no shuffle), exactly like ivf_topk
+    scored_structs = [
+        F.struct(
+            cosine(F.col("q_vec"), F.array(*[F.lit(x) for x in cvec]), "hof").alias(
+                "c_cos"
+            ),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(F.sort_array(F.array(*scored_structs), asc=False), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select("query_id", (-F.col("probe.neg_cid")).cast("int").alias("centroid_id"))
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc_score(F.col("pq_code"), F.col("query_id")), 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank_k or k))
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+    if rerank_k is None:
+        return shortlist
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__nv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: cluster, then near-dup within clusters)
 # ---------------------------------------------------------------------------

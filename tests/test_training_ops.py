@@ -637,3 +637,26 @@ def test_pq_topk_rerank_exact_distances_and_recall(spark, vectors):
     got = sorted((r["dist"], r["neighbor_id"]) for r in out)
     assert got == exact
     assert {r["rank"] for r in out} == {1, 2}
+
+
+def test_ivfpq_full_probe_equals_pq_and_rerank(spark, vectors):
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    q = vectors.where("vec_id = 0")
+    # with every centroid probed, IVF-PQ degenerates to plain PQ exactly
+    a = sorted(map(tuple, similarity.ivfpq_topk(
+        vectors, q, books, k=3, n_centroids=4, n_probe=4).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(vectors, q, books, k=3).collect()))
+    assert a == b
+    # partial probe: a SUBSET of the full-probe rows (possibly empty on a
+    # tiny corpus when the probed partition holds only the query itself)
+    c = similarity.ivfpq_topk(
+        vectors, q, books, k=3, n_centroids=4, n_probe=1).collect()
+    assert len(c) <= 3
+    assert {r["neighbor_id"] for r in c} <= {t[1] for t in a} | {
+        r["neighbor_id"] for r in similarity.pq_topk(
+            vectors, q, books, k=5).collect()}
+    # rerank path emits exact distances
+    d = similarity.ivfpq_topk(
+        vectors, q, books, k=2, n_centroids=4, n_probe=4, rerank_k=4).collect()
+    e = similarity.pq_topk(vectors, q, books, k=2, rerank_k=4).collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, e))
