@@ -54,6 +54,13 @@ def main() -> None:
     ap.add_argument("--prepare", type=int, default=0)
     ap.add_argument("--kmeans-k", type=int, default=16)
     ap.add_argument("--semantic-k", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=32)
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="run the ANN ladder instead: float gemm vs int8 vs PQ ADC "
+        "top-10 for 32 queries over the stored corpus",
+    )
     args = ap.parse_args()
 
     if args.prepare:
@@ -69,6 +76,74 @@ def main() -> None:
 
     vecs = spark.read.parquet(args.input)
     n_vecs = vecs.count()
+
+    if args.ann:
+        from pyspark.sql import functions as F
+
+        queries = vecs.where(F.col("vec_id") < args.queries)
+        books = similarity.pq_codebooks(vecs, m=8, k=256)
+
+        # ingest-time writes (timed once each): at scale quantization is
+        # a one-off column write, NOT a per-query transform — the scan
+        # legs below read the STORED codes, the honest at-scale shape
+        t0 = time.monotonic()
+        similarity.quantize_embeddings(vecs, impl="arrow").select(
+            "vec_id", "qvec"
+        ).write.mode("overwrite").parquet(args.input + ".int8")
+        int8_encode_secs = time.monotonic() - t0
+        t0 = time.monotonic()
+        similarity.pq_encode(vecs, books).write.mode("overwrite").parquet(
+            args.input + ".codes"
+        )
+        pq_encode_secs = time.monotonic() - t0
+        int8_codes = spark.read.parquet(args.input + ".int8")
+        pq_codes = spark.read.parquet(args.input + ".codes")
+
+        # warm each scan path on a slice (plan compile + Arrow pool)
+        warm = vecs.limit(10_000)
+        similarity.brute_force_topk(warm, queries, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        similarity.quantized_topk(
+            warm, queries, k=10, codes=int8_codes.limit(10_000)
+        ).write.format("noop").mode("overwrite").save()
+        similarity.pq_topk(
+            warm, queries, books, k=10, codes=pq_codes.limit(10_000)
+        ).write.format("noop").mode("overwrite").save()
+
+        t0 = time.monotonic()
+        similarity.brute_force_topk(vecs, queries, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        float_secs = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        similarity.quantized_topk(
+            vecs, queries, k=10, codes=int8_codes
+        ).write.format("noop").mode("overwrite").save()
+        int8_secs = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        similarity.pq_topk(
+            vecs, queries, books, k=10, codes=pq_codes
+        ).write.format("noop").mode("overwrite").save()
+        pq_adc_secs = time.monotonic() - t0
+
+        print(json.dumps({
+            "cores": args.cores,
+            "vectors": n_vecs,
+            "queries": args.queries,
+            "int8_encode_secs": round(int8_encode_secs, 2),
+            "pq_encode_secs": round(pq_encode_secs, 2),
+            "float_secs": round(float_secs, 2),
+            "int8_secs": round(int8_secs, 2),
+            "pq_adc_secs": round(pq_adc_secs, 2),
+            "float_vps": round(n_vecs / float_secs, 1),
+            "int8_vps": round(n_vecs / int8_secs, 1),
+            "pq_adc_vps": round(n_vecs / pq_adc_secs, 1),
+        }))
+        spark.stop()
+        return
 
     # warm both pipelines on a slice (plan compile + codegen + the Arrow
     # worker pool, untimed)

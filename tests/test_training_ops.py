@@ -660,3 +660,34 @@ def test_ivfpq_full_probe_equals_pq_and_rerank(spark, vectors):
         vectors, q, books, k=2, n_centroids=4, n_probe=4, rerank_k=4).collect()
     e = similarity.pq_topk(vectors, q, books, k=2, rerank_k=4).collect()
     assert sorted(map(tuple, d)) == sorted(map(tuple, e))
+
+
+def test_quantize_arrow_impl_identical_to_hof(spark):
+    import numpy as np
+
+    # adversarial values incl. exact-.5 rounding boundaries and a zero vec
+    rows = []
+    for i in range(200):
+        base = [((i * 31 + j * 7) % 255 - 127) / 127.0 for j in range(8)]
+        rows.append((i, base))
+    rows.append((997, [0.0] * 8))
+    rows.append((998, [0.5, -0.5, 0.25, -0.25, 1.0, -1.0, 0.75, -0.75]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in similarity.quantize_embeddings(df, impl="hof").collect()
+    }
+    b = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in similarity.quantize_embeddings(df, impl="arrow").collect()
+    }
+    assert a == b
+    # stored arrow codes feed quantized_topk identically to on-the-fly
+    codes = similarity.quantize_embeddings(df, impl="arrow").select(
+        "vec_id", "qvec"
+    )
+    q = df.where("vec_id < 3")
+    x = sorted(map(tuple, similarity.quantized_topk(df, q, k=3).collect()))
+    y = sorted(map(tuple, similarity.quantized_topk(
+        df, q, k=3, codes=codes).collect()))
+    assert x == y
