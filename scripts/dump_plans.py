@@ -512,6 +512,41 @@ def main():
         "exactly one parquet scan. Pass 1 (the MG summaries) is scan -> "
         "MapInArrow emitting <= k rows per task.")
 
+    add("A-ES weighted sample (weighted_sample_documents)",
+        qs["weighted_sample_documents"](spark, SF),
+        "Weight-proportional sampling without replacement is ZERO-shuffle: "
+        "one WholeStageCodegen Filter+Project over the scan (the md5 "
+        "selection key is a pure expression; `PushedFilters` carries the "
+        "n_chars null guard) feeding `TakeOrderedAndProject` — per-partition "
+        "top-k heaps, driver merges #partitions x k ids. The document "
+        "payload never moves between executors.")
+    add("Int8 quantized top-k, fold path (quantized_ann_topk semantics)",
+        __import__("sparkcheck.similarity", fromlist=["quantized_topk"]).quantized_topk(
+            spark.read.parquet(f"{SF}/embeddings.parquet"),
+            spark.read.parquet(f"{SF}/embeddings.parquet").where(F.col("vec_id") < 5),
+            k=5, scorer="hof"),
+        "The oracle-replayable Column-fold variant: quantization is a CASE "
+        "over array HOFs computed inside the scan Project on BOTH sides, "
+        "the query side is a `BroadcastExchange` (IdentityBroadcastMode), "
+        "and the rank is a `WindowGroupLimit` Partial -> Final pair, so "
+        "only ~k rows per partition per query reach the single "
+        "hash-partitioned Exchange. The shipped scorer='numpy' path "
+        "replaces the join+fold with one MapInArrow int-gemm over the "
+        "same quantized codes (rows proven identical by the differential "
+        "test).")
+    add("IVF-PQ composed ANN (ivfpq_ann_topk)",
+        qs["ivfpq_ann_topk"](spark, SF),
+        "The full index shape in one plan: the corpus scan is assigned "
+        "coarse centroids (Project over the scan, no Exchange — the "
+        "centroid argmax is a literal fold), PQ codes come from one "
+        "MapInArrow over the narrow (id, vector) projection, the probe "
+        "list is a broadcast (`BroadcastHashJoin ... BuildRight` on "
+        "centroid_id) so only probe-partition members are ADC-scored "
+        "(ArrowEvalPython LUT gathers), and the final rank is again a "
+        "WindowGroupLimit pair. No cartesian product anywhere; at scale "
+        "the codes column is stored and the assignment Project vanishes "
+        "into the table layout (cluster by centroid_id).")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
