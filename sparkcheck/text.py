@@ -655,10 +655,80 @@ class ClassBalanceExpectation:
         return ret
 
 
+class ConcentrationExpectation:
+    """expect_column_concentration_to_be_below(column=..., max_gini=...,
+    max_hhi=..., max_top_share=...): success iff every provided bound
+    holds over the column's non-null label distribution — the
+    checkpointable form of :func:`concentration_profile`'s scalars
+    ("no single crawl may exceed 40% of the mix" is
+    ``max_top_share=0.4``). At least one bound is required.
+
+    Rides the fused-eager ``column.value_counts`` metric like
+    ClassBalanceExpectation — one max_groups-capped groupBy shared with
+    every other expectation on the column; the Gini/HHI/top-share fold
+    runs driver-side over the dimension-sized counts list (the same rank
+    identity as concentration_profile). Note the domain difference from
+    the standalone profile: the metric excludes NULL labels (GX
+    value_counts semantics), while concentration_profile counts NULL as
+    a group. No reference analog; a sparkcheck extension."""
+
+    name = "expect_column_concentration_to_be_below"
+    condition_name = None
+
+    _BOUNDS = ("max_gini", "max_hhi", "max_top_share")
+
+    def _metric_cfg(self, cfg):
+        from .expectations import build_domain
+        from .metrics import MetricConfiguration
+
+        return MetricConfiguration("column.value_counts", build_domain(cfg))
+
+    def metric_requests(self, cfg, rf):
+        return {"vc": self._metric_cfg(cfg)}
+
+    def stage2_requests(self, cfg, rf, resolver):
+        return {}
+
+    def validate(self, cfg, rf, resolver):
+        bounds = {
+            b: float(cfg.get(b)) for b in self._BOUNDS if cfg.get(b) is not None
+        }
+        if not bounds:
+            raise ValueError(
+                "expect_column_concentration_to_be_below needs at least one "
+                f"of {self._BOUNDS}"
+            )
+        vc = resolver[self._metric_cfg(cfg)]
+        counts = sorted(int(c) for _, c in vc)
+        n = sum(counts)
+        ng = len(counts)
+        if n == 0:
+            obs = {"gini": None, "hhi": None, "top_share": None}
+            success = True  # vacuous truth: no labels, nothing concentrated
+        else:
+            ix = sum((i + 1) * x for i, x in enumerate(counts))
+            obs = {
+                "gini": round((2.0 * ix - (ng + 1) * n) / (ng * n), 6),
+                "hhi": round(sum(x * x for x in counts) / (n * n), 6),
+                "top_share": round(counts[-1] / n, 6),
+            }
+            success = all(
+                obs[b[len("max_"):]] < want for b, want in bounds.items()
+            )
+        ret = {"success": success}
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            ret["result"] = {
+                "observed_value": obs,
+                "details": {"n_rows": n, "n_labels": ng, "bounds": bounds},
+            }
+        return ret
+
+
 def _register_class_balance():
     from .expectations import register_expectation
 
     register_expectation(ClassBalanceExpectation())
+    register_expectation(ConcentrationExpectation())
 
 
 _register_class_balance()

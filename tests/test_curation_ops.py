@@ -1332,3 +1332,40 @@ def test_weighted_sample_weight_bias(spark):
     assert 999 in picked
     with __import__("pytest").raises(ValueError, match="positive"):
         weighted_sample(df, "w", 0, id_col="doc_id")
+
+
+def test_concentration_expectation_bounds_and_vacuous(spark):
+    from sparkcheck import ExpectationSuite, validate_df
+
+    df = spark.createDataFrame(
+        [("big",)] * 97 + [("s1",), ("s2",), ("s3",)] + [(None,)] * 5,
+        "src string",
+    )
+    s = ExpectationSuite("conc")
+    s.add("expect_column_concentration_to_be_below", column="src",
+          max_top_share=0.99)                      # 0.97 < 0.99 -> pass
+    s.add("expect_column_concentration_to_be_below", column="src",
+          max_top_share=0.9)                       # 0.97 >= 0.9 -> fail
+    s.add("expect_column_concentration_to_be_below", column="src",
+          max_gini=0.8, max_hhi=0.95)              # gini 0.7275, hhi 0.9412
+    r = validate_df(df, s, result_format="SUMMARY")
+    assert [e["success"] for e in r["results"]] == [True, False, True], r
+    obs = r["results"][0]["result"]["observed_value"]
+    # NULL labels are excluded (value_counts domain): n = 100
+    assert obs["top_share"] == 0.97
+    assert obs["gini"] == round((2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400, 6)
+    assert r["results"][0]["result"]["details"]["n_rows"] == 100
+
+    # no bounds -> error; empty domain -> vacuous pass
+    s_bad = ExpectationSuite("bad")
+    s_bad.add("expect_column_concentration_to_be_below", column="src")
+    rb = validate_df(df, s_bad, result_format="SUMMARY")
+    assert rb["results"][0]["success"] is False
+    assert rb["results"][0]["exception_info"]["raised_exception"]
+    empty = spark.createDataFrame([(None,), (None,)], "src string")
+    s3 = ExpectationSuite("conc3")
+    s3.add("expect_column_concentration_to_be_below", column="src",
+           max_gini=0.1)
+    r3 = validate_df(empty, s3, result_format="SUMMARY")
+    assert r3["results"][0]["success"] is True
+    assert r3["results"][0]["result"]["observed_value"]["gini"] is None
