@@ -2884,6 +2884,41 @@ def q_ivfpq_ann_topk(spark, sf):
     )
 
 
+def q_profile_embeddings_vector(spark, sf):
+    """Profiler auto-coverage of embedding-shaped columns
+    (profiler.profile_suite): an array<float> column yields a pinned
+    dimension (expect_column_vector_lengths_to_equal — ragged deliveries
+    break every ANN stage) and an observed L2-norm envelope with
+    relative slack (expect_column_vector_norms_to_be_between, non-finite
+    norms excluded from the envelope but caught by the emitted check).
+    The oracle replays the same sequential norm fold, the finite-only
+    min/max, and the pad arithmetic."""
+    emb = _t(spark, sf, "embeddings")
+    from sparkcheck.profiler import profile_suite
+
+    suite = profile_suite(emb, slack=0.1)
+    rows = [
+        (
+            e.expectation_type,
+            e.kwargs["column"],
+            float(e.kwargs["value"]) if "value" in e.kwargs else None,
+            e.kwargs.get("min_value"),
+            e.kwargs.get("max_value"),
+        )
+        for e in suite.expectations
+        if e.expectation_type
+        in (
+            "expect_column_vector_lengths_to_equal",
+            "expect_column_vector_norms_to_be_between",
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, column string, value double, "
+        "min_value double, max_value double",
+    )
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -3032,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "pq_rerank_topk": q_pq_rerank_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "profile_embeddings_vector": q_profile_embeddings_vector,
     }
 
 
@@ -4553,6 +4589,29 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_topk": _pq_oracle(rerank_k=50),
 
         "ivfpq_ann_topk": _ivfpq_oracle(n_probe=4),
+
+        "profile_embeddings_vector": (
+            # same sequential norm fold, finite-only envelope, and pad
+            # arithmetic ((max-min)*slack vs abs(max)*slack/2 vs 1e-6)
+            "WITH n AS (SELECT embedding AS v, "
+            "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            "i -> v[i]::DOUBLE * v[i]::DOUBLE)), (x, y) -> x + y)) AS nrm "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "s AS (SELECT min(len(v)) AS vlmin, max(len(v)) AS vlmax, "
+            "min(CASE WHEN NOT isnan(nrm) AND nrm < 1e308 THEN nrm END) AS nmin, "
+            "max(CASE WHEN NOT isnan(nrm) AND nrm < 1e308 THEN nrm END) AS nmax "
+            "FROM n), "
+            "p AS (SELECT *, greatest((nmax - nmin) * 0.1, "
+            "abs(nmax) * 0.1 / 2, 0.000001) AS pad FROM s) "
+            "SELECT 'expect_column_vector_lengths_to_equal' AS "
+            "expectation_type, 'embedding' AS \"column\", "
+            "vlmin::DOUBLE AS value, NULL::DOUBLE AS min_value, "
+            "NULL::DOUBLE AS max_value FROM p WHERE vlmin = vlmax "
+            "UNION ALL "
+            "SELECT 'expect_column_vector_norms_to_be_between', 'embedding', "
+            "NULL, round(greatest(0.0, nmin - pad), 6), "
+            "round(nmax + pad, 6) FROM p WHERE nmin IS NOT NULL"
+        ),
     }
 
 

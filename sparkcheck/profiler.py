@@ -47,6 +47,7 @@ from .suite import ExpectationSuite
 _NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double",
                   "decimal")
 _STRING_TYPES = ("string",)
+_VECTOR_TYPES = ("array<float>", "array<double>")
 
 
 def _is_numeric(dtype: str) -> bool:
@@ -84,6 +85,28 @@ def _collect_stats(
             aggs += [
                 F.min(F.length(col)).alias(f"lmin__{c}"),
                 F.max(F.length(col)).alias(f"lmax__{c}"),
+            ]
+        elif t in _VECTOR_TYPES:
+            # embedding-shaped columns: dimension range + the observed
+            # L2-norm envelope over FINITE norms (a NaN/Inf component
+            # would otherwise poison max() — those rows are exactly what
+            # the emitted norm expectation will catch)
+            raw = F.col(c)
+            norm = F.sqrt(
+                F.aggregate(
+                    raw,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            finite = F.when(
+                ~F.isnan(norm) & (norm < F.lit(float("inf"))), norm
+            )
+            aggs += [
+                F.min(F.size(raw)).alias(f"vlmin__{c}"),
+                F.max(F.size(raw)).alias(f"vlmax__{c}"),
+                F.min(finite).alias(f"vnmin__{c}"),
+                F.max(finite).alias(f"vnmax__{c}"),
             ]
     stats = df.agg(*aggs).collect()[0].asDict()
     return dtypes, floats, stats
@@ -181,6 +204,30 @@ def profile_suite(
                 suite.add(
                     "expect_column_values_to_be_in_set",
                     column=c, value_set=sorted(values),
+                )
+        elif t in _VECTOR_TYPES:
+            vlmin, vlmax = stats[f"vlmin__{c}"], stats[f"vlmax__{c}"]
+            if vlmin is not None and vlmin == vlmax:
+                # fixed-dimension embedding column: pin the dimension —
+                # a ragged delivery breaks every downstream ANN stage
+                suite.add(
+                    "expect_column_vector_lengths_to_equal",
+                    column=c, value=int(vlmin),
+                )
+            nmin, nmax = stats[f"vnmin__{c}"], stats[f"vnmax__{c}"]
+            if nmin is not None and nmax is not None:
+                # relative floor like the mean bound: unit-normalized
+                # corpora have nmin == nmax and still deserve slack
+                pad = max(
+                    (float(nmax) - float(nmin)) * slack,
+                    abs(float(nmax)) * slack / 2,
+                    1e-6,
+                )
+                suite.add(
+                    "expect_column_vector_norms_to_be_between",
+                    column=c,
+                    min_value=round(max(0.0, float(nmin) - pad), 6),
+                    max_value=round(float(nmax) + pad, 6),
                 )
     return suite
 

@@ -394,3 +394,38 @@ def test_rules_datetime_family(spark):
     )
     assert fmt.kwargs["strftime_format"] == "%Y-%m-%d"
     assert validate_df(df, suite)["success"]
+
+
+def test_profile_suite_embedding_column(spark):
+    import math
+
+    from sparkcheck import validate_df
+    from sparkcheck.profiler import profile_suite
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    suite = profile_suite(emb, slack=0.1)
+    by_type = {}
+    for e in suite.expectations:
+        by_type.setdefault(e.expectation_type, []).append(e.kwargs)
+    dims = [k for k in by_type.get("expect_column_vector_lengths_to_equal", [])
+            if k["column"] == "embedding"]
+    assert dims and dims[0]["value"] == 64
+    norms = [k for k in by_type.get("expect_column_vector_norms_to_be_between", [])
+             if k["column"] == "embedding"]
+    assert norms and 0 <= norms[0]["min_value"] < norms[0]["max_value"]
+    # the generated suite validates green against its own batch
+    r = validate_df(emb, suite, result_format="BOOLEAN_ONLY")
+    assert r["success"], [e for e in r["results"] if not e["success"]]
+
+    # a ragged/NaN delivery trips the emitted expectations
+    from pyspark.sql import functions as F
+    bad = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.array(F.lit(float("nan"))))
+        .otherwise(F.col("embedding")),
+    )
+    rb = validate_df(bad, suite, result_format="SUMMARY")
+    failed = {e["expectation_config"]["expectation_type"]
+              for e in rb["results"] if not e["success"]}
+    assert "expect_column_vector_lengths_to_equal" in failed
+    assert "expect_column_vector_norms_to_be_between" in failed
