@@ -244,6 +244,7 @@ FAMILIES = (
     "not_null", "unique", "between", "mean",         # column-domain
     "quantiles", "value_length", "in_set",
     "regex", "datetime_format",                      # inferred patterns
+    "vector",                                        # embedding columns
 )
 
 DEFAULT_RULE_CONFIG: dict[str, Any] = {
@@ -255,6 +256,8 @@ DEFAULT_RULE_CONFIG: dict[str, Any] = {
          "families": ["between", "mean", "quantiles"]},
         {"name": "strings", "domain": {"column_types": ["string"]},
          "families": ["value_length", "in_set"]},
+        {"name": "vectors", "domain": {"column_types": ["vector"]},
+         "families": ["vector"]},
     ]
 }
 
@@ -275,6 +278,7 @@ def _resolve_domain(dom: dict[str, Any] | None, dtypes: dict[str, str]) -> list[
             "any" in types
             or ("numeric" in types and _is_numeric(t))
             or ("string" in types and t in _STRING_TYPES)
+            or ("vector" in types and t in _VECTOR_TYPES)
         )
         if not type_ok:
             continue
@@ -507,6 +511,28 @@ def profile_suite_with_rules(
                     suite.add(
                         "expect_column_values_to_be_in_set",
                         column=c, value_set=sorted(values),
+                    )
+            elif t in _VECTOR_TYPES and "vector" in fams:
+                # same emission as profile_suite's vector branch, from
+                # the shared stats pass
+                vlmin, vlmax = stats[f"vlmin__{c}"], stats[f"vlmax__{c}"]
+                if vlmin is not None and vlmin == vlmax:
+                    suite.add(
+                        "expect_column_vector_lengths_to_equal",
+                        column=c, value=int(vlmin),
+                    )
+                nmin, nmax = stats[f"vnmin__{c}"], stats[f"vnmax__{c}"]
+                if nmin is not None and nmax is not None:
+                    npad = max(
+                        (float(nmax) - float(nmin)) * slack,
+                        abs(float(nmax)) * slack / 2,
+                        1e-6,
+                    )
+                    suite.add(
+                        "expect_column_vector_norms_to_be_between",
+                        column=c,
+                        min_value=round(max(0.0, float(nmin) - npad), 6),
+                        max_value=round(float(nmax) + npad, 6),
                     )
         diagnostics[str(rule.get("name", f"rule_{ri}"))] = {
             "columns": cols,

@@ -429,3 +429,30 @@ def test_profile_suite_embedding_column(spark):
               for e in rb["results"] if not e["success"]}
     assert "expect_column_vector_lengths_to_equal" in failed
     assert "expect_column_vector_norms_to_be_between" in failed
+
+
+def test_rule_profiler_vector_family(spark):
+    from sparkcheck import validate_df
+    from sparkcheck.profiler import profile_suite_with_rules
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # default config includes the vectors rule
+    suite = profile_suite_with_rules(emb)
+    types = {e.expectation_type for e in suite.expectations}
+    assert "expect_column_vector_lengths_to_equal" in types
+    assert "expect_column_vector_norms_to_be_between" in types
+    assert suite.meta["rule_diagnostics"]["vectors"]["columns"] == ["embedding"]
+    assert suite.meta["rule_diagnostics"]["vectors"]["expectations_emitted"] == 2
+    assert validate_df(emb, suite, result_format="BOOLEAN_ONLY")["success"]
+
+    # custom rule with a variable-driven slack widens the norm envelope
+    cfg = {
+        "variables": {"s": 0.5},
+        "rules": [{"name": "v", "domain": {"column_types": ["vector"]},
+                   "families": ["vector"],
+                   "params": {"slack": "$variables.s"}}],
+    }
+    wide = profile_suite_with_rules(emb, cfg)
+    norm = [e.kwargs for e in wide.expectations
+            if e.expectation_type == "expect_column_vector_norms_to_be_between"]
+    assert norm and norm[0]["max_value"] > 1.2  # 1.0 + 0.25 pad
