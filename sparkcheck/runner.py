@@ -466,6 +466,9 @@ class RunReport:
     run_id: str
     partitions_run: list[str] = field(default_factory=list)
     partitions_skipped: list[str] = field(default_factory=list)
+    #: (partition_id, error_repr) for partitions that crashed under
+    #: on_error="continue" — never committed, so a resume retries them
+    partitions_failed: list[tuple] = field(default_factory=list)
     docs_validated: int = 0
     expectation_evals: int = 0
     wall_secs: float = 0.0
@@ -540,7 +543,19 @@ class CheckpointRunner:
         run_id: str | None = None,
         fail_after: int | None = None,  # test hook: die after N partitions
         bucket_col: str = "doc_id",
+        on_error: str = "raise",
     ) -> RunReport:
+        """``on_error="continue"`` is the poison-partition policy for
+        long corpus runs: a partition that crashes (corrupt file, UDF
+        error) is recorded in ``report.partitions_failed`` with its
+        error and the run proceeds — the failed partition is never
+        committed, so the next run with the same run_id retries exactly
+        the failed set (the normal resume path). ``"raise"`` (default)
+        propagates the first failure, failing fast."""
+        if on_error not in ("raise", "continue"):
+            raise ValueError(
+                f'on_error must be "raise" or "continue", got {on_error!r}'
+            )
         run_id = run_id or uuid.uuid4().hex[:12]
         report = RunReport(run_id=run_id)
         t0 = time.monotonic()
@@ -562,28 +577,35 @@ class CheckpointRunner:
             else:
                 todo.append((b, pid))
 
+        def _one(b: int, pid: str):
+            if on_error == "raise":
+                return self._run_partition(docs, suite, run_id, pid, b)
+            try:
+                return self._run_partition(docs, suite, run_id, pid, b)
+            except Exception as e:  # noqa: BLE001 — poison-partition policy
+                return (pid, None, repr(e))
+
         if self.max_concurrency > 1 and fail_after is None:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.max_concurrency) as pool:
                 outcomes = list(
-                    pool.map(
-                        lambda bp: self._run_partition(
-                            docs, suite, run_id, bp[1], bp[0]
-                        ),
-                        todo,
-                    )
+                    pool.map(lambda bp: _one(bp[0], bp[1]), todo)
                 )
         else:
             outcomes = []
             done = 0
             for b, pid in todo:
-                outcomes.append(self._run_partition(docs, suite, run_id, pid, b))
+                outcomes.append(_one(b, pid))
                 done += 1
                 if fail_after is not None and done >= fail_after:
                     raise RuntimeError(f"injected failure after {done} partitions")
 
         for pid, n_docs, result in outcomes:
+            if n_docs is None:  # failed under on_error="continue"
+                report.partitions_failed.append((pid, result))
+                report.success = False
+                continue
             report.partitions_run.append(pid)
             report.docs_validated += int(n_docs)
             report.expectation_evals += result["statistics"]["evaluated_expectations"]

@@ -295,3 +295,46 @@ def test_runner_profile_requires_columns(spark, docs, tmp_path):
     runner = CheckpointRunner(spark, store, n_buckets=2)
     with pytest.raises(ValueError, match="profile_columns"):
         runner.corpus_profile("rX")
+
+
+def test_runner_poison_partition_continue_and_retry(spark, docs, tmp_path):
+    store = ParquetStore(str(tmp_path / "store"))
+
+    calls = {"n": 0}
+
+    def poison_violations(part, run_id, pid):
+        if pid == "bucket=2" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("corrupt partition payload")
+        return span_violations(part, run_id, pid)
+
+    runner = CheckpointRunner(
+        spark, store, n_buckets=4, violations_fn=poison_violations
+    )
+    # poison policy: the crash is recorded, the other 3 partitions commit
+    report = runner.run(docs, _suite(), run_id="p1", on_error="continue")
+    assert report.success is False
+    assert [p for p, _ in report.partitions_failed] == ["bucket=2"]
+    assert "corrupt partition payload" in report.partitions_failed[0][1]
+    assert len(report.partitions_run) == 3
+    assert store.committed_partitions("p1") == {
+        "bucket=0", "bucket=1", "bucket=3"
+    }
+
+    # resume retries EXACTLY the failed partition (fn no longer raises)
+    report2 = runner.run(docs, _suite(), run_id="p1", on_error="continue")
+    assert report2.partitions_run == ["bucket=2"]
+    assert len(report2.partitions_skipped) == 3
+    assert not report2.partitions_failed
+    assert store.committed_partitions("p1") == {f"bucket={b}" for b in range(4)}
+
+    # default on_error="raise" fails fast
+    calls["n"] = 0
+    runner2 = CheckpointRunner(
+        spark, ParquetStore(str(tmp_path / "store2")), n_buckets=4,
+        violations_fn=poison_violations,
+    )
+    with pytest.raises(RuntimeError, match="corrupt partition"):
+        runner2.run(docs, _suite(), run_id="p2")
+    with pytest.raises(ValueError, match="on_error"):
+        runner2.run(docs, _suite(), run_id="p3", on_error="skip")
