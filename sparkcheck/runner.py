@@ -1013,12 +1013,12 @@ class PartitionedCorpusRunner(CheckpointRunner):
 
     def run(self, docs: DataFrame | None, suite: ExpectationSuite,
             run_id: str | None = None, fail_after: int | None = None,
-            bucket_col: str = "doc_id") -> RunReport:
+            bucket_col: str = "doc_id", on_error: str = "raise") -> RunReport:
         base = self.spark.read.parquet(self.corpus_path)
         # partition-pruned view: filtering on the partition column prunes
         # directories at planning time (verify: plan shows PartitionFilters)
         pruned = base.withColumn("__bucket", F.col("bucket")).drop("bucket")
         return super().run(
             pruned, suite, run_id=run_id, fail_after=fail_after,
-            bucket_col=bucket_col,
+            bucket_col=bucket_col, on_error=on_error,
         )
