@@ -16,8 +16,11 @@ gate:
 gate-save:
 	python scripts/check_entry.py 2>&1 | tee /tmp/gate.log
 	( echo "# full oracle gate at HEAD $$(git rev-parse --short HEAD), sf0.01, $$(date -u +%Y-%m-%dT%H:%MZ)"; \
-	  grep -o "OK    [a-z_0-9]*: [0-9]* rows match  ([0-9.]*s)" /tmp/gate.log | sed 's/  */ /g' ) \
+	  grep -oE "OK +[a-z_0-9]+: [0-9]+ rows match +\([0-9.]+s\)" /tmp/gate.log | sed 's/  */ /g' ) \
 	  > docs/GATE_latest.txt
+	@n_log=$$(grep -cE "OK +[a-z_0-9]+:" /tmp/gate.log); \
+	  n_art=$$(grep -c "^OK " docs/GATE_latest.txt); \
+	  [ "$$n_log" = "$$n_art" ] || { echo "gate-save: artifact dropped lines ($$n_art != $$n_log)"; exit 1; }
 
 bench:
 	python bench.py
