@@ -1343,3 +1343,66 @@ def _register_duplicate_span_fraction():
 
 
 _register_duplicate_span_fraction()
+
+
+def lsh_design(
+    threshold: float,
+    n_hashes_max: int = 1024,
+    target_recall: float = 0.9,
+    max_fp_below: float = 0.05,
+) -> "dict":
+    """Pick MinHash-LSH banding parameters analytically — the knob-tuning
+    companion to :func:`lsh_candidate_pairs` / :func:`near_duplicates`.
+
+    For b bands of r rows each, a pair with Jaccard similarity s becomes
+    a candidate with probability P(s) = 1 − (1 − s^r)^b (the S-curve;
+    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4). This
+    searches every (b, r) with b·r ≤ ``n_hashes_max`` (default 1024 —
+    separating s=0.5 dups from s=0.25 background needs hundreds of
+    permutations, which is why production MinHash pipelines run
+    256–9000 hashes) and returns the
+    cheapest configuration (fewest total hashes, then fewest bands)
+    whose curve has recall ≥ ``target_recall`` at ``threshold`` AND a
+    candidate rate ≤ ``max_fp_below`` at similarity threshold/2 (the
+    "clearly-not-duplicates" operating point) — i.e. the smallest
+    signature that still separates dup from non-dup at your threshold.
+    Raises if no configuration within the budget achieves both (lower
+    the recall target or raise the hash budget).
+
+    Returns {n_hashes, band_size (=r), n_bands (=b), recall_at_threshold,
+    fp_rate_at_half_threshold, s50} where s50 = (1/b)^(1/r) is the
+    curve's midpoint — the similarity at which a pair has ~50% candidate
+    probability. Pure driver-side arithmetic; feed the result straight
+    into near_duplicates(n_hashes=..., band_size=...).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+
+    def curve(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for r in range(1, n_hashes_max + 1):
+        for b in range(1, n_hashes_max // r + 1):
+            rec = curve(threshold, b, r)
+            fp = curve(threshold / 2.0, b, r)
+            if rec >= target_recall and fp <= max_fp_below:
+                key = (b * r, b)
+                if best is None or key < best[0]:
+                    best = (key, b, r, rec, fp)
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) with <= {n_hashes_max} hashes reaches "
+            f"recall >= {target_recall} at s={threshold} with candidate "
+            f"rate <= {max_fp_below} at s={threshold / 2}; raise "
+            "n_hashes_max or relax the targets"
+        )
+    _, b, r, rec, fp = best
+    return {
+        "n_hashes": b * r,
+        "band_size": r,
+        "n_bands": b,
+        "recall_at_threshold": round(rec, 6),
+        "fp_rate_at_half_threshold": round(fp, 6),
+        "s50": round((1.0 / b) ** (1.0 / r), 6),
+    }

@@ -691,3 +691,32 @@ def test_quantize_arrow_impl_identical_to_hof(spark):
     y = sorted(map(tuple, similarity.quantized_topk(
         df, q, k=3, codes=codes).collect()))
     assert x == y
+
+
+def test_lsh_design_curve_and_integration(spark, corpus):
+    d = similarity  # noqa: F841 — keep module import style consistent
+    from sparkcheck.dedup import lsh_design, near_duplicates
+
+    cfg = lsh_design(0.8)
+    b, r = cfg["n_bands"], cfg["band_size"]
+    # S-curve identity at the threshold, hand-evaluated
+    assert cfg["recall_at_threshold"] == round(1 - (1 - 0.8**r) ** b, 6)
+    assert cfg["recall_at_threshold"] >= 0.9
+    assert cfg["fp_rate_at_half_threshold"] <= 0.05
+    assert cfg["n_hashes"] == b * r
+    assert cfg["s50"] == round((1 / b) ** (1 / r), 6)
+    # cheaper for easier (higher) thresholds
+    assert lsh_design(0.9)["n_hashes"] <= cfg["n_hashes"]
+    with pytest.raises(ValueError, match="raise n_hashes_max"):
+        lsh_design(0.5, n_hashes_max=64)
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_design(1.5)
+    # the designed config drives the real pipeline: exact dups found
+    found = {
+        (x["doc_a"], x["doc_b"])
+        for x in near_duplicates(
+            corpus, threshold=0.8, n_hashes=cfg["n_hashes"],
+            band_size=cfg["band_size"],
+        ).collect()
+    }
+    assert (1, 2) in found
