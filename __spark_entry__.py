@@ -2919,6 +2919,20 @@ def q_profile_embeddings_vector(spark, sf):
     )
 
 
+def q_zipf_profile_documents(spark, sf):
+    """Zipf-law conformity of the corpus token distribution
+    (text.zipf_profile): OLS slope of ln(count) on ln(rank) over the
+    top-5000 tokens + fit r² — natural text sits near −1; templated
+    corpora flatten, exploded vocabularies steepen. One explode+groupBy
+    shuffle; rank is a deterministic TakeOrdered; the OLS sums run over
+    ≤ 5000 rows. Oracle replays rank, logs, and the closed-form
+    slope/r²."""
+    d = _t(spark, sf, "documents")
+    from sparkcheck.text import zipf_profile
+
+    return zipf_profile(d)
+
+
 def q_weighted_sample_documents(spark, sf):
     """Weight-proportional sample WITHOUT replacement, 200 docs biased by
     n_chars (sampling.weighted_sample, Efraimidis–Spirakis A-ES): rank by
@@ -3068,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": q_pq_rerank_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "profile_embeddings_vector": q_profile_embeddings_vector,
+        "zipf_profile_documents": q_zipf_profile_documents,
     }
 
 
@@ -4611,6 +4626,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'expect_column_vector_norms_to_be_between', 'embedding', "
             "NULL, round(greatest(0.0, nmin - pad), 6), "
             "round(nmax + pad, 6) FROM p WHERE nmin IS NOT NULL"
+        ),
+
+        "zipf_profile_documents": (
+            # rank by (count DESC, token ASC), logs, closed-form OLS
+            f"{toks_cte}, ex AS (SELECT unnest(toks) AS tok FROM t), "
+            "counts AS (SELECT tok, count(*)::BIGINT AS c FROM ex GROUP BY 1), "
+            "tot AS (SELECT sum(c)::BIGINT AS n_tokens, "
+            "count(*)::BIGINT AS vocab_size FROM counts), "
+            "top AS (SELECT c, row_number() OVER "
+            "(ORDER BY c DESC, tok ASC) AS rnk FROM "
+            "(SELECT * FROM counts ORDER BY c DESC, tok ASC LIMIT 5000)), "
+            "l AS (SELECT ln(rnk::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top), "
+            "fit AS (SELECT count(*)::BIGINT AS k, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM l) "
+            "SELECT n_tokens, vocab_size, k AS top_n, "
+            "round(CASE WHEN k >= 3 AND (sxx - sx * sx / k) > 0 THEN "
+            "(sxy - sx * sy / k) / (sxx - sx * sx / k) END, 6) AS alpha, "
+            "round(CASE WHEN k >= 3 AND (sxx - sx * sx / k) > 0 "
+            "AND (syy - sy * sy / k) > 0 THEN "
+            "(sxy - sx * sy / k) * (sxy - sx * sy / k) / "
+            "((sxx - sx * sx / k) * (syy - sy * sy / k)) END, 6) AS r2 "
+            "FROM tot CROSS JOIN fit"
         ),
     }
 

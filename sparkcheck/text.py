@@ -587,6 +587,66 @@ def concentration_profile(df, group_col: str):
     )
 
 
+def zipf_profile(df, text_col: str = "text", top_n: int = 5000):
+    """Zipf-law conformity of the corpus token distribution — one row
+    (n_tokens, vocab_size, top_n, alpha, r2): ``alpha`` is the OLS slope
+    of ln(count) on ln(rank) over the ``top_n`` most frequent tokens
+    (natural text sits near −1; templated/boilerplate corpora flatten
+    toward 0 at the head, spam with exploded vocabularies steepen), and
+    ``r2`` how well a power law fits at all. A corpus-health metric the
+    length/stopword heuristics miss: a million identical boilerplate
+    pages have perfect per-doc quality scores and a catastrophic Zipf
+    curve. NULL alpha/r2 when fewer than 3 distinct tokens exist (no
+    regression to fit).
+
+    Plan: one explode + groupBy(token) shuffle with map-side combine
+    (the only data-volume pass); total/vocab fold over the vocab-sized
+    count frame; rank = TakeOrdered top_n by (count DESC, token ASC —
+    deterministic), then the OLS sums run over ≤ top_n rows. The oracle
+    replays rank, logs, and the closed-form slope/r² exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(top_n)
+    w = Window.partitionBy().orderBy(F.desc("c"), F.asc("tok"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / k
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / k
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / k
+    alpha = F.when((F.col("k") >= 3) & (varx > 0), cov / varx)
+    r2 = F.when(
+        (F.col("k") >= 3) & (varx > 0) & (vary > 0),
+        (cov * cov) / (varx * vary),
+    )
+    return totals.crossJoin(fit).select(  # two dimension-free scalar frames
+        "n_tokens",
+        "vocab_size",
+        F.col("k").alias("top_n"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 class ClassBalanceExpectation:
     """expect_column_class_balance_to_match(column=..., target_shares={...},
     tolerance=0.05, allow_unexpected_labels=False): success iff every

@@ -1369,3 +1369,38 @@ def test_concentration_expectation_bounds_and_vacuous(spark):
     r3 = validate_df(empty, s3, result_format="SUMMARY")
     assert r3["results"][0]["success"] is True
     assert r3["results"][0]["result"]["observed_value"]["gini"] is None
+
+
+def test_zipf_profile_recovers_power_law(spark):
+    import math
+
+    from sparkcheck.text import zipf_profile
+
+    # exact Zipf corpus: token t<i> appears floor(600/i) times
+    words = []
+    for i in range(1, 151):
+        words += [f"t{i}"] * (600 // i)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_profile(docs).collect()[0]
+    assert r["vocab_size"] == 150 and r["n_tokens"] == len(words)
+    assert r["top_n"] == 150
+    assert -1.1 < r["alpha"] < -0.9  # slope ~ -1 by construction
+    assert r["r2"] > 0.99
+
+    # flat distribution: slope exactly 0, r2 undefined (no y variance)
+    flat = spark.createDataFrame(
+        [(1, "a a b b c c d d")], "doc_id long, text string"
+    )
+    rf = zipf_profile(flat).collect()[0]
+    assert rf["alpha"] == 0.0 and rf["r2"] is None
+
+    # <3 distinct tokens: no regression
+    tiny = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    rt = zipf_profile(tiny).collect()[0]
+    assert rt["alpha"] is None and rt["r2"] is None
+
+    # top_n caps the fitted head
+    rcap = zipf_profile(docs, top_n=50).collect()[0]
+    assert rcap["top_n"] == 50 and rcap["vocab_size"] == 150
