@@ -4564,8 +4564,8 @@ def oracle_sql() -> dict[str, str]:
             # A-ES replay: u nibble-by-nibble from md5, key = ln(u)/w
             # rounded 12 dp, global top-200 with the id tie-break
             "WITH e AS (SELECT doc_id, lang, source, n_chars, "
-            f"round(ln(({ws_hash})::DOUBLE "
-            "/ 4294967296.0) / n_chars::DOUBLE, 12) AS selection_key "
+            f"ln(({ws_hash})::DOUBLE "
+            "/ 4294967296.0) / n_chars::DOUBLE AS selection_key "
             "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 "
             f"AND ({ws_hash}) > 0) "
             "SELECT doc_id, lang, source, n_chars, selection_key FROM e "
@@ -4586,8 +4586,9 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, 65), i -> qv[i] * qv[i])), "
             "(x, y) -> x + y) AS n2 FROM qz), "
             "q AS (SELECT vec_id AS query_id, qv AS qa, n2 AS na FROM n "
-            "WHERE vec_id < 5), "
-            "c AS (SELECT vec_id AS neighbor_id, qv AS qb, n2 AS nb FROM n), "
+            "WHERE vec_id < 5 AND n2 > 0), "
+            "c AS (SELECT vec_id AS neighbor_id, qv AS qb, n2 AS nb FROM n "
+            "WHERE n2 > 0), "
             "scored AS (SELECT query_id, neighbor_id, "
             "round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
             "list_transform(range(1, 65), i -> qa[i] * qb[i])), "

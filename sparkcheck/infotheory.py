@@ -409,7 +409,12 @@ def cohens_kappa(
         ),
     )
     pe_f = marg.agg(
-        F.sum(F.col("ca") * F.col("cb")).alias("_pepn"),
+        # double product: bigint ca*cb overflows 2^63 when both marginals
+        # exceed ~3e9 rows (ANSI crash / silent wrap) — counts below 2^53
+        # stay exact in float64 and the ratio is rounded to 6 dp anyway
+        F.sum(F.col("ca").cast("double") * F.col("cb").cast("double")).alias(
+            "_pepn"
+        ),
         F.count("*").alias("n_categories"),
     )
     # two 1x1 scalar frames — the crossJoin is dimension-free (same

@@ -596,9 +596,11 @@ def weighted_sample(
 
     Rows with NULL or non-positive weight are excluded (they carry no
     sampling mass); u = 0 (probability 2^-32 per row) is excluded too —
-    ln(0) would be -inf. The key is rounded to 12 dp so the cross-engine
-    ordering compares identical doubles, with ``id_col`` as the total-
-    order tie-break.
+    ln(0) would be -inf. The key is ranked at FULL precision — rounding
+    it to fixed decimals would collapse large-weight keys (ln(u)/w lies
+    within (-2.2e-8, 0) at w=1e9) into ties resolved by id order,
+    breaking the ∝-weight contract; ``id_col`` remains the total-order
+    tie-break for genuinely equal keys.
 
     Scale shape: no shuffle of the payload at all — the ordering is a
     TakeOrderedAndProject (per-partition top-k heaps, driver merges
@@ -614,7 +616,7 @@ def weighted_sample(
     )
     u = hash_fraction(id_col, salt)
     eligible = df.where(w.isNotNull() & (w > 0) & (u > 0))
-    key = F.round(F.log(u) / w, 12)
+    key = F.log(u) / w
     return (
         eligible.withColumn("selection_key", key)
         .orderBy(F.desc("selection_key"), F.col(id_col).asc())

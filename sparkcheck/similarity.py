@@ -335,7 +335,12 @@ def quantize_embeddings(
         import pyarrow as pa  # noqa: PLC0415
 
         in_cols = df.columns
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).where(F.col(vec_col).isNotNull()).take(1)
+        if not first:
+            # empty input (or all-NULL vectors): nothing to size the
+            # batches with — the HOF path handles both shapes lazily
+            return quantize_embeddings(df, vec_col, out_col, scale_col, "hof")
+        dim = len(first[0][0])
         vec_idx = in_cols.index(vec_col)
 
         def quant_batches(batches):
@@ -343,25 +348,54 @@ def quantize_embeddings(
                 n = batch.num_rows
                 if n == 0:
                     continue
-                xv = np.asarray(
-                    batch.column(vec_idx).flatten(), dtype=np.float64
-                ).reshape(n, dim)
-                mx = np.abs(xv).max(axis=1)
-                safe = np.where(mx > 0, mx, 1.0)
-                # (x * 127) / mx in that order — the HOF computes
-                # x*127.0/mx left-to-right, and a fused 127/mx factor
-                # can differ in the last ulp, flipping a .5 code
-                scaled = (xv * 127.0) / safe[:, None]
-                # half away from zero, matching Spark round() (np.round
-                # is half-even and would disagree at exact .5 codes)
-                q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-                q = np.where(mx[:, None] > 0, q, 0.0).astype(np.int8)
+                arr = batch.column(vec_idx)
+                valid = np.asarray(arr.is_valid())
+                all_valid = bool(valid.all())
+
+                def quantize(xv):
+                    mx = np.abs(xv).max(axis=1)
+                    safe = np.where(mx > 0, mx, 1.0)
+                    # (x * 127) / mx in that order — the HOF computes
+                    # x*127.0/mx left-to-right, and a fused 127/mx factor
+                    # can differ in the last ulp, flipping a .5 code
+                    scaled = (xv * 127.0) / safe[:, None]
+                    # half away from zero, matching Spark round()
+                    # (np.round is half-even, disagrees at exact .5)
+                    q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                    return np.where(mx[:, None] > 0, q, 0.0).astype(np.int8), mx
+
+                if all_valid:  # ingest hot path: zero per-row python
+                    xv = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+                        n, dim
+                    )
+                    q, mx = quantize(xv)
+                    codes = pa.array(list(q), type=pa.list_(pa.int8()))
+                    scales = pa.array(mx / 127.0)
+                else:
+                    # NULL vector rows: flatten() drops their slots, so a
+                    # blind reshape would misalign every following row —
+                    # compute on the valid subset and scatter back (NULL
+                    # codes/scale for NULL vectors, like the HOF path)
+                    nv = int(valid.sum())
+                    q_full = np.zeros((n, dim), dtype=np.int8)
+                    mx_full = np.zeros(n, dtype=np.float64)
+                    if nv:
+                        xv = np.asarray(
+                            arr.drop_null().flatten(), dtype=np.float64
+                        ).reshape(nv, dim)
+                        q, mx = quantize(xv)
+                        q_full[valid] = q
+                        mx_full[valid] = mx
+                    codes = pa.array(
+                        [q_full[i] if valid[i] else None for i in range(n)],
+                        type=pa.list_(pa.int8()),
+                    )
+                    scales = pa.array(
+                        [mx_full[i] / 127.0 if valid[i] else None for i in range(n)],
+                        type=pa.float64(),
+                    )
                 yield pa.RecordBatch.from_arrays(
-                    list(batch.columns)
-                    + [
-                        pa.array(list(q), type=pa.list_(pa.int8())),
-                        pa.array(np.where(mx > 0, mx, 0.0) / 127.0),
-                    ],
+                    list(batch.columns) + [codes, scales],
                     names=in_cols + [out_col, scale_col],
                 )
 
@@ -431,7 +465,16 @@ def quantized_topk(
     qqueries = quantize_embeddings(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")
     )
-    if (scorer or DEFAULT_TOPK_SCORER) == "numpy":
+    # zero-norm vectors (all-zero codes) have no cosine direction: a 0/0
+    # NaN would rank FIRST under Spark's desc ordering and be dropped or
+    # kept depending on batch pruning — exclude them as queries AND as
+    # neighbors on every path so results stay batch/partition-invariant
+    resolved = scorer or DEFAULT_TOPK_SCORER
+    if resolved not in ("numpy", "hof"):
+        raise ValueError(f"scorer must be 'numpy' or 'hof', got {scorer!r}")
+    qcorpus = qcorpus.where(F.exists("qb", lambda x: x != 0))
+    qqueries = qqueries.where(F.exists("qa", lambda x: x != 0))
+    if resolved == "numpy":
         import numpy as np  # noqa: PLC0415
         import pyarrow as pa  # noqa: PLC0415
 
@@ -443,6 +486,13 @@ def quantized_topk(
                 "query set or use scorer='hof'"
             )
         ids = [r["query_id"] for r in rows]
+        if not ids:  # every query was zero-norm: nothing to score
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"query_id {dict(queries.dtypes)[id_col]}, "
+                f"neighbor_id {dict(corpus.dtypes)[id_col]}, "
+                "qcos double, rank int",
+            )
         # float64 carries every int8 product/sum EXACTLY (|dot| <=
         # 127^2*dim << 2^53) and buys the BLAS dgemm an integer-dtype
         # matmul doesn't get in numpy (int64 @ int64 is a slow fallback
@@ -634,12 +684,16 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "pq_code",
 ) -> DataFrame:
-    """Encode every vector to its m-byte PQ code (array<tinyint>, one
-    nearest-centroid id per subspace, ties to the lowest id). One
-    mapInArrow pass: the float vector crosses Arrow once and leaves as m
-    bytes; at Iceberg scale the codes column is written next to the
-    vectors and every downstream ANN scan reads 8 B/row instead of
-    256 B/row."""
+    """Encode every vector to its m-code PQ code (one nearest-centroid id
+    per subspace, ties to the lowest id). Codes are ``array<tinyint>``
+    when every codebook has ≤ 128 centroids, else ``array<smallint>``
+    (k = 256, the standard 8-bit PQ, needs 0..255 which int8 cannot
+    hold — a silent wraparound there would corrupt every distance); the
+    element width is chosen from the codebooks so stored codes stay as
+    small as the configuration allows. One mapInArrow pass: the float
+    vector crosses Arrow once and leaves as m small ints; at Iceberg
+    scale the codes column is written next to the vectors and every
+    downstream ANN scan reads ~m bytes/row instead of 256 B/row."""
     import numpy as np  # noqa: PLC0415
     import pyarrow as pa  # noqa: PLC0415
 
@@ -647,6 +701,14 @@ def pq_encode(
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     sub = cbs[0].shape[1]
     dim = m * sub
+    kmax = max(cb.shape[0] for cb in cbs)
+    if kmax > 32767:
+        raise ValueError(f"pq_encode: {kmax} centroids per subspace > int16")
+    np_dtype, pa_type, sql_type = (
+        (np.int8, pa.int8(), "tinyint")
+        if kmax <= 128
+        else (np.int16, pa.int16(), "smallint")
+    )
     id_dtype = dict(corpus.dtypes)[id_col]
 
     def encode_batches(batches):
@@ -667,18 +729,18 @@ def pq_encode(
             xv = np.asarray(batch.column(1).flatten(), dtype=np.float64).reshape(
                 n, dim
             )
-            codes = np.empty((n, m), dtype=np.int8)
+            codes = np.empty((n, m), dtype=np_dtype)
             for mi in range(m):
                 d = subspace_dists(xv[:, mi * sub : (mi + 1) * sub], cbs[mi])
                 codes[:, mi] = np.argmin(d, axis=1)  # first (lowest) index wins
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(list(codes), type=pa.list_(pa.int8()))],
+                [ids, pa.array(list(codes), type=pa.list_(pa_type))],
                 names=[id_col, out_col],
             )
 
     narrow = corpus.select(id_col, vec_col)
     return narrow.mapInArrow(
-        encode_batches, f"{id_col} {id_dtype}, {out_col} array<tinyint>"
+        encode_batches, f"{id_col} {id_dtype}, {out_col} array<{sql_type}>"
     )
 
 
@@ -800,11 +862,25 @@ def pq_topk(
     )
     if rerank_k is None:
         return shortlist
-    # exact re-rank: only the shortlist (nq × rerank_k rows) reads float
-    # vectors again — an id-keyed join against the corpus, then a
-    # sequential-fold exact L2 (dim order, the oracle's fold) and a
-    # final candidate-sized window. Recall ≈ P(true top-k ⊆ ADC
-    # shortlist), which rerank_k buys directly.
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact L2 re-rank of an ADC shortlist — the single shared
+    implementation behind pq_topk(rerank_k=...) and ivfpq_topk: only the
+    shortlist (nq × rerank_k rows) reads float vectors again, via an
+    id-keyed join against the corpus, then a sequential-fold exact L2
+    (dim order — the order _pq_oracle's replay folds in; ONE copy of
+    this expression exists precisely so Spark and the oracle can never
+    drift apart) and a final candidate-sized (dist ASC, neighbor_id)
+    window."""
     cand = shortlist.select("query_id", "neighbor_id")
     nvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
@@ -1397,6 +1473,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_impl: str = "arrow",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """The classic IVF-PQ stack as one operator: coarse-route each query
     to its ``n_probe`` nearest centroids (`ivf_assign` partitions the
@@ -1407,6 +1484,12 @@ def ivfpq_topk(
     is already 32× smaller than the floats — the combination that makes
     10^12-vector ANN tractable: 8 TB of codes, 1/4 probed, floats only
     touched for nq × rerank_k rows.
+
+    ``index`` skips the per-call assignment + encode entirely: pass the
+    stored (id_col, centroid_id, pq_code) frame built ONCE by
+    :func:`ivfpq_index` at ingest, and only the probe-partition codes
+    are ever read — without it every call re-scans the full float corpus
+    twice before the probe filter discards most of the work.
 
     Per-pair scoring moves only the m-byte code + the query id through
     Arrow (a pandas UDF gathering from the per-query LUT closure), with
@@ -1435,25 +1518,35 @@ def ivfpq_topk(
         ],
         axis=1,
     )
-    index = {i: j for j, i in enumerate(ids)}
+    qid_index = {i: j for j, i in enumerate(ids)}
 
     @pandas_udf("double")
     def adc_score(codes: "pd.Series", q_id: "pd.Series") -> "pd.Series":
         c = np.stack(codes.to_numpy()).astype(np.int64)
-        r = q_id.map(index).to_numpy()
+        r = q_id.map(qid_index).to_numpy()
         acc = np.zeros(len(r), dtype=np.float64)
         for mi in range(m):  # sequential subspace-order adds (see pq_topk)
             acc += lut[r, mi, c[:, mi]]
         return pd.Series(acc)
 
-    centroids, assigned = ivf_assign(
-        corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
-    )
-    codes_df = pq_encode(assigned.select(id_col, vec_col), codebooks, id_col, vec_col)
-    coded = assigned.select(F.col(id_col).alias("neighbor_id"), "centroid_id").join(
-        codes_df.select(F.col(id_col).alias("neighbor_id"), "pq_code"),
-        "neighbor_id",
-    )
+    if index is not None:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        coded = index.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id", "pq_code"
+        )
+    else:
+        centroids, assigned = ivf_assign(
+            corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
+        )
+        codes_df = pq_encode(
+            assigned.select(id_col, vec_col), codebooks, id_col, vec_col
+        )
+        coded = assigned.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        ).join(
+            codes_df.select(F.col(id_col).alias("neighbor_id"), "pq_code"),
+            "neighbor_id",
+        )
     # probe list per query: per-row top-n over the literal centroid array
     # (sort_array + slice — no join, no shuffle), exactly like ivf_topk
     scored_structs = [
@@ -1492,32 +1585,31 @@ def ivfpq_topk(
     )
     if rerank_k is None:
         return shortlist
-    nvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+) -> DataFrame:
+    """Build the stored IVF-PQ index frame (id, centroid_id, pq_code) in
+    one pass over the float corpus — write it partitioned/clustered by
+    ``centroid_id`` at ingest, then every `ivfpq_topk(index=...)` call
+    reads only the probe partitions' ~m-byte codes and never touches
+    the float vectors (except the optional re-rank join). Deterministic
+    for a fixed corpus + codebooks, so the index is reproducible at any
+    parallelism."""
+    _, assigned = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, assign_impl=assign_impl
     )
-    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            F.col("__nv"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    codes_df = pq_encode(
+        assigned.select(id_col, vec_col), codebooks, id_col, vec_col
     )
-    exact = (
-        shortlist.select("query_id", "neighbor_id")
-        .join(nvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", F.round(dist, 6).alias("dist"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dist", "rank")
-    )
+    return assigned.select(id_col, "centroid_id").join(codes_df, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -720,3 +720,88 @@ def test_lsh_design_curve_and_integration(spark, corpus):
         ).collect()
     }
     assert (1, 2) in found
+
+
+# ---------------------------------------------------------------------------
+# review-fix regression tests (round 5 tail)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_wide_codebooks_no_wraparound(spark):
+    # k > 127 centroids per subspace must widen the code type (int8 would
+    # silently wrap ids >= 128) — seed vectors must encode to themselves
+    rows = [(i, [float(i), float(2 * i), float(3 * i), float(i + 1)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_codebooks(df, m=2, k=200, dim=4)
+    codes = similarity.pq_encode(df, books)
+    assert codes.schema["pq_code"].dataType.elementType.typeName() == "short"
+    got = {r["vec_id"]: list(r["pq_code"]) for r in codes.collect()}
+    assert got[150] == [150, 150] and got[199] == [199, 199]
+    with pytest.raises(ValueError, match="int16"):
+        similarity.pq_encode(df, [[[0.0]] * 40000])
+
+
+def test_quantized_topk_zero_vectors_excluded(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: no direction
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id <= 2")  # includes the zero vector as a query
+    for scorer in ("numpy", "hof"):
+        out = similarity.quantized_topk(df, q, k=3, scorer=scorer).collect()
+        assert all(r["neighbor_id"] != 2 for r in out), scorer  # never a hit
+        assert all(r["query_id"] != 2 for r in out), scorer     # never a query
+        assert all(r["qcos"] == r["qcos"] for r in out), scorer  # no NaN
+    a = sorted(map(tuple, similarity.quantized_topk(df, q, k=3, scorer="numpy").collect()))
+    b = sorted(map(tuple, similarity.quantized_topk(df, q, k=3, scorer="hof").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="scorer"):
+        similarity.quantized_topk(df, q, k=3, scorer="gemm")
+
+
+def test_quantize_arrow_null_and_empty(spark):
+    rows = [(0, [1.0, -0.5]), (1, None), (2, [0.25, 0.75])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r["vec_id"]: (r["qvec"] and list(r["qvec"]), r["qscale"])
+         for r in similarity.quantize_embeddings(df, impl="hof").collect()}
+    b = {r["vec_id"]: (r["qvec"] and list(r["qvec"]), r["qscale"])
+         for r in similarity.quantize_embeddings(df, impl="arrow").collect()}
+    assert a == b and a[1] == (None, None)
+    empty = df.where("vec_id < 0")
+    assert similarity.quantize_embeddings(empty, impl="arrow").count() == 0
+
+
+def test_weighted_sample_large_weights_stay_proportional(spark):
+    from sparkcheck.sampling import weighted_sample
+
+    # 1e10/1e13 weights: a fixed-decimal-rounded key would collapse ALL
+    # keys into ties and select by id order; full precision keeps the
+    # 1000x-heavier rows dominant
+    rows = [(i, 1e13 if i % 10 == 0 else 1e10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = [r["doc_id"] for r in weighted_sample(df, "w", 40, id_col="doc_id").collect()]
+    heavy = sum(1 for i in picked if i % 10 == 0)
+    assert heavy >= 30, f"only {heavy}/40 heavy rows selected"
+    # and NOT simply the lowest ids (the id-tie-break failure signature)
+    assert picked != sorted(picked)[:40] or max(picked) > 100
+
+
+def test_ivfpq_stored_index_matches_recompute(spark, vectors):
+    books = similarity.pq_codebooks(vectors, m=2, k=4, dim=4)
+    q = vectors.where("vec_id = 0")
+    idx = similarity.ivfpq_index(vectors, books, n_centroids=4)
+    assert set(idx.columns) == {"vec_id", "centroid_id", "pq_code"}
+    a = sorted(map(tuple, similarity.ivfpq_topk(
+        vectors, q, books, k=3, n_centroids=4, n_probe=4).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_topk(
+        vectors, q, books, k=3, n_centroids=4, n_probe=4, index=idx).collect()))
+    assert a == b
+    c = sorted(map(tuple, similarity.ivfpq_topk(
+        vectors, q, books, k=2, n_centroids=4, n_probe=4, rerank_k=4,
+        index=idx).collect()))
+    d = sorted(map(tuple, similarity.pq_topk(vectors, q, books, k=2, rerank_k=4).collect()))
+    assert c == d
