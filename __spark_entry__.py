@@ -38,6 +38,7 @@ from sparkcheck import (
     dedup, diffing, media, sampling, segments, similarity, spans, stats,
     synth, temporal, text,
 )
+from sparkcheck import keys as keys_mod
 from sparkcheck import streaming as streaming_mod
 
 
@@ -2948,6 +2949,52 @@ def q_weighted_sample_documents(spark, sf):
     )
 
 
+def q_chunked_documents(spark, sf):
+    """Sliding-window context chunking (text.chunk_documents): each doc's
+    token stream split into 32-token windows at stride 24 (8-token
+    overlap) — the long-doc complement of sequence packing. A pure narrow
+    plan (tokenize → sequence → posexplode → slice), ZERO shuffles; the
+    oracle replays the closed-form chunk count and list_slice windows."""
+    d = _t(spark, sf, "documents")
+    return text.chunk_documents(d, max_tokens=32, stride=24)
+
+
+def q_distinctive_terms_source(spark, sf):
+    """Per-source TF-IDF distinctive terms (text.distinctive_terms): top-5
+    tokens per source by tf·ln(N_sources/df) with tf ≥ 2, ranked on the
+    6-dp-rounded score with token tie-break. One explode + one
+    (source, token) groupBy; df is a window over the dimension-sized
+    vocab frame; N_sources rides in as a broadcast 1×1 aggregate."""
+    d = _t(spark, sf, "documents")
+    return text.distinctive_terms(d, group_col="source", top_k=5, min_tf=2)
+
+
+def q_fuzzy_name_pairs(spark, sf):
+    """Edit-distance record linkage (keys.fuzzy_self_join): every customer
+    name pair within 1 Levenshtein edit, found by exact SymSpell
+    deletion-neighborhood blocking (explode ≤ d deletions per side, join
+    on the shared variant, verify with the JVM levenshtein) — identical
+    rows to the oracle's O(n²) cross join, without the cross join."""
+    c = _t(spark, sf, "customer")
+    return keys_mod.fuzzy_self_join(
+        c, "c_name", id_col="c_custkey", max_distance=1
+    )
+
+
+def q_embedding_decontamination(spark, sf):
+    """Embedding-space benchmark decontamination
+    (similarity.embedding_decontaminate): corpus vectors flagged when
+    their max cosine against the eval slice (vec_id % 10 == 0) reaches
+    0.9. The arrow path scores each Arrow batch against the broadcast
+    eval matrix in one float64 gemm and emits only the per-row max — a
+    shuffle-free corpus-sized plan; the oracle replays the cross-join
+    max with the shared fold cosine, compared at 6 dp."""
+    e = _t(spark, sf, "embeddings")
+    ev = e.where(F.col("vec_id") % 10 == 0)
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    return similarity.embedding_decontaminate(corpus, ev, threshold=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -3083,6 +3130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "profile_embeddings_vector": q_profile_embeddings_vector,
         "zipf_profile_documents": q_zipf_profile_documents,
+        "chunked_documents": q_chunked_documents,
+        "distinctive_terms_source": q_distinctive_terms_source,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "embedding_decontamination": q_embedding_decontamination,
     }
 
 
@@ -4649,6 +4700,61 @@ def oracle_sql() -> dict[str, str]:
             "(sxy - sx * sy / k) * (sxy - sx * sy / k) / "
             "((sxx - sx * sx / k) * (syy - sy * sy / k)) END, 6) AS r2 "
             "FROM tot CROSS JOIN fit"
+        ),
+
+        "chunked_documents": (
+            # closed-form chunk count, list_slice windows (1-based, length 32)
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t "
+            "WHERE len(toks) > 0), "
+            "ch AS (SELECT doc_id, toks, n, unnest(range(0, "
+            "1 + (greatest(n - 32, 0) + 23) // 24)) AS ci FROM c) "
+            "SELECT doc_id, ci::BIGINT AS chunk_index, "
+            "(ci * 24)::BIGINT AS start_tok, "
+            "least(n - ci * 24, 32)::BIGINT AS n_tokens_chunk, "
+            "array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ') "
+            "AS chunk_text FROM ch"
+        ),
+
+        "distinctive_terms_source": (
+            # tf >= 2 pruned BEFORE the df window (mirrors the Spark op);
+            # rank on the 6-dp-rounded score, token tie-break
+            f"WITH tok AS (SELECT source, unnest({_TOKS}) AS token "
+            "FROM documents), "
+            "tf AS (SELECT source, token, count(*)::BIGINT AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "ft AS (SELECT * FROM tf WHERE tf >= 2), "
+            "sc AS (SELECT source, token, tf, "
+            "count(*) OVER (PARTITION BY token) AS df FROM ft), "
+            "ng AS (SELECT count(DISTINCT source)::BIGINT AS n FROM documents), "
+            "sd AS (SELECT source, token, tf, df::BIGINT AS df, "
+            "round(tf::DOUBLE * ln(n::DOUBLE / df::DOUBLE), 6) AS score "
+            "FROM sc CROSS JOIN ng), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, token ASC) AS rnk FROM sd) "
+            "SELECT source, token, tf, df, score, rnk::BIGINT AS rank "
+            "FROM rk WHERE rnk <= 5"
+        ),
+
+        "fuzzy_name_pairs": (
+            # the naive O(n^2) plan the blocked join must equal row-for-row
+            "SELECT a.c_custkey AS left_id, a.c_name AS left_value, "
+            "b.c_custkey AS right_id, b.c_name AS right_value, "
+            "levenshtein(a.c_name, b.c_name)::INT AS distance "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        ),
+
+        "embedding_decontamination": (
+            "WITH ev AS (SELECT embedding AS e_vec FROM embeddings "
+            "WHERE vec_id % 10 = 0), "
+            "co AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 10 <> 0), "
+            "mx AS (SELECT co.vec_id, "
+            f"max({_cos_sql('co.embedding', 'ev.e_vec', None)}) AS m "
+            "FROM co CROSS JOIN ev GROUP BY 1) "
+            "SELECT vec_id, round(m, 6) AS max_eval_cos, "
+            "round(m, 6) >= 0.9 AS contaminated FROM mx"
         ),
     }
 

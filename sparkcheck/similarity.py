@@ -2029,3 +2029,94 @@ def kmeans(
             F.round(best["c_cos"], 6).alias("c_cos"),
         )
     return cents, assigned
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every corpus vector whose
+    embedding is within cosine ``threshold`` of ANY eval-set vector — the
+    embedding-space complement of the n-gram overlap check
+    (dedup.decontaminate), catching paraphrased/reworded eval leakage
+    that shares no 8-gram with the benchmark.
+
+    Returns one row per corpus vector: (id, max_eval_cos, contaminated),
+    with ``max_eval_cos`` the maximum cosine against the whole eval set
+    rounded to 6 dp (rounded AFTER the max — round is monotone, so this
+    equals the max of rounded scores) and ``contaminated`` the
+    threshold verdict on the rounded value, deterministic across engines.
+
+    ``assign_impl="arrow"`` (default) broadcasts the eval matrix into a
+    mapInArrow closure and computes each Arrow batch's full cosine block
+    as ONE float64 gemm, emitting only the per-row max — the corpus
+    vector crosses the JVM/Python boundary once, nothing shuffles, and
+    the output is corpus-sized (narrow plan end-to-end).
+    ``assign_impl="fold"`` is the pure-JVM replay path (broadcast join +
+    groupBy max over the HOF cosine) used by the oracle gate. The eval
+    side is driver-collected and capped at MAX_CLOSURE_QUERIES
+    (benchmarks are dimension-sized); for eval sets beyond the cap,
+    pre-reduce them (e.g. cluster-representative vectors via kmeans).
+
+    Scale: at 10^12 corpus rows this is a single pruned-scan map pass —
+    no exchange in the plan; throughput is the gemm (dim × |eval| flops
+    per row) on the executor, not the network.
+    """
+    if assign_impl == "arrow":
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+
+        qmap = _collect_query_map(eval_set, id_col, vec_col)
+        if not qmap:
+            raise ValueError("embedding_decontaminate: eval_set is empty")
+        qmat = np.asarray(list(qmap.values()), dtype=np.float64)
+        qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+        dim = qmat.shape[1]
+        id_dtype = dict(corpus.dtypes)[id_col]
+
+        def max_batches(batches):
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                cv = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+                cv = cv.reshape(n, dim)
+                num = cv @ qmat.T
+                cn = np.sqrt(np.einsum("ij,ij->i", cv, cv))
+                mx = (num / (cn[:, None] * qnorm[None, :])).max(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), pa.array(mx)],
+                    names=[id_col, "__mx"],
+                )
+
+        from .sources import ensure_parallelism
+
+        narrow = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+        scored = narrow.mapInArrow(max_batches, f"{id_col} {id_dtype}, __mx double")
+    elif assign_impl == "fold":
+        ev = eval_set.select(F.col(vec_col).alias("__evec"))
+        scored = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(ev))
+            .groupBy(id_col)
+            .agg(F.max(cosine(F.col(vec_col), F.col("__evec"), "hof")).alias("__mx"))
+        )
+    else:
+        raise ValueError(
+            f"assign_impl must be 'arrow' or 'fold', got {assign_impl!r}"
+        )
+    mx = F.round(F.col("__mx"), 6)
+    return scored.select(
+        F.col(id_col),
+        mx.alias("max_eval_cos"),
+        (mx >= F.lit(float(threshold))).alias("contaminated"),
+    )

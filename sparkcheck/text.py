@@ -1091,3 +1091,150 @@ def novelty_scores(
             F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — context-length preparation for training
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping fixed-width token windows —
+    the context-length preparation step of a training pipeline (the
+    complement of sampling.pack_sequences, which packs SHORT docs; this
+    op splits LONG ones). Output one row per chunk:
+
+        (id, chunk_index, start_tok, n_tokens_chunk, chunk_text)
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + max_tokens)`` of the
+    lowercased whitespace token stream (the shared :func:`tokens`
+    convention), so consecutive chunks overlap by ``max_tokens - stride``
+    tokens — the standard HF-tokenizer ``return_overflowing_tokens``
+    layout. The chunk count is the closed form
+
+        n_chunks = 1 + ceil(max(n - max_tokens, 0) / stride)
+
+    i.e. exactly enough windows that the last one reaches the end of the
+    document without emitting trailing windows fully contained in their
+    predecessor. Empty documents (no tokens) produce no chunks.
+
+    Scale: this is a pure narrow projection — tokenize, build the start
+    offsets with ``sequence``, ``posexplode``, ``slice`` — ZERO shuffles
+    at any corpus size; output rows ≈ Σ ceil(n_i/stride). Spark's
+    fan-out explode keeps memory per task bounded by one document's
+    chunks. At 10^12 docs this pipelines straight into a partitioned
+    writer with no exchange in the plan.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens]; got stride={stride}, "
+            f"max_tokens={max_tokens} (stride > max_tokens would skip tokens)"
+        )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # integer ceil(max(n - max_tokens, 0) / stride) without float traffic
+    n_chunks = F.lit(1) + (
+        (F.greatest(n - F.lit(max_tokens), F.lit(0)) + F.lit(stride - 1))
+        .cast("bigint") / F.lit(stride)
+    ).cast("bigint")
+    with_toks = docs.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"), n.alias("__n")
+    ).where(F.col("__n") > 0)
+    exploded = with_toks.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+            "chunk_index", "__ci"
+        ),
+    )
+    start = F.col("chunk_index").cast("bigint") * F.lit(stride)
+    chunk = F.slice(F.col("__toks"), (start + 1).cast("int"), max_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tokens_chunk"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms per group — corpus composition analysis
+# ---------------------------------------------------------------------------
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Top-``k`` most DISTINCTIVE terms per group by a TF-IDF score over
+    group-level term frequencies: for group g and token t,
+
+        score(g, t) = tf(g, t) · ln(N_groups / df(t))
+
+    with df(t) = number of groups containing t. Terms every group shares
+    score 0 (ln 1); terms concentrated in one group score highest — the
+    standard corpus-composition diagnostic ("what is source X actually
+    full of?") run before mixing corpora.
+
+    Returns (group, token, tf, df, score, rank), rank 1..top_k per group
+    ordered by (score DESC, token ASC) on the score ROUNDED to 6 dp —
+    rounding before ranking makes the cut deterministic across engines
+    whose ``ln`` differs in the last ulp.
+
+    Scale: one explode + groupBy(group, token) with map-side combine
+    collapses the corpus to the (group × vocab) frame; df is a window
+    over that dimension-sized frame (not the corpus), and N_groups rides
+    in as a broadcast 1×1 aggregate — no driver collect, no second scan
+    of the data. ``min_tf`` prunes the hapax tail before the window.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    tok = docs.select(
+        F.col(group_col).alias("group"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("group", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if min_tf > 1:
+        tf = tf.where(F.col("tf") >= min_tf)
+    # df counts (group, token) rows per token — the frame is distinct by
+    # construction, so a window count over it IS the document frequency
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    ng = docs.agg(F.count_distinct(F.col(group_col)).alias("__ng"))
+    scored = scored.crossJoin(F.broadcast(ng)).withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("__ng").cast("double") / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("group").alias(group_col),
+            "token",
+            "tf",
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
