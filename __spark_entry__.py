@@ -2995,6 +2995,33 @@ def q_embedding_decontamination(spark, sf):
     return similarity.embedding_decontaminate(corpus, ev, threshold=0.9)
 
 
+def q_quantile_sketch_verdicts(spark, sf):
+    """Three-valued quantile expectation from MERGEABLE quantile-summary
+    states (sketches.quantile_states → quantile_sketch_bounds →
+    states.quantile_bracket_verdicts): per-commit-unit MRL-style
+    summaries with a worst-case certified rank error, folded without
+    rescanning, then verdicts against allowed ranges. The summary's
+    internal items vary with task boundaries, but the VERDICT is
+    partition-independent whenever the certified bracket sits robustly
+    inside/outside the allowed range — which these ranges guarantee —
+    so the oracle checks the exact type-1 quantile against the same
+    ranges and must agree."""
+    from sparkcheck import sketches
+    from sparkcheck.states import quantile_bracket_verdicts
+
+    li = _t(spark, sf, "lineitem")
+    st = sketches.quantile_states(
+        li, "l_quantity", state_key="pmod(l_orderkey, 8)", k=256
+    )
+    bounds = sketches.quantile_sketch_bounds(st, [0.5, 0.95])
+    v = quantile_bracket_verdicts(
+        bounds,
+        {"l_quantity": {0.5: (1.0, 45.0),    # p50 ≈ 25 → certain pass
+                        0.95: (0.0, 10.0)}},  # p95 ≈ 48 → certain fail
+    )
+    return v.select("column", "p", "n", "amin", "amax", "verdict")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -3134,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms_source": q_distinctive_terms_source,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "embedding_decontamination": q_embedding_decontamination,
+        "quantile_sketch_verdicts": q_quantile_sketch_verdicts,
     }
 
 
@@ -4755,6 +4783,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM co CROSS JOIN ev GROUP BY 1) "
             "SELECT vec_id, round(m, 6) AS max_eval_cos, "
             "round(m, 6) >= 0.9 AS contaminated FROM mx"
+        ),
+
+        "quantile_sketch_verdicts": (
+            # exact type-1 quantiles (rank ceil(p*n), all-integer: p=1/2 ->
+            # (n+1) DIV 2, p=19/20 -> (19n+19) DIV 20) vs the same allowed
+            # ranges; the sketch's certified bracket makes the verdicts
+            # agree whenever they are definite — and these ranges make
+            # them definite by a wide margin
+            "WITH s AS (SELECT l_quantity AS v, row_number() OVER "
+            "(ORDER BY l_quantity) AS r FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM s), "
+            "t AS (SELECT 0.5::DOUBLE AS p, 1.0::DOUBLE AS amin, "
+            "45.0::DOUBLE AS amax UNION ALL "
+            "SELECT 0.95::DOUBLE, 0.0::DOUBLE, 10.0::DOUBLE), "
+            "tr AS (SELECT t.p, t.amin, t.amax, n.n, "
+            "CASE WHEN t.p = 0.5 THEN (n.n + 1) // 2 "
+            "ELSE (19 * n.n + 19) // 20 END AS tgt FROM t CROSS JOIN n), "
+            "sel AS (SELECT tr.p, tr.amin, tr.amax, tr.n, s.v AS tq "
+            "FROM tr JOIN s ON s.r = tr.tgt) "
+            "SELECT 'l_quantity' AS \"column\", p, n, amin, amax, "
+            "CASE WHEN tq >= amin AND tq <= amax THEN 'pass' "
+            "ELSE 'fail' END AS verdict FROM sel"
         ),
     }
 

@@ -88,6 +88,11 @@ HEADLINE = [
     "novelty_documents",
     "kmeans_refine",
     "runner_profile_documents",
+    # round-5 additions: context chunking (zero-shuffle narrow plan),
+    # deletion-blocked fuzzy linkage, embedding decontamination gemm
+    "chunked_documents",
+    "fuzzy_name_pairs",
+    "embedding_decontamination",
 ]
 
 # Quiet-box per-query references (seconds) at the reference configuration

@@ -1,0 +1,144 @@
+"""Mergeable deterministic quantile-summary states (sketches.quantile_*):
+the certificate is worst-case, so the tests are adversarial — every
+bracket must contain the true type-1 quantile on every distribution."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sparkcheck import sketches
+from sparkcheck.states import quantile_bracket_verdicts
+
+PS = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _df(spark, vals, parts=4):
+    rows = [Row(id=i, x=(None if v is None else float(v))) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows).repartition(parts)
+
+
+def _true_q(vals, p):
+    a = np.sort(np.asarray([v for v in vals if v is not None], dtype="float64"))
+    t = max(1, math.ceil(p * len(a)))
+    return float(a[t - 1])
+
+
+def _bounds(spark, vals, k=32, key="pmod(id, 8)", ps=PS):
+    df = _df(spark, vals)
+    st = sketches.quantile_states(df, "x", state_key=key, k=k)
+    return {
+        r["p"]: r
+        for r in sketches.quantile_sketch_bounds(st, ps).collect()
+    }
+
+
+def _distributions():
+    rng = np.random.RandomState(7)
+    return {
+        "uniform": rng.uniform(0, 1000, 3000).tolist(),
+        "sorted": np.arange(2500, dtype="float64").tolist(),
+        "reversed": np.arange(2500, dtype="float64")[::-1].tolist(),
+        "heavy_dup": ([5.0] * 2000 + rng.uniform(0, 10, 500).tolist()),
+        "zipfish": (1.0 / rng.zipf(1.5, 3000).astype("float64")).tolist(),
+    }
+
+
+@pytest.mark.parametrize("name", list(_distributions()))
+def test_bracket_contains_true_quantile(spark, name):
+    vals = _distributions()[name]
+    got = _bounds(spark, vals, k=32)
+    for p in PS:
+        tq = _true_q(vals, p)
+        r = got[p]
+        assert r["lo"] <= tq <= r["hi"], (name, p, tq, dict(r.asDict()))
+        assert r["n"] == len(vals)
+
+
+def test_small_n_is_exact(spark):
+    vals = [3.0, 1.0, 2.0, 9.0, 4.0]
+    got = _bounds(spark, vals, k=32, key="'all'")
+    for p in PS:
+        tq = _true_q(vals, p)
+        r = got[p]
+        assert r["lo"] == r["hi"] == r["est"] == tq
+
+
+def test_null_accounting_and_all_null_unit(spark):
+    vals = [1.0, None, 2.0, None, 3.0] + [None] * 8
+    df = _df(spark, vals)
+    st = sketches.quantile_states(df, "x", state_key="pmod(id, 3)", k=32)
+    # per-unit scalars repeat per row: dedupe per state_key then sum
+    per_unit = st.select("state_key", "n", "n_null").distinct()
+    agg = per_unit.agg(F.sum("n").alias("n"), F.sum("n_null").alias("nn")).first()
+    assert agg["n"] == 3 and agg["nn"] == 10
+    b = sketches.quantile_sketch_bounds(st, [0.5])
+    r = b.first()
+    assert r["n"] == 3 and r["lo"] <= 2.0 <= r["hi"]
+
+
+def test_determinism(spark):
+    vals = _distributions()["uniform"]
+    df = _df(spark, vals)
+    a = sketches.quantile_states(df, "x", state_key="pmod(id, 4)", k=64)
+    b = sketches.quantile_states(df, "x", state_key="pmod(id, 4)", k=64)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_update_last_write_wins(spark):
+    base = _df(spark, np.arange(1000, dtype="float64").tolist())
+    st = sketches.quantile_states(base, "x", state_key="pmod(id, 4)", k=64)
+    # recommit unit 0 with shifted data: ids ≡ 0 mod 4 now carry x+10000
+    newer = base.where(F.col("id") % 4 == 0).withColumn("x", F.col("x") + 10000)
+    st2 = sketches.update_quantile_states(st, newer, "x", state_key="pmod(id, 4)")
+    n_units = st2.select("state_key").distinct().count()
+    assert n_units == 4
+    b = {r["p"]: r for r in sketches.quantile_sketch_bounds(st2, [0.99]).collect()}
+    # 25% of rows now sit near 10996 — p99 must certify inside the new mass
+    assert b[0.99]["lo"] > 9000
+    # true quantile of the updated corpus inside the bracket
+    upd = [v + 10000 if i % 4 == 0 else v for i, v in enumerate(range(1000))]
+    tq = _true_q([float(v) for v in upd], 0.99)
+    assert b[0.99]["lo"] <= tq <= b[0.99]["hi"]
+
+
+def test_update_rejects_wrong_column(spark):
+    base = _df(spark, [1.0, 2.0])
+    st = sketches.quantile_states(base, "x", state_key="'u'", k=32)
+    st = st.withColumn("column", F.lit("y"))
+    with pytest.raises(ValueError, match="column"):
+        sketches.update_quantile_states(st, base, "x", state_key="'u'")
+
+
+def test_merge_rejects_mismatched_k(spark):
+    df = _df(spark, [1.0, 2.0, 3.0])
+    a = sketches.quantile_states(df, "x", state_key="'a'", k=32)
+    b = sketches.quantile_states(df, "x", state_key="'b'", k=64)
+    with pytest.raises(ValueError, match="k"):
+        sketches.merge_quantile_states(a.unionByName(b))
+
+
+def test_verdict_composition(spark):
+    vals = np.arange(1, 10001, dtype="float64").tolist()  # quantiles exact-ish
+    df = _df(spark, vals)
+    st = sketches.quantile_states(df, "x", state_key="pmod(id, 8)", k=128)
+    bounds = sketches.quantile_sketch_bounds(st, [0.5, 0.95])
+    v = quantile_bracket_verdicts(
+        bounds,
+        {"x": {0.5: (0.0, 9000.0),      # p50≈5000, generous -> pass
+               0.95: (0.0, 1000.0)}},   # p95≈9500, disjoint -> fail
+    )
+    got = {r["p"]: r["verdict"] for r in v.collect()}
+    assert got == {0.5: "pass", 0.95: "fail"}
+
+
+def test_error_bound_scales_with_k(spark):
+    vals = _distributions()["uniform"]
+    wide = _bounds(spark, vals, k=16)[0.5]
+    tight = _bounds(spark, vals, k=256)[0.5]
+    assert (tight["hi"] - tight["lo"]) <= (wide["hi"] - wide["lo"])
