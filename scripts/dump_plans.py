@@ -547,6 +547,38 @@ def main():
         "the codes column is stored and the assignment Project vanishes "
         "into the table layout (cluster by centroid_id).")
 
+    # ---- round-5 additions ----
+    add("Sliding-window chunking (chunked_documents)",
+        qs["chunked_documents"](spark, SF),
+        "A pure narrow plan: tokenize -> sequence -> Generate posexplode -> "
+        "slice, ZERO Exchange nodes — chunking 10^12 docs is one map pass "
+        "that pipelines straight into a partitioned writer.")
+    add("TF-IDF distinctive terms (distinctive_terms_source)",
+        qs["distinctive_terms_source"](spark, SF),
+        "The corpus collapses to the (source, token) frame in one "
+        "map-side-combined HashAggregate; the df window and top-k rank run "
+        "over that dimension-sized frame, and N_sources joins in as a "
+        "broadcast 1x1 aggregate — no second scan of the data.")
+    add("Fuzzy linkage via deletion blocking (fuzzy_name_pairs)",
+        qs["fuzzy_name_pairs"](spark, SF),
+        "No cartesian product anywhere: each side explodes its O(len^d) "
+        "deletion variants and the candidate join is a plain equi-join on "
+        "the variant key (AQE/skew-join eligible), then a narrow "
+        "levenshtein filter + distinct over candidate pairs only.")
+    add("Embedding decontamination (embedding_decontamination)",
+        qs["embedding_decontamination"](spark, SF),
+        "One mapInArrow pass over the pruned (id, vec) scan computes each "
+        "batch x eval-matrix cosine block as a single float64 gemm and "
+        "emits only the per-row max — no Exchange in the plan; corpus "
+        "vectors cross the JVM/Python boundary exactly once.")
+    add("Quantile-sketch verdicts (quantile_sketch_verdicts)",
+        qs["quantile_sketch_verdicts"](spark, SF),
+        "Per-task MRL summaries stream out of one mapInArrow pass "
+        "(O(k log(n/k)) rows per task), fold per commit unit in one "
+        "applyInPandas exchange of summary rows only, and every downstream "
+        "frame is dimension-sized — the data itself is scanned once and "
+        "never shuffled.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
