@@ -490,6 +490,7 @@ class CheckpointRunner:
         profile_hll: bool = False,
         profile_bins: "dict[str, Sequence[float]] | None" = None,
         profile_mg: "tuple[str, int] | None" = None,
+        profile_quantiles: "tuple[str, int] | None" = None,
     ):
         self.spark = spark
         self.store = store
@@ -513,6 +514,15 @@ class CheckpointRunner:
         # corpus_heavy_hitters folds them into three-valued certified
         # hot-key verdicts with no rescan of committed partitions
         self.profile_mg = tuple(profile_mg) if profile_mg else None
+        # (column, k): per-partition mergeable quantile summaries
+        # (sketches.quantile_states) ride into the quantile_states table;
+        # corpus_quantile_bounds folds them into certified [lo, hi]
+        # brackets (and three-valued verdicts via
+        # states.quantile_bracket_verdicts) with no rescan and NO
+        # pre-chosen bin edges — the edge-free complement of profile_bins
+        self.profile_quantiles = (
+            tuple(profile_quantiles) if profile_quantiles else None
+        )
         # fused=True: per-partition suite aggregates ride a CollectMetrics
         # node on the violation-row write (fused.validate_and_extract), so
         # the partition is scanned ONCE with no persist() — the 10^12-doc
@@ -739,13 +749,23 @@ class CheckpointRunner:
         lock itself. The states table is run- and ts-stamped so
         corpus_profile can apply last-write-wins to orphan rows left by a
         crash between this append and the manifest commit."""
-        if not (self.profile_columns or self.profile_bins or self.profile_mg):
+        if not (
+            self.profile_columns
+            or self.profile_bins
+            or self.profile_mg
+            or self.profile_quantiles
+        ):
             return
         from .states import column_states, histogram_states
 
         n_families = sum(
             1
-            for x in (self.profile_columns, self.profile_bins, self.profile_mg)
+            for x in (
+                self.profile_columns,
+                self.profile_bins,
+                self.profile_mg,
+                self.profile_quantiles,
+            )
             if x
         )
         # each family's aggregation is its own Spark job; with >1 family
@@ -758,6 +778,7 @@ class CheckpointRunner:
             set(self.profile_columns or [])
             | set(self.profile_bins or {})
             | ({self.profile_mg[0]} if self.profile_mg else set())
+            | ({self.profile_quantiles[0]} if self.profile_quantiles else set())
         )
         src = part.select(*needed)
         cache_src = n_families > 1 and self.fused
@@ -791,6 +812,16 @@ class CheckpointRunner:
             pending.append((
                 "mg_states",
                 mg_states(src.select(col), col, k=k, state_key=f"'{pid}'"),
+            ))
+        if self.profile_quantiles:
+            from .sketches import quantile_states
+
+            qcol, qk = self.profile_quantiles
+            pending.append((
+                "quantile_states",
+                quantile_states(
+                    src.select(qcol), qcol, state_key=f"'{pid}'", k=qk
+                ),
             ))
         for table, st in pending:
             stamped = st.select(
@@ -916,6 +947,33 @@ class CheckpointRunner:
 
         return quantile_bounds(
             self.corpus_histogram(run_id), self.profile_bins, ps
+        )
+
+    def corpus_quantile_sketch_bounds(
+        self, run_id: str, ps: "Sequence[float]"
+    ) -> DataFrame:
+        """Certified quantile brackets (column, p, n, lo, hi, est) from
+        the run's merged quantile-summary states — the EDGE-FREE
+        counterpart of corpus_quantile_bounds: no profile_bins needed,
+        the bracket width is the summary's worst-case rank certificate
+        instead of one bin. Set-level last-write-wins supersedes
+        redelivered units (the summary is a multi-row unit, like MG);
+        definite three-valued verdicts follow via
+        states.quantile_bracket_verdicts without ever rescanning
+        committed partitions. Requires profile_quantiles=(column, k)."""
+        if not self.profile_quantiles:
+            raise ValueError(
+                "corpus_quantile_sketch_bounds needs the runner constructed "
+                "with profile_quantiles=(column, k)"
+            )
+        from .sketches import committed_mg_states, quantile_sketch_bounds
+
+        df = self.store.read(self.spark, "quantile_states").where(
+            F.col("run_id") == run_id
+        )
+        committed = sorted(self.store.committed_partitions(run_id))
+        return quantile_sketch_bounds(
+            committed_mg_states(df, committed), ps
         )
 
     def _write_results(self, run_id: str, pid: str, result: dict[str, Any]) -> None:

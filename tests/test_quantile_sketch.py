@@ -142,3 +142,40 @@ def test_error_bound_scales_with_k(spark):
     wide = _bounds(spark, vals, k=16)[0.5]
     tight = _bounds(spark, vals, k=256)[0.5]
     assert (tight["hi"] - tight["lo"]) <= (wide["hi"] - wide["lo"])
+
+
+def test_runner_quantile_sketch_resume(spark, tmp_path):
+    """Two-phase runner: quantile states committed per partition, the
+    resumed run's folded brackets certify the full corpus' true quantile
+    — the merged == rescan contract through the runner API."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.runner import CheckpointRunner, ParquetStore
+    from sparkcheck.synth import generate_docs
+
+    docs = generate_docs(spark, 3000).withColumn(
+        "n_spans", F.size("spans").cast("double")
+    )
+    suite = ExpectationSuite("qs")
+    suite.add("expect_column_values_to_not_be_null", column="doc_id", mostly=0.9)
+    store = ParquetStore(str(tmp_path / "store"))
+    mk = lambda: CheckpointRunner(  # noqa: E731
+        spark, store, n_buckets=5, profile_quantiles=("n_spans", 64)
+    )
+    try:
+        mk().run(docs, suite, run_id="r1", fail_after=2)
+    except RuntimeError:
+        pass
+    # interrupted: brackets cover the committed subset only
+    partial = {r["p"]: r for r in
+               mk().corpus_quantile_sketch_bounds("r1", [0.5]).collect()}
+    assert 0 < partial[0.5]["n"] < 3000
+    rep = mk().run(docs, suite, run_id="r1")
+    assert len(rep.partitions_skipped) == 2
+    got = {r["p"]: r for r in
+           mk().corpus_quantile_sketch_bounds("r1", [0.5, 0.95]).collect()}
+    vals = [r["n_spans"] for r in docs.select("n_spans").collect()
+            if r["n_spans"] is not None]
+    assert got[0.5]["n"] == len(vals)
+    for p in (0.5, 0.95):
+        tq = _true_q([float(v) for v in vals], p)
+        assert got[p]["lo"] <= tq <= got[p]["hi"]
