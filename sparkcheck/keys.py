@@ -329,13 +329,23 @@ def _fuzzy_candidates(
     max_distance: int,
     max_bucket: int | None,
 ) -> DataFrame:
-    lv = left.select(
-        F.col(left_id).alias("left_id"), F.col(left_on).alias("left_value")
+    from .sources import ensure_parallelism
+
+    # a small dimension file arrives as ONE input split; the variant
+    # explode multiplies it ~len(s)^d times and the candidate join would
+    # otherwise run single-task — spread the narrow (id, value) frames
+    # across the cluster before exploding
+    lv = ensure_parallelism(
+        left.select(
+            F.col(left_id).alias("left_id"), F.col(left_on).alias("left_value")
+        )
     ).withColumn(
         "__variant", F.explode(_deletion_neighborhood(F.col("left_value"), max_distance))
     )
-    rv = right.select(
-        F.col(right_id).alias("right_id"), F.col(right_on).alias("right_value")
+    rv = ensure_parallelism(
+        right.select(
+            F.col(right_id).alias("right_id"), F.col(right_on).alias("right_value")
+        )
     ).withColumn(
         "__variant", F.explode(_deletion_neighborhood(F.col("right_value"), max_distance))
     )

@@ -650,6 +650,73 @@ class StreamingDriftMonitor:
         )
 
 
+class StreamingQuantileMonitor:
+    """``foreachBatch`` callable maintaining a continuously-updated corpus
+    quantile summary from mergeable MRL-style quantile states
+    (sketches.quantile_states) — the edge-free quantile twin of
+    :class:`StreamingDriftMonitor`: no bin edges to choose up front, and
+    ``bounds()`` at any moment folds the committed batches into CERTIFIED
+    [lo, hi] quantile brackets (worst-case rank certificate, see
+    sketches.py) without rescanning any batch. Three-valued quantile
+    expectations over the stream follow via
+    states.quantile_bracket_verdicts.
+
+    Exactly-once: redelivered batches are skipped by the batch-id
+    manifest; a crash between the state append and the manifest commit
+    leaves orphan rows that sketches.committed_mg_states supersedes as a
+    SET per state_key (the summary is a multi-row unit; the per-append
+    unique id breaks same-tick ts ties)."""
+
+    def __init__(
+        self,
+        store: ParquetStore,
+        column: str,
+        k: int = 256,
+        run_id: str = "stream_quantiles",
+    ):
+        self.store = store
+        self.column = column
+        self.k = int(k)
+        self.run_id = run_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import uuid
+
+        from .runner import _utcnow, store_has_partition
+        from .sketches import quantile_states
+
+        pid = f"batch={batch_id}"
+        if store_has_partition(self.store, self.run_id, pid):
+            return
+        st = quantile_states(
+            batch_df.select(self.column), self.column,
+            state_key=f"'{pid}'", k=self.k,
+        )
+        stamped = st.select(
+            F.lit(self.run_id).alias("run_id"),
+            "*",
+            F.lit(_utcnow()).alias("ts"),
+            F.lit(uuid.uuid4().hex).alias("append_id"),
+        )
+        if hasattr(self.store, "append_small"):
+            self.store.append_small("quantile_states", stamped)
+        else:
+            self.store.append("quantile_states", stamped)
+        self.store.commit_partition(self.run_id, pid, {})
+
+    def bounds(self, spark, ps: "list[float]") -> DataFrame:
+        """Certified quantile brackets (column, p, n, lo, hi, est) over
+        every batch committed so far — folds the dimension-sized states,
+        never rescans batch data."""
+        from .sketches import committed_mg_states, quantile_sketch_bounds
+
+        df = self.store.read(spark, "quantile_states").where(
+            F.col("run_id") == self.run_id
+        )
+        committed = sorted(self.store.committed_partitions(self.run_id))
+        return quantile_sketch_bounds(committed_mg_states(df, committed), ps)
+
+
 def streaming_group_cap(
     stream_df: DataFrame, group_col: str, cap: int, id_col: str
 ) -> DataFrame:

@@ -179,3 +179,38 @@ def test_runner_quantile_sketch_resume(spark, tmp_path):
     for p in (0.5, 0.95):
         tq = _true_q([float(v) for v in vals], p)
         assert got[p]["lo"] <= tq <= got[p]["hi"]
+
+
+def test_streaming_quantile_monitor(spark, tmp_path):
+    """Three micro-batches through the quantile monitor: the folded
+    brackets certify the true union quantile, a redelivered batch is a
+    no-op, and an orphan append (no manifest commit) is superseded."""
+    from sparkcheck.runner import ParquetStore, _utcnow
+    from sparkcheck.streaming import StreamingQuantileMonitor
+
+    vals = [float((i * 13) % 300) for i in range(3000)]
+    df = _df(spark, vals)
+    store = ParquetStore(str(tmp_path / "store_q"))
+    mon = StreamingQuantileMonitor(store, "x", k=64, run_id="sq")
+    batches = [df.where(F.col("id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        mon(b, i)
+    mon(batches[2], 2)  # redelivery must not double-count
+    got = {r["p"]: r for r in mon.bounds(spark, [0.5, 0.95]).collect()}
+    assert got[0.5]["n"] == 3000
+    for p in (0.5, 0.95):
+        tq = _true_q(vals, p)
+        assert got[p]["lo"] <= tq <= got[p]["hi"]
+    # orphan: state rows appended for batch=3 but never committed
+    from sparkcheck.sketches import quantile_states
+
+    orphan = quantile_states(
+        spark.createDataFrame([(99999.0,)] * 500, "x double"),
+        "x", state_key="'batch=3'", k=64,
+    ).select(
+        F.lit("sq").alias("run_id"), "*",
+        F.lit(_utcnow()).alias("ts"), F.lit("orph").alias("append_id"),
+    )
+    store.append_small("quantile_states", orphan)
+    after = {r["p"]: r for r in mon.bounds(spark, [0.95]).collect()}
+    assert after[0.95]["n"] == 3000 and after[0.95]["hi"] < 99999.0
