@@ -140,6 +140,10 @@ QUIET_REF = {
     # (ParquetStore.append_rows) and the entry runner validates its 4
     # buckets concurrently — 8.8 -> ~2 s
     "runner_profile_documents": 2.0,
+    # round-5 additions, quiet-box measured 2026-08-21 (BENCH/BASELINE.md)
+    "chunked_documents": 0.32,
+    "fuzzy_name_pairs": 1.26,
+    "embedding_decontamination": 1.0,
     "validate_synth_corpus": 3.65,
     "validate_synth_corpus_fused": 2.16,
 }
@@ -213,7 +217,12 @@ def main() -> None:
                  # compile
                  "semantic_dedup", "importance_resample",
                  "robust_stats_quantity", "novelty_documents",
-                 "kmeans_refine"):
+                 "kmeans_refine",
+                 # round-5 pipelines: the fuzzy join's variant-explode +
+                 # candidate-join plan and the decontamination mapInArrow
+                 # carry 1-3s of one-time Catalyst/codegen compile
+                 "chunked_documents", "fuzzy_name_pairs",
+                 "embedding_decontamination"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # the quiet-band protocol only applies at the reference configuration
