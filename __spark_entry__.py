@@ -3022,6 +3022,41 @@ def q_quantile_sketch_verdicts(spark, sf):
     return v.select("column", "p", "n", "amin", "amax", "verdict")
 
 
+def q_interleaved_chunk_stats(spark, sf):
+    """Context-window chunking of the interleaved span corpus
+    (spans.chunk_interleaved, budget-interval mode): whole spans
+    assigned to 16-token windows, media spans costing a fixed 8 tokens
+    — the multimodal step between validation and packing, as a single
+    narrow transform/posexplode plan with zero shuffles before the
+    stats rollup. The oracle rebuilds the same md5-derived corpus and
+    replays the cumulative-cost window division."""
+    docs = spans.interleave_documents(_t(spark, sf, "documents"))
+    ch = spans.chunk_interleaved(
+        docs, max_tokens=16, media_token_cost=8, mode="interval"
+    )
+    return spans.chunk_stats(ch)
+
+
+def q_normalized_text_documents(spark, sf):
+    """Engine-portable text normalization (text.normalize_text): the
+    documents table decorated with deterministic unicode noise (curly
+    quotes, em-dash, NBSP, a control char, doubled spaces — injected
+    via chr() so both engines build identical bytes), then folded back
+    to canonical ASCII through the shared translate map + ASCII-only
+    regex chain. Output hashes must match DuckDB bit-for-bit."""
+    d = _t(spark, sf, "documents")
+    # Python chr() literals, NOT Spark's char() — Spark char(n) is n%256
+    # (8220 -> \x1c), DuckDB chr(n) is the real codepoint
+    noisy = F.concat(
+        F.lit(chr(8220)), F.col("text"), F.lit(chr(8221)),
+        F.lit("  "), F.lit(chr(8212)), F.lit(" x"),
+        F.lit(chr(160)), F.lit("y"), F.lit(chr(7)), F.lit("z"),
+    )
+    return d.select(
+        "doc_id", text.normalize_text(noisy).alias("norm_text")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -3162,6 +3197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "embedding_decontamination": q_embedding_decontamination,
         "quantile_sketch_verdicts": q_quantile_sketch_verdicts,
+        "interleaved_chunk_stats": q_interleaved_chunk_stats,
+        "normalized_text_documents": q_normalized_text_documents,
     }
 
 
@@ -4807,6 +4844,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN tq >= amin AND tq <= amax THEN 'pass' "
             "ELSE 'fail' END AS verdict FROM sel"
         ),
+
+        "interleaved_chunk_stats": (
+            f"WITH {_SPAN_BUILD}, "
+            "cost AS (SELECT did, idx, kind, CASE WHEN kind = 'text' THEN "
+            r"len(list_filter(regexp_split_to_array(coalesce(stext, ''), "
+            r"'\s+'), x -> x <> ''))::BIGINT ELSE 8 END AS cost FROM built), "
+            "cum AS (SELECT did, idx, kind, cost, sum(cost) OVER "
+            "(PARTITION BY did ORDER BY idx ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) - cost AS cb FROM cost) "
+            "SELECT did::BIGINT AS doc_id, (cb // 16)::BIGINT AS chunk_index, "
+            "count(*)::BIGINT AS n_spans, sum(cost)::BIGINT AS n_tokens, "
+            "sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_media FROM cum GROUP BY 1, 2"
+        ),
+
+        "normalized_text_documents": (
+            "SELECT doc_id, "
+            + _normalize_sql(
+                "chr(8220) || text || chr(8221) || '  ' || chr(8212) || "
+                "' x' || chr(160) || 'y' || chr(7) || 'z'"
+            )
+            + " AS norm_text FROM documents"
+        ),
     }
 
 
@@ -5604,6 +5664,25 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id "
         "ORDER BY c_cos DESC, cid ASC) AS rr FROM af) WHERE rr = 1"
     )
+
+
+def _normalize_sql(expr: str) -> str:
+    """DuckDB replay of text.normalize_text over ``expr``: the SAME
+    translate map (built from chr() calls so the SQL stays ASCII) and
+    the SAME ASCII-only regex chain, with RE2's 'g' flag and chr(10)
+    replacements (RE2 replacement strings do not interpret backslash
+    escapes, so newlines are concatenated in as real characters)."""
+    from sparkcheck.text import NORMALIZE_FROM, NORMALIZE_RULES, NORMALIZE_TO
+
+    f_sql = " || ".join(f"chr({ord(c)})" for c in NORMALIZE_FROM)
+    t_sql = " || ".join(f"chr({ord(c)})" for c in NORMALIZE_TO)
+    core = f"translate({expr}, {f_sql}, {t_sql})"
+    for pat, rep in NORMALIZE_RULES:
+        rep_sql = " || ".join(
+            "chr(10)" if ch == "\n" else f"chr({ord(ch)})" for ch in rep
+        ) or "''"
+        core = f"regexp_replace({core}, '{pat}', {rep_sql}, 'g')"
+    return f"trim({core})"
 
 
 def _novelty_oracle() -> str:

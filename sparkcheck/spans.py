@@ -377,3 +377,127 @@ def span_violations_arrow(
         "expectation",
         "observed_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking of interleaved text+media documents
+# ---------------------------------------------------------------------------
+
+
+def span_token_cost(
+    spans_col: Column, media_token_cost: int = 64
+) -> Column:
+    """array<bigint> of per-span token costs: text spans cost their
+    whitespace token count, media spans (anything non-text) cost the
+    fixed ``media_token_cost`` — the standard budget model where an
+    image/audio span consumes a fixed number of context slots."""
+    return F.transform(
+        spans_col,
+        lambda s: F.when(
+            s["kind"] == "text",
+            F.size(F.filter(F.split(F.coalesce(s["text"], F.lit("")), r"\s+"),
+                            lambda t: t != "")).cast("bigint"),
+        ).otherwise(F.lit(int(media_token_cost)).cast("bigint")),
+    )
+
+
+def chunk_interleaved(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    media_token_cost: int = 64,
+    mode: str = "greedy",
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Split interleaved (doc_id, spans:array<struct<kind,text,media_ref,
+    offset>>) documents into context windows WITHOUT splitting a span —
+    the multimodal training-pipeline step between validation and
+    sequence packing: a media span must stay whole (its embedding is
+    atomic), so chunking assigns whole spans to windows by token budget.
+
+    One row per span: (id, span_index, kind, cost, chunk_index).
+
+    ``mode="greedy"`` (default) is the production layout: spans fill the
+    current window until the next span would overflow ``max_tokens``,
+    then a new window starts — windows are consecutive 0,1,2,... and
+    never exceed the budget unless a SINGLE span already does (that span
+    gets its own window). Implemented as a pure-JVM ``aggregate`` fold
+    over the span array — per-doc sequential by nature, but narrow:
+    ZERO shuffles at any corpus size.
+
+    ``mode="interval"`` assigns span s to window
+    floor(tokens_before_s / max_tokens): budget-aligned intervals,
+    exactly replayable in ANSI SQL (the oracle's form); a span
+    straddling a boundary spills its window past the budget and a span
+    larger than the budget consumes several interval ids, so indices
+    can skip — documented trade for exact cross-engine replay.
+
+    Scale: both modes are single narrow passes over the span array
+    (transform + aggregate HOFs, then one posexplode); nothing
+    shuffles, so this pipelines into a writer exactly like
+    text.chunk_documents.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if mode not in ("greedy", "interval"):
+        raise ValueError(f"mode must be 'greedy' or 'interval', got {mode!r}")
+    costs = span_token_cost(F.col(spans_col), media_token_cost)
+    if mode == "interval":
+        # cum-before via a running-total transform: scan positions with
+        # slice-sum (O(n^2) per doc on span count — fine for documents;
+        # the greedy fold below is the O(n) path)
+        chunk_ids = F.transform(
+            costs,
+            lambda c, i: (
+                F.aggregate(
+                    F.slice(costs, 1, i), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(int(max_tokens))
+            ).cast("bigint"),
+        )
+    else:
+        # greedy fold: acc = struct(fill, ids); the finish lambda emits ids
+        def step(acc, c):
+            overflow = (acc["fill"] + c > max_tokens) & (acc["fill"] > 0)
+            nxt = F.when(overflow, c).otherwise(acc["fill"] + c)
+            cid = F.when(
+                overflow, F.try_element_at(acc["ids"], F.lit(-1)) + 1
+            ).otherwise(
+                F.coalesce(F.try_element_at(acc["ids"], F.lit(-1)), F.lit(0).cast("bigint"))
+            )
+            return F.struct(
+                nxt.alias("fill"), F.concat(acc["ids"], F.array(cid)).alias("ids")
+            )
+
+        zero = F.struct(
+            F.lit(0).cast("bigint").alias("fill"),
+            F.array().cast("array<bigint>").alias("ids"),
+        )
+        chunk_ids = F.aggregate(costs, zero, step, lambda acc: acc["ids"])
+    zipped = F.arrays_zip(
+        F.col(spans_col).alias("s"), costs.alias("cost"), chunk_ids.alias("chunk")
+    )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(zipped).alias("span_index", "z")
+    )
+    return ex.select(
+        id_col,
+        F.col("span_index").cast("int").alias("span_index"),
+        F.col("z.s.kind").alias("kind"),
+        F.col("z.cost").alias("cost"),
+        F.col("z.chunk").alias("chunk_index"),
+    )
+
+
+def chunk_stats(chunked: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, window) rollup of :func:`chunk_interleaved` output:
+    (id, chunk_index, n_spans, n_tokens, n_media) — the frame a packing
+    or writer stage consumes. One map-side-combined groupBy."""
+    return chunked.groupBy(id_col, "chunk_index").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("cost").alias("n_tokens"),
+        F.sum(F.when(F.col("kind") != "text", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_media"),
+    )

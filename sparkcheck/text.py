@@ -1238,3 +1238,57 @@ def distinctive_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the always-first curation stage
+# ---------------------------------------------------------------------------
+
+#: single-character folds applied FIRST via translate() — a 1:1 char
+#: map, available identically in Spark and DuckDB, so the oracle replays
+#: it verbatim: curly single/double quotes -> ASCII quotes, en/em/
+#: horizontal-bar dashes -> '-', NBSP/en/em/thin/zero-width/narrow-nbsp/
+#: ideographic spaces -> plain space. Escapes keep the source ASCII.
+NORMALIZE_FROM = (
+    "\u2018\u2019\u201a\u201b"
+    "\u201c\u201d\u201e\u201f"
+    "\u2013\u2014\u2015"
+    "\u00a0\u2002\u2003\u2009\u200b\u202f\u3000"
+)
+NORMALIZE_TO = "\'\'\'\'" + '""""' + "---" + " " * 7
+
+#: (pattern, replacement) regex pairs applied IN ORDER after the
+#: translate fold. ASCII-only patterns, valid and identical in both
+#: java.util.regex (Spark) and RE2 (DuckDB) — kept as data so the
+#: oracle replays the exact sequence.
+NORMALIZE_RULES: "tuple[tuple[str, str], ...]" = (
+    # control characters (except \t \n) -> space
+    (r"[\x00-\x08\x0b-\x1f\x7f]", " "),
+    # collapse horizontal whitespace runs
+    (r"[ \t]+", " "),
+    # spaces hugging newlines
+    (r" ?\n ?", "\n"),
+    # 3+ newlines -> one blank line
+    (r"\n{3,}", "\n\n"),
+)
+
+
+def normalize_text(col: "str | Column" = "text") -> Column:
+    """Canonical text cleanup, fully JVM-side (translate + chained
+    native regexp_replace, whole-stage codegen — no Python anywhere):
+    fold curly quotes/dashes/exotic spaces to ASCII (NORMALIZE_FROM/_TO,
+    a 1:1 translate map), strip control characters, collapse whitespace
+    runs, trim. Both the char map and the regex list are data, each
+    valid verbatim in Spark AND DuckDB (translate is 1:1 in both;
+    patterns are ASCII-only so java.util.regex and RE2 agree), so any
+    engine replays the identical normalization — the always-first
+    curation stage that makes downstream hashing (exact dedup, minhash
+    shingles, fingerprints) insensitive to cosmetic encoding noise.
+
+    Scale: a narrow per-row projection; chains into any scan with zero
+    cost beyond the regex engine itself."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, NORMALIZE_FROM, NORMALIZE_TO)
+    for pat, rep in NORMALIZE_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
