@@ -3037,6 +3037,20 @@ def q_interleaved_chunk_stats(spark, sf):
     return spans.chunk_stats(ch)
 
 
+def q_interleaved_chunk_greedy(spark, sf):
+    """The GREEDY chunk layout (spans.chunk_interleaved mode="greedy" —
+    the production form: consecutive windows, never over budget unless a
+    single span is) over the interleaved corpus, span-level output.
+    Spark computes it as a pure-JVM aggregate fold over the span array;
+    the oracle replays the same sequential recurrence with a DuckDB
+    RECURSIVE CTE stepping span-by-span per document (depth = max
+    spans/doc, bounded by the corpus construction)."""
+    docs = spans.interleave_documents(_t(spark, sf, "documents"))
+    return spans.chunk_interleaved(
+        docs, max_tokens=16, media_token_cost=8, mode="greedy"
+    )
+
+
 def q_normalized_text_documents(spark, sf):
     """Engine-portable text normalization (text.normalize_text): the
     documents table decorated with deterministic unicode noise (curly
@@ -3198,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": q_embedding_decontamination,
         "quantile_sketch_verdicts": q_quantile_sketch_verdicts,
         "interleaved_chunk_stats": q_interleaved_chunk_stats,
+        "interleaved_chunk_greedy": q_interleaved_chunk_greedy,
         "normalized_text_documents": q_normalized_text_documents,
     }
 
@@ -4857,6 +4872,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_spans, sum(cost)::BIGINT AS n_tokens, "
             "sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)::BIGINT "
             "AS n_media FROM cum GROUP BY 1, 2"
+        ),
+
+        "interleaved_chunk_greedy": (
+            # the greedy recurrence replayed span-by-span per document
+            f"WITH RECURSIVE {_SPAN_BUILD}, "
+            "cost AS (SELECT did, idx, kind, CASE WHEN kind = 'text' THEN "
+            r"len(list_filter(regexp_split_to_array(coalesce(stext, ''), "
+            r"'\s+'), x -> x <> ''))::BIGINT ELSE 8::BIGINT END AS cost "
+            "FROM built), "
+            "g AS ("
+            "SELECT did, idx, kind, cost, 0::BIGINT AS chunk, cost AS fill "
+            "FROM cost WHERE idx = 0 "
+            "UNION ALL "
+            "SELECT c.did, c.idx, c.kind, c.cost, "
+            "CASE WHEN g.fill + c.cost > 16 AND g.fill > 0 "
+            "THEN g.chunk + 1 ELSE g.chunk END, "
+            "CASE WHEN g.fill + c.cost > 16 AND g.fill > 0 "
+            "THEN c.cost ELSE g.fill + c.cost END "
+            "FROM g JOIN cost c ON c.did = g.did AND c.idx = g.idx + 1) "
+            "SELECT did::BIGINT AS doc_id, idx::INT AS span_index, kind, "
+            "cost, chunk AS chunk_index FROM g"
         ),
 
         "normalized_text_documents": (

@@ -579,6 +579,18 @@ def main():
         "frame is dimension-sized — the data itself is scanned once and "
         "never shuffled.")
 
+    add("Interleaved greedy chunking (interleaved_chunk_greedy)",
+        qs["interleaved_chunk_greedy"](spark, SF),
+        "The greedy window layout is ONE aggregate HOF fold inside a "
+        "Project over the scan, then a single Generate posexplode — zero "
+        "Exchange nodes; the per-doc sequential recurrence never leaves "
+        "the JVM row.")
+    add("Engine-portable normalization (normalized_text_documents)",
+        qs["normalized_text_documents"](spark, SF),
+        "translate + four chained regexp_replace calls, all inside one "
+        "WholeStageCodegen Project over the scan — the always-first "
+        "curation stage costs one narrow pass.")
+
     out = ["# Physical-plan evidence (generated by scripts/dump_plans.py)\n",
            "Regenerate after planner-affecting changes: "
            "`python scripts/dump_plans.py`\n"]
