@@ -380,7 +380,7 @@ def fuzzy_join(
     max_distance: int = 1,
     left_id: str = "id",
     right_id: str = "id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Record linkage by edit distance: every (left, right) pair whose join
     strings are within ``max_distance`` Levenshtein edits, found WITHOUT a
@@ -391,10 +391,12 @@ def fuzzy_join(
     complete for unit-cost edits (see _deletion_neighborhood) — followed
     by a verify filter with Spark's built-in ``levenshtein`` (JVM-side,
     whole-stage codegen). Candidate volume is Σ bucket² over shared
-    variants, not |L|·|R|; ``max_bucket`` (optional) fails loudly when a
-    degenerate hot variant (e.g. thousands of near-identical short keys)
-    would make a bucket quadratic, rather than silently dropping pairs —
-    linkage is exact or it raises.
+    variants, not |L|·|R|; ``max_bucket`` (ON by default at 100k, the
+    house guard convention) fails loudly when a degenerate hot variant
+    (e.g. thousands of near-identical short keys) would make a bucket
+    quadratic, rather than silently dropping pairs — linkage is exact
+    or it raises; pass ``None`` to skip the two guard count jobs when
+    the key distribution is known clean.
 
     Scale: one explode per side (O(len^d) variants per row), one
     equi-join on the variant key (AQE-planable, skew-join eligible), one
@@ -424,7 +426,7 @@ def fuzzy_self_join(
     on: str,
     id_col: str = "id",
     max_distance: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """All unordered pairs of rows whose ``on`` strings are within
     ``max_distance`` edits — near-duplicate key discovery (entity
