@@ -159,6 +159,57 @@ def main() -> None:
         assert abs(df_["kl"] - dr_["kl"]) < 1e-12, (df_, dr_)
         assert abs(df_["psi"] - dr_["psi"]) < 1e-12
 
+    # ---- quantile-sketch leg: certified incremental brackets vs rescan.
+    # Unlike moments/histograms, full and resumed summaries are not
+    # bit-identical (different merge trees retain different samples) —
+    # the contract is the CERTIFICATE: both brackets contain the true
+    # quantile, so they must mutually overlap, with identical exact n.
+    from sparkcheck.sketches import (
+        quantile_sketch_bounds,
+        quantile_states,
+        update_quantile_states,
+    )
+
+    QCOL, QK, QPS = "v_qty", 256, [0.5, 0.99]
+    qstore = f"{path}_qstates"
+    quantile_states(
+        data.where(f"bucket < {last}"), QCOL, state_key="bucket", k=QK
+    ).write.mode("overwrite").parquet(qstore)
+    quantile_sketch_bounds(
+        quantile_states(data.limit(1000), QCOL, "bucket", k=QK), QPS
+    ).collect()  # warm
+
+    t0 = time.time()
+    q_full = {
+        r["p"]: r
+        for r in quantile_sketch_bounds(
+            quantile_states(data, QCOL, state_key="bucket", k=QK), QPS
+        ).collect()
+    }
+    t_qfull = time.time() - t0
+
+    t0 = time.time()
+    q_res = {
+        r["p"]: r
+        for r in quantile_sketch_bounds(
+            update_quantile_states(
+                spark.read.parquet(qstore),
+                data.where(f"bucket = {last}"),
+                QCOL,
+                "bucket",
+            ),
+            QPS,
+        ).collect()
+    }
+    t_qresume = time.time() - t0
+
+    for p in QPS:
+        f_, r_ = q_full[p], q_res[p]
+        assert f_["n"] == r_["n"] == args.rows, (f_, r_)
+        assert f_["lo"] <= f_["est"] <= f_["hi"]
+        assert r_["lo"] <= r_["est"] <= r_["hi"]
+        assert f_["lo"] <= r_["hi"] and r_["lo"] <= f_["hi"], (f_, r_)
+
     print(json.dumps({
         "cores": args.cores,
         "rows": args.rows,
@@ -170,6 +221,10 @@ def main() -> None:
         "hist_full_scan_s": round(t_hfull, 3),
         "hist_resume_s": round(t_hresume, 3),
         "hist_speedup": round(t_hfull / t_hresume, 2),
+        "qsketch_full_scan_s": round(t_qfull, 3),
+        "qsketch_resume_s": round(t_qresume, 3),
+        "qsketch_speedup": round(t_qfull / t_qresume, 2),
+        "qsketch_brackets_overlap": True,
         "identical": True,
         "drift_identical": True,
     }))
