@@ -142,7 +142,7 @@ QUIET_REF = {
     "runner_profile_documents": 2.0,
     # round-5 additions, quiet-box measured 2026-08-21 (BENCH/BASELINE.md)
     "chunked_documents": 0.32,
-    "fuzzy_name_pairs": 1.26,
+    "fuzzy_name_pairs": 2.5,  # guard-on default (see keys.py in-plan guard)
     "embedding_decontamination": 1.0,
     "validate_synth_corpus": 3.65,
     "validate_synth_corpus_fused": 2.16,

@@ -350,25 +350,46 @@ def _fuzzy_candidates(
         "__variant", F.explode(_deletion_neighborhood(F.col("right_value"), max_distance))
     )
     if max_bucket is not None:
-        for side, name in ((lv, "left"), (rv, "right")):
+        # IN-PLAN guard — no extra driver jobs: each side's per-variant
+        # counts collapse map-side (dimension-sized aggregate, no sort),
+        # the normally-EMPTY over-limit set broadcasts back, and a match
+        # raises DURING the join job — fail-loud before the quadratic
+        # bucket is materialized. Earlier variants measured at sf0.1:
+        # driver-side pre-count jobs ~5x the join wall, a window count
+        # ~2x; this form ~1.5x (BENCH/BASELINE.md round 5).
+        for side, name in (("lv", "left"), ("rv", "right")):
+            frame = lv if side == "lv" else rv
             hot = (
-                side.groupBy("__variant")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .where(F.col("__n") > max_bucket)
-                .orderBy(F.desc("__n"))
-                .limit(3)
-                .collect()
+                frame.groupBy("__variant")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .where(F.col("__bn") > max_bucket)
             )
-            if hot:
-                tops = ", ".join(f"{r['__variant']!r}×{r['__n']}" for r in hot)
-                raise ValueError(
-                    f"fuzzy_join: {name}-side deletion-variant bucket(s) exceed "
-                    f"max_bucket={max_bucket} ({tops}). A hot variant makes the "
-                    "candidate join quadratic in the bucket. Raise max_bucket "
-                    "knowingly, pre-filter degenerate keys (very short or "
-                    "constant-prefix strings), or block on an additional "
-                    "column first."
-                )
+            frame = frame.join(F.broadcast(hot), "__variant", "left")
+            guard = F.when(
+                F.col("__bn").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fuzzy_join: {name}-side deletion-variant bucket "
+                        ),
+                        F.col("__variant"),
+                        F.lit(f" exceeds max_bucket={max_bucket} (size "),
+                        F.col("__bn").cast("string"),
+                        F.lit(
+                            "). A hot variant makes the candidate join "
+                            "quadratic in the bucket. Raise max_bucket "
+                            "knowingly (max_bucket=None disables), "
+                            "pre-filter degenerate keys, or block on an "
+                            "additional column first."
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+            frame = frame.where(guard).drop("__bn")
+            if side == "lv":
+                lv = frame
+            else:
+                rv = frame
     return lv.join(rv, "__variant").drop("__variant")
 
 

@@ -200,11 +200,21 @@ def test_fuzzy_join_distance_column_exact(spark):
 
 def test_fuzzy_join_hot_bucket_guard(spark):
     df = spark.createDataFrame([Row(id=i, s="ab") for i in range(50)])
-    with pytest.raises(ValueError, match="max_bucket"):
-        keys.fuzzy_self_join(df, "s", id_col="id", max_distance=1, max_bucket=10)
-    # without the guard it still returns the exact quadratic answer
+    # the guard is IN-PLAN (raise_error inside the join job — no extra
+    # pre-count jobs), so it fires on execution, as a Spark runtime error
+    with pytest.raises(Exception, match="max_bucket"):
+        keys.fuzzy_self_join(
+            df, "s", id_col="id", max_distance=1, max_bucket=10
+        ).count()
+    # under the (default 100k) bucket limit the exact quadratic answer
+    # comes back intact
     n = keys.fuzzy_self_join(df, "s", id_col="id", max_distance=1).count()
     assert n == 50 * 49 // 2
+    # and disabling the guard entirely also works
+    n2 = keys.fuzzy_self_join(
+        df, "s", id_col="id", max_distance=1, max_bucket=None
+    ).count()
+    assert n2 == n
 
 
 def test_fuzzy_join_validates_distance(spark):
