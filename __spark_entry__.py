@@ -4797,15 +4797,16 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "distinctive_terms_source": (
-            # tf >= 2 pruned BEFORE the df window (mirrors the Spark op);
+            # df over the UNPRUNED (source, token) frame — the true
+            # "groups containing t" — then tf >= 2 prunes candidates;
             # rank on the 6-dp-rounded score, token tie-break
             f"WITH tok AS (SELECT source, unnest({_TOKS}) AS token "
             "FROM documents), "
             "tf AS (SELECT source, token, count(*)::BIGINT AS tf "
             "FROM tok GROUP BY 1, 2), "
-            "ft AS (SELECT * FROM tf WHERE tf >= 2), "
             "sc AS (SELECT source, token, tf, "
-            "count(*) OVER (PARTITION BY token) AS df FROM ft), "
+            "count(*) OVER (PARTITION BY token) AS df FROM tf "
+            "QUALIFY tf >= 2), "
             "ng AS (SELECT count(DISTINCT source)::BIGINT AS n FROM documents), "
             "sd AS (SELECT source, token, tf, df::BIGINT AS df, "
             "round(tf::DOUBLE * ln(n::DOUBLE / df::DOUBLE), 6) AS score "

@@ -2055,6 +2055,10 @@ def embedding_decontaminate(
     rounded to 6 dp (rounded AFTER the max — round is monotone, so this
     equals the max of rounded scores) and ``contaminated`` the
     threshold verdict on the rounded value, deterministic across engines.
+    Zero-norm vectors (corpus or eval) contribute NO similarity on
+    either path — a corpus row with no finite cosine (its own norm is 0,
+    or every eval vector's is) gets NULL max_eval_cos and a NULL
+    verdict, never a NaN-driven false positive.
 
     ``assign_impl="arrow"`` (default) broadcasts the eval matrix into a
     mapInArrow closure and computes each Arrow batch's full cosine block
@@ -2092,9 +2096,22 @@ def embedding_decontaminate(
                 cv = cv.reshape(n, dim)
                 num = cv @ qmat.T
                 cn = np.sqrt(np.einsum("ij,ij->i", cv, cv))
-                mx = (num / (cn[:, None] * qnorm[None, :])).max(axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / (cn[:, None] * qnorm[None, :])
+                # zero-norm vectors (corpus or eval) contribute NO
+                # similarity — mirror the fold path, where 0-divisor
+                # Divide yields NULL and F.max skips it: mask non-finite
+                # cells, and a row with no finite cell emits NULL
+                cos[~np.isfinite(cos)] = -np.inf
+                mx = cos.max(axis=1)
                 yield pa.RecordBatch.from_arrays(
-                    [batch.column(0), pa.array(mx)],
+                    [
+                        batch.column(0),
+                        pa.array(
+                            np.where(np.isfinite(mx), mx, np.nan),
+                            mask=~np.isfinite(mx),
+                        ),
+                    ],
                     names=[id_col, "__mx"],
                 )
 
@@ -2104,11 +2121,25 @@ def embedding_decontaminate(
         scored = narrow.mapInArrow(max_batches, f"{id_col} {id_dtype}, __mx double")
     elif assign_impl == "fold":
         ev = eval_set.select(F.col(vec_col).alias("__evec"))
+        if ev.isEmpty():
+            # match the arrow path: an empty eval set must fail loudly,
+            # not cross-join to an empty frame that reads as "no
+            # contamination anywhere"
+            raise ValueError("embedding_decontaminate: eval_set is empty")
+        # try_divide, not cosine()'s plain `/`: a zero-norm pair divides
+        # by 0, which ANSI mode turns into a job-killing error and
+        # non-ANSI into a NaN that Spark's max ranks ABOVE every real
+        # cosine. NULL-on-zero makes zero-norm vectors contribute no
+        # similarity, exactly like the arrow path's mask.
+        c = F.try_divide(
+            dot(F.col(vec_col), F.col("__evec")),
+            norm(F.col(vec_col)) * norm(F.col("__evec")),
+        )
         scored = (
             corpus.select(F.col(id_col), F.col(vec_col))
             .join(F.broadcast(ev))
             .groupBy(id_col)
-            .agg(F.max(cosine(F.col(vec_col), F.col("__evec"), "hof")).alias("__mx"))
+            .agg(F.max(c).alias("__mx"))
         )
     else:
         raise ValueError(

@@ -1176,14 +1176,14 @@ def quantile_states(
     return partials.groupBy("state_key").applyInPandas(fold_sk, schema=_QS_SCHEMA)
 
 
-def merge_quantile_states(states: DataFrame) -> "_QSummary":
-    """Fold a quantile-states frame (any number of commit units, one
-    column) into a single in-memory summary. The frame is
-    dimension-sized, so the driver collect is O(k · #units) rows; the
-    certified error bound is preserved through the merge tree."""
+def _merge_states_pdf(states: DataFrame) -> "tuple[_QSummary, str]":
+    """(merged summary, column name) from ONE execution of the states
+    plan — the column rides in the collected frame, so callers never
+    re-run the (potentially full-scan) plan just to learn the name.
+    (None, None) when the frame is empty."""
     pdf = states.toPandas()
     if pdf.empty:
-        raise ValueError("merge_quantile_states: empty states frame")
+        return None, None
     cols = pdf["column"].unique()
     if len(cols) != 1:
         raise ValueError(
@@ -1201,6 +1201,17 @@ def merge_quantile_states(states: DataFrame) -> "_QSummary":
             merged = s
         else:
             merged.merge(s)
+    return merged, str(pdf["column"].iloc[0])
+
+
+def merge_quantile_states(states: DataFrame) -> "_QSummary":
+    """Fold a quantile-states frame (any number of commit units, one
+    column) into a single in-memory summary. The frame is
+    dimension-sized, so the driver collect is O(k · #units) rows; the
+    certified error bound is preserved through the merge tree."""
+    merged, _ = _merge_states_pdf(states)
+    if merged is None:
+        raise ValueError("merge_quantile_states: empty states frame")
     return merged
 
 
@@ -1212,13 +1223,18 @@ def quantile_sketch_bounds(
     inside [lo, hi] by the summary's worst-case rank certificate. The
     schema matches states.quantile_bounds (minus bin), so
     states.quantile_bracket_verdicts consumes it directly for
-    three-valued incremental quantile expectations."""
+    three-valued incremental quantile expectations. An EMPTY states
+    frame (e.g. zero committed partitions/batches yet) yields an empty
+    result frame, matching the graceful behavior of the histogram and
+    profile read paths. The states plan executes exactly once."""
     from .stats import _p_fraction
 
     if not ps:
         raise ValueError("quantile_sketch_bounds needs at least one probability")
-    s = merge_quantile_states(states)
-    col = states.select("column").first()["column"]
+    schema = "column string, p double, n long, lo double, hi double, est double"
+    s, col = _merge_states_pdf(states)
+    if s is None:
+        return states.sparkSession.createDataFrame([], schema)
     rows = []
     for p in ps:
         num, den = _p_fraction(p)
@@ -1239,16 +1255,32 @@ def update_quantile_states(
 ) -> DataFrame:
     """Incremental refresh, last-write-wins per commit unit (null-safe,
     mirroring states.update_states): recommitted state_keys are dropped
-    and only the new partitions are scanned."""
-    ex_cols = {r["column"] for r in existing.select("column").distinct().collect()}
-    if ex_cols != {col}:
+    and only the new partitions are scanned — ONCE: the anti-join key
+    set comes from a cheap distinct over the raw delta, not from the
+    (numpy-heavy) fresh sketch plan, so an action over the result
+    executes the sketch build a single time."""
+    shape = {
+        (r["column"], int(r["k"]))
+        for r in existing.select("column", "k").distinct().collect()
+    }
+    if {c for c, _ in shape} != {col}:
         raise ValueError(
-            f"update_quantile_states: persisted states cover {sorted(ex_cols)} "
-            f"but column {col!r} was requested; one column per states frame"
+            f"update_quantile_states: persisted states cover "
+            f"{sorted({c for c, _ in shape})} but column {col!r} was "
+            "requested; one column per states frame"
         )
-    kk = existing.select("k").first()["k"]
-    fresh = quantile_states(new_data, col, state_key, k=int(kk))
-    keys = fresh.select(F.col("state_key").alias("__new_key")).distinct()
+    if len(shape) != 1:
+        raise ValueError(
+            f"update_quantile_states: persisted states were built with "
+            f"different k values {sorted(k for _, k in shape)}; summaries "
+            "of mixed k are not mergeable — recompute states from scratch"
+        )
+    (_, kk), = shape
+    fresh = quantile_states(new_data, col, state_key, k=kk)
+    keys = (
+        new_data.select(F.expr(state_key).cast("string").alias("__new_key"))
+        .distinct()
+    )
     kept = existing.join(
         keys, existing["state_key"].eqNullSafe(keys["__new_key"]), "left_anti"
     )

@@ -435,7 +435,12 @@ def chunk_interleaved(
     Scale: both modes are single narrow passes over the span array
     (transform + aggregate HOFs, then one posexplode); nothing
     shuffles, so this pipelines into a writer exactly like
-    text.chunk_documents.
+    text.chunk_documents. Per-DOCUMENT cost is quadratic in span count
+    for both modes (interval: prefix slice-sums; greedy: the id array
+    copies as the fold grows) — interleaved documents carry spans in
+    the hundreds-to-thousands, where this is noise inside one JVM row;
+    million-span monsters belong in text.chunk_documents' flat token
+    layout instead.
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
@@ -444,8 +449,11 @@ def chunk_interleaved(
     costs = span_token_cost(F.col(spans_col), media_token_cost)
     if mode == "interval":
         # cum-before via a running-total transform: scan positions with
-        # slice-sum (O(n^2) per doc on span count — fine for documents;
-        # the greedy fold below is the O(n) path)
+        # slice-sum — O(n^2) per doc on span count. The greedy fold below
+        # is also quadratic per doc (each step copies the growing id
+        # array), so BOTH modes are document-scale tools: spans/doc in
+        # the thousands is fine inside one JVM row, million-span docs
+        # belong in text.chunk_documents' flat layout instead
         chunk_ids = F.transform(
             costs,
             lambda c, i: (

@@ -1199,7 +1199,7 @@ def distinctive_terms(
     collapses the corpus to the (group × vocab) frame; df is a window
     over that dimension-sized frame (not the corpus), and N_groups rides
     in as a broadcast 1×1 aggregate — no driver collect, no second scan
-    of the data. ``min_tf`` prunes the hapax tail before the window.
+    of the data. ``min_tf`` prunes the hapax tail AFTER the df window, so df keeps its true meaning.
     """
     from pyspark.sql import Window
 
@@ -1209,13 +1209,16 @@ def distinctive_terms(
         F.col(group_col).alias("group"), F.explode(tokens(text_col)).alias("token")
     )
     tf = tok.groupBy("group", "token").agg(F.count(F.lit(1)).alias("tf"))
-    if min_tf > 1:
-        tf = tf.where(F.col("tf") >= min_tf)
     # df counts (group, token) rows per token — the frame is distinct by
-    # construction, so a window count over it IS the document frequency
+    # construction, so a window count over it IS the document frequency.
+    # Computed BEFORE the min_tf prune: df is the true "groups containing
+    # t" of the docstring (a token every group shares scores 0 even when
+    # some group uses it rarely); min_tf then prunes CANDIDATE rows only
     scored = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
+    if min_tf > 1:
+        scored = scored.where(F.col("tf") >= min_tf)
     ng = docs.agg(F.count_distinct(F.col(group_col)).alias("__ng"))
     scored = scored.crossJoin(F.broadcast(ng)).withColumn(
         "score",

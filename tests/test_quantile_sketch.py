@@ -214,3 +214,26 @@ def test_streaming_quantile_monitor(spark, tmp_path):
     store.append_small("quantile_states", orphan)
     after = {r["p"]: r for r in mon.bounds(spark, [0.95]).collect()}
     assert after[0.95]["n"] == 3000 and after[0.95]["hi"] < 99999.0
+
+
+def test_bounds_empty_states_graceful(spark):
+    """Zero committed units (stream/run not started) must yield an empty
+    bounds frame, not a crash — parity with the histogram/profile read
+    paths; merge_quantile_states keeps its loud contract."""
+    df = _df(spark, [1.0, 2.0])
+    st = sketches.quantile_states(df, "x", state_key="'u'", k=32).limit(0)
+    out = sketches.quantile_sketch_bounds(st, [0.5])
+    assert out.count() == 0
+    assert out.columns == ["column", "p", "n", "lo", "hi", "est"]
+    with pytest.raises(ValueError, match="empty"):
+        sketches.merge_quantile_states(st)
+
+
+def test_update_rejects_mixed_k(spark):
+    df = _df(spark, [1.0, 2.0, 3.0])
+    a = sketches.quantile_states(df, "x", state_key="'a'", k=32)
+    b = sketches.quantile_states(df, "x", state_key="'b'", k=64)
+    with pytest.raises(ValueError, match="different k"):
+        sketches.update_quantile_states(
+            a.unionByName(b), df, "x", state_key="'c'"
+        )

@@ -283,3 +283,47 @@ def test_embedding_decontaminate_empty_eval_raises(spark):
     ev = corpus.where(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty"):
         similarity.embedding_decontaminate(corpus, ev)
+
+
+@pytest.mark.parametrize("impl", ["arrow", "fold"])
+def test_embedding_decontaminate_zero_norm_null_verdict(spark, impl):
+    """Zero-norm vectors contribute no similarity on EITHER path: a
+    zero corpus vector gets NULL max/verdict (no NaN false positive),
+    and a zero eval vector is ignored in every row's max."""
+    ev = _vec_df(spark, [(100, [0.0, 0.0]), (101, [0.0, 1.0])])
+    corpus = _vec_df(spark, [(0, [0.0, 0.0]), (1, [0.0, 2.0])])
+    out = {
+        r["vec_id"]: r
+        for r in similarity.embedding_decontaminate(
+            corpus, ev, threshold=0.95, assign_impl=impl
+        ).collect()
+    }
+    assert out[0]["max_eval_cos"] is None and out[0]["contaminated"] is None
+    assert out[1]["max_eval_cos"] == pytest.approx(1.0)
+    assert out[1]["contaminated"] is True
+
+
+def test_embedding_decontaminate_empty_eval_raises_fold(spark):
+    corpus = _vec_df(spark, [(0, [1.0, 0.0])])
+    ev = corpus.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.embedding_decontaminate(corpus, ev, assign_impl="fold")
+
+
+def test_distinctive_terms_df_is_unpruned(spark):
+    """df must count ALL groups containing the token, even groups where
+    it falls under min_tf — a token every group shares scores 0."""
+    rows = [
+        Row(source="a", text="shared shared alpha alpha"),
+        Row(source="b", text="shared beta beta"),  # shared: tf=1 here
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["source"], r["token"]): r
+        for r in text.distinctive_terms(df, top_k=5, min_tf=2).collect()
+    }
+    # shared survives min_tf only in a, but its df is 2 -> score 0
+    assert got[("a", "shared")]["df"] == 2
+    assert got[("a", "shared")]["score"] == 0.0
+    assert ("b", "shared") not in got  # pruned by tf, not df
+    assert got[("a", "alpha")]["rank"] == 1
