@@ -3071,6 +3071,53 @@ def q_normalized_text_documents(spark, sf):
     )
 
 
+def q_normalization_dedup_gain(spark, sf):
+    """Normalization-aware dedup (text.normalize_text ∘ dedup
+    fingerprints): each doc gets deterministic doc_id-dependent cosmetic
+    noise (a ZWSP inside the first word for doc_id%3==0, a trailing NBSP
+    for %3==1 — noise real web corpora carry), which breaks RAW
+    fingerprint dedup across differently-decorated copies; normalizing
+    first restores it. Output one row: duplicate-group counts on the
+    raw vs normalized fingerprints — the measurable reason
+    normalization runs before hashing. The corpus is the documents
+    table unioned with an id-shifted copy of itself (shift ≡ 2 mod 3),
+    so every doc has a twin carrying a DIFFERENT decoration class —
+    raw dedup finds (nearly) nothing, normalized dedup recovers every
+    pair. Oracle replays both fingerprint sets with the shared
+    translate/regex chain and md5 convention."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.select((F.col("doc_id") + 1000001).alias("doc_id"), "text")
+    )
+    t = F.col("text")
+    noisy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                t.substr(F.lit(1), F.lit(1)), F.lit(chr(0x200B)),
+                t.substr(F.lit(2), F.length(t)),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(t, F.lit(chr(160))))
+        .otherwise(t)
+    )
+
+    def n_groups(col):
+        return (
+            d.select(text.fingerprint(col).alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("ng"))
+        )
+
+    raw = n_groups(noisy).withColumnRenamed("ng", "n_groups_raw")
+    norm = n_groups(text.normalize_text(noisy)).withColumnRenamed(
+        "ng", "n_groups_normalized"
+    )
+    return raw.crossJoin(norm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -3214,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_chunk_stats": q_interleaved_chunk_stats,
         "interleaved_chunk_greedy": q_interleaved_chunk_greedy,
         "normalized_text_documents": q_normalized_text_documents,
+        "normalization_dedup_gain": q_normalization_dedup_gain,
     }
 
 
@@ -4894,6 +4942,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM g JOIN cost c ON c.did = g.did AND c.idx = g.idx + 1) "
             "SELECT did::BIGINT AS doc_id, idx::INT AS span_index, kind, "
             "cost, chunk AS chunk_index FROM g"
+        ),
+
+        "normalization_dedup_gain": (
+            "WITH un AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000001, text FROM documents), nz AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 1) || chr(8203) || substr(text, 2) WHEN doc_id % 3 = 1 THEN text || chr(160) ELSE text END AS noisy FROM un), rawf AS (SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(noisy), '\\s+'), x -> x <> ''), ' ')) AS f FROM nz), rg AS (SELECT count(*)::BIGINT AS n_groups_raw FROM (SELECT f, count(*) AS n FROM rawf GROUP BY 1 HAVING count(*) > 1)), nmf AS (SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower({NORM}), '\\s+'), x -> x <> ''), ' ')) AS f FROM nz), ng AS (SELECT count(*)::BIGINT AS n_groups_normalized FROM (SELECT f, count(*) AS n FROM nmf GROUP BY 1 HAVING count(*) > 1)) SELECT * FROM rg CROSS JOIN ng"
+            .replace("{NORM}", _normalize_sql("noisy"))
         ),
 
         "normalized_text_documents": (

@@ -1256,9 +1256,13 @@ NORMALIZE_FROM = (
     "\u2018\u2019\u201a\u201b"
     "\u201c\u201d\u201e\u201f"
     "\u2013\u2014\u2015"
-    "\u00a0\u2002\u2003\u2009\u200b\u202f\u3000"
+    "\u00a0\u2002\u2003\u2009\u202f\u3000"
+    # zero-width characters LAST, beyond NORMALIZE_TO's length: translate
+    # DELETES unmatched trailing chars (identical semantics in Spark and
+    # DuckDB) — ZWSP/BOM inside a word must vanish, not split it
+    "\u200b\ufeff"
 )
-NORMALIZE_TO = "\'\'\'\'" + '""""' + "---" + " " * 7
+NORMALIZE_TO = "\'\'\'\'" + '""""' + "---" + " " * 6
 
 #: (pattern, replacement) regex pairs applied IN ORDER after the
 #: translate fold. ASCII-only patterns, valid and identical in both

@@ -125,8 +125,8 @@ def test_chunk_interleaved_plan_is_narrow(spark):
 
 def test_normalize_text(spark):
     raw = (
-        "\u201cHello\u201d \u2014 it\u2019s\x00 a\u00a0test   with\t tabs \n"
-        "  and lines\n\n\n\n\nend  "
+        "\u201cHel\u200blo\u201d \u2014 it\u2019s\x00 a\u00a0test   with\t tabs \n"
+        "  and lines\n\n\n\n\nend\ufeff  "
     )
     df = spark.createDataFrame([Row(text=raw)])
     got = df.select(text.normalize_text("text").alias("t")).first()["t"]
