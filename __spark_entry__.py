@@ -3118,6 +3118,37 @@ def q_normalization_dedup_gain(spark, sf):
     return raw.crossJoin(norm)
 
 
+def q_normalized_violation_count(spark, sf):
+    """expect_column_values_to_be_normalized as a fused map condition
+    (column_values.normalized: the column must be a fixed point of
+    text.normalize_text): counts delivery rows carrying curly quotes /
+    ZWSP / NBSP / whitespace drift BEFORE they poison dedup hashes.
+    The corpus is the documents table with the deterministic doc_id%3
+    decoration (two thirds dirty); the oracle replays the full
+    translate/regex chain and the fixed-point comparison."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    noisy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                t.substr(F.lit(1), F.lit(1)), F.lit(chr(0x200B)),
+                t.substr(F.lit(2), F.length(t)),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(t, F.lit(chr(160))))
+        .otherwise(t)
+    )
+    nd = d.select(F.col("doc_id"), noisy.alias("text"))
+    mask = get_condition("column_values.normalized").unexpected(
+        Domain(column="text"), {}
+    )
+    return nd.agg(
+        F.sum(mask.cast("long")).alias("unexpected_count"),
+        F.count(F.lit(1)).alias("element_count"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -3262,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_chunk_greedy": q_interleaved_chunk_greedy,
         "normalized_text_documents": q_normalized_text_documents,
         "normalization_dedup_gain": q_normalization_dedup_gain,
+        "normalized_violation_count": q_normalized_violation_count,
     }
 
 
@@ -4942,6 +4974,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM g JOIN cost c ON c.did = g.did AND c.idx = g.idx + 1) "
             "SELECT did::BIGINT AS doc_id, idx::INT AS span_index, kind, "
             "cost, chunk AS chunk_index FROM g"
+        ),
+
+        "normalized_violation_count": (
+            'WITH nz AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 1) || chr(8203) || substr(text, 2) WHEN doc_id % 3 = 1 THEN text || chr(160) ELSE text END AS t FROM documents) SELECT sum(CASE WHEN {NORM} <> t OR t IS NULL THEN 1 ELSE 0 END)::BIGINT AS unexpected_count, count(*)::BIGINT AS element_count FROM nz'
+            .replace("{NORM}", _normalize_sql("t"))
         ),
 
         "normalization_dedup_gain": (

@@ -1299,3 +1299,32 @@ def normalize_text(col: "str | Column" = "text") -> Column:
     for pat, rep in NORMALIZE_RULES:
         c = F.regexp_replace(c, pat, rep)
     return F.trim(c)
+
+
+def _register_normalized_condition() -> None:
+    """Register ``column_values.normalized`` + the
+    ``expect_column_values_to_be_normalized`` expectation: a text column
+    passes when it is a fixed point of :func:`normalize_text` — the QC
+    gate that catches unnormalized deliveries (curly quotes, zero-width
+    characters, NBSP, collapsed-whitespace drift) BEFORE they poison
+    dedup fingerprints and shingle hashes downstream. Pure Column
+    comparison, agg-bundleable like every map condition; no reference
+    analog (GX has no text-canonicalization surface)."""
+    from .conditions import condition
+    from .expectations import ColumnMapExpectation, register_expectation
+
+    @condition("column_values.normalized")
+    def _normalized(domain, kw):
+        c = F.col(domain.column)
+        return normalize_text(c) == c
+
+    register_expectation(
+        ColumnMapExpectation(
+            "expect_column_values_to_be_normalized",
+            "column_values.normalized",
+            (),
+        )
+    )
+
+
+_register_normalized_condition()

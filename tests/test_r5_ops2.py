@@ -143,3 +143,27 @@ def test_normalize_idempotent_and_dedup_effect(spark):
         text.normalize_text(text.normalize_text("text")).alias("t")
     ).collect()
     assert [r["t"] for r in twice] == [r["t"] for r in out]
+
+
+def test_expect_normalized_expectation(spark):
+    """expect_column_values_to_be_normalized through the public suite
+    path: clean rows pass, rows carrying curly quotes / ZWSP / NBSP are
+    the unexpected ones with their count exact."""
+    from sparkcheck import ExpectationSuite, validate_df
+
+    rows = [
+        Row(text="already clean text"),
+        Row(text="It’s got a curly quote"),
+        Row(text="zero​width inside"),
+        Row(text="trailing nbsp "),
+        Row(text="fine too"),
+    ]
+    df = spark.createDataFrame(rows)
+    s = ExpectationSuite("norm")
+    s.add("expect_column_values_to_be_normalized", column="text")
+    r = validate_df(df, s, result_format="SUMMARY")["results"][0]
+    assert r["success"] is False
+    assert r["result"]["unexpected_count"] == 3
+    s2 = ExpectationSuite("norm2")
+    s2.add("expect_column_values_to_be_normalized", column="text", mostly=0.3)
+    assert validate_df(df, s2)["success"] is True
