@@ -327,3 +327,42 @@ def test_distinctive_terms_df_is_unpruned(spark):
     assert got[("a", "shared")]["score"] == 0.0
     assert ("b", "shared") not in got  # pruned by tf, not df
     assert got[("a", "alpha")]["rank"] == 1
+
+
+def test_fuzzy_self_join_property_fuzz(spark):
+    """Hypothesis-style fuzz (driven manually in one Spark session —
+    per-example sessions would dominate): random corpora over tiny
+    alphabets (worst case for deletion-variant collisions), unicode
+    chars, empty strings, heavy duplicates; the blocked join must equal
+    the naive O(n²) reference on every draw, for d in {1, 2}."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        alphabet = ["a", "b", "é", ""][seed % 3] or "ab"
+        vals = []
+        for _ in range(rng.randint(2, 40)):
+            if rng.random() < 0.15:
+                vals.append("")
+            elif rng.random() < 0.2 and vals:
+                vals.append(rng.choice(vals))  # exact duplicates
+            else:
+                vals.append(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                )
+        d = 1 + (seed % 2)
+        df = spark.createDataFrame(
+            [Row(id=i, s=v) for i, v in enumerate(vals)]
+        )
+        got = {
+            (r["left_id"], r["right_id"], r["distance"])
+            for r in keys.fuzzy_self_join(
+                df, "s", id_col="id", max_distance=d, max_bucket=None
+            ).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+            if _lev(a, b) <= d
+        }
+        assert got == want, (seed, d, vals)
